@@ -1,0 +1,56 @@
+"""Global numeric configuration for multimodars_tpu.
+
+The reference implementation (multimoda-rs, Rust) computes everything in f64.
+TPUs have no native f64, so we split precision by role:
+
+- Host-side geometry bookkeeping (centroids, areas, CSV data) stays float64
+  numpy, matching the reference bit-for-bit where cheap.
+- Device-side batched kernels (rotation search, Hausdorff sweeps) default to
+  float32 on TPU and float64 on CPU.  mm-scale coordinates in f32 carry
+  ~1e-6 mm rounding, far below the 1e-4 mm fidelity target; argmin decisions
+  over the angle grid are robust to it because the cost landscape's local
+  curvature near the optimum exceeds the noise floor by orders of magnitude.
+
+``jax_enable_x64`` is switched on at import so CPU test runs reproduce the
+reference's f64 semantics exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def default_backend() -> str:
+    try:
+        return jax.default_backend()
+    except Exception:  # pragma: no cover
+        return "cpu"
+
+
+def _initial_compute_dtype():
+    env = os.environ.get("MMTPU_COMPUTE_DTYPE")
+    if env:
+        return jnp.dtype(env)
+    return jnp.float32 if default_backend() == "tpu" else jnp.float64
+
+
+class _Config:
+    """Mutable runtime config (dtype of the batched device kernels)."""
+
+    def __init__(self):
+        self.compute_dtype = _initial_compute_dtype()
+        # Host dtype used for the object data model / converters.
+        self.host_dtype = np.float64
+
+    def set_compute_dtype(self, dtype) -> None:
+        self.compute_dtype = jnp.dtype(dtype)
+
+
+config = _Config()

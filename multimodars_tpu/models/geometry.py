@@ -1,0 +1,399 @@
+"""Geometry (ordered frame stack) and GeometryPair.
+
+Parity: ``src/types/native/geometry.rs``, ``src/types/binding/py_geometry.rs``
+and ``py_geometry_pair.rs`` of the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .contour import PyContour, downsample_contour_points
+from .frame import PyFrame
+from .point import PyContourPoint, PyContourType, CONTOUR_TYPE_NAMES
+from .record import PyRecord
+
+
+class PyGeometry:
+    __slots__ = ("frames", "label")
+
+    def __init__(self, frames: List[PyFrame], label: str = "") -> None:
+        self.frames = list(frames)
+        self.label = str(label)
+
+    def copy(self) -> "PyGeometry":
+        return PyGeometry([f.copy() for f in self.frames], self.label)
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def __repr__(self) -> str:
+        return f"Geometry({len(self.frames)} frames, label='{self.label}')"
+
+    # -- lookups -----------------------------------------------------------
+    def find_proximal_end_idx(self) -> int:
+        """Parity: geometry.rs:42-60."""
+        n = len(self.frames)
+        if n == 0:
+            return 0
+        if n == 1:
+            return self.frames[0].lumen.id
+        if self.frames[0].lumen.original_frame > self.frames[-1].lumen.original_frame:
+            return self.frames[0].lumen.id
+        return self.frames[-1].lumen.id
+
+    def find_ref_frame_idx(self) -> Optional[int]:
+        """Index (frame.id) of the first frame carrying a reference point,
+        or None.  Parity: geometry.rs:62-69 (errs; we return None)."""
+        for frame in self.frames:
+            if frame.reference_point is not None:
+                return frame.id
+        return None
+
+    def ref_or_proximal_idx(self) -> int:
+        idx = self.find_ref_frame_idx()
+        return self.find_proximal_end_idx() if idx is None else idx
+
+    # -- structural ops ----------------------------------------------------
+    def reorder_frames(self, records: Sequence[PyRecord], diastole: bool) -> None:
+        """Reorder frames to follow the record sequence of the requested
+        phase, then renumber ids and restore each frame's original z.
+        Parity: geometry.rs:72-144."""
+        phase = "D" if diastole else "S"
+        filtered = [r.frame for r in records if r.phase == phase]
+
+        orig_z_map: Dict[int, float] = {}
+        for fr in self.frames:
+            orig = fr.lumen.original_frame
+            if fr.lumen.points and orig not in orig_z_map:
+                orig_z_map[orig] = fr.lumen.points[0].z
+
+        frame_map: Dict[int, PyFrame] = {
+            f.lumen.original_frame: f for f in self.frames
+        }
+
+        new_frames: List[PyFrame] = []
+        for orig_id in filtered:
+            frame = frame_map.pop(orig_id, None)
+            if frame is not None:
+                new_frames.append(frame)
+        remaining = sorted(frame_map.values(), key=lambda f: f.lumen.original_frame)
+        new_frames.extend(remaining)
+
+        for new_idx, frame in enumerate(new_frames):
+            orig = frame.lumen.original_frame
+            z_value = orig_z_map.get(orig, float(new_idx))
+            frame.id = new_idx
+            for contour in [frame.lumen, *frame.extras.values()]:
+                contour.id = new_idx
+                for p in contour.points:
+                    p.frame_index = new_idx
+                    p.z = z_value
+                if contour.centroid is not None:
+                    contour.centroid = (contour.centroid[0], contour.centroid[1], z_value)
+            if frame.reference_point is not None:
+                frame.reference_point.z = z_value
+            frame.centroid = (frame.centroid[0], frame.centroid[1], z_value)
+
+        self.frames = new_frames
+
+    def smooth_frames(self) -> "PyGeometry":
+        """Three-frame moving average of x/y per point index on lumen, Eem and
+        Wall contours (mirror boundary).  Parity: geometry.rs:165-239."""
+        out_frames: List[PyFrame] = []
+        n = len(self.frames)
+        for i in range(n):
+            current = self.frames[i].copy()
+            prev = self.frames[i - 1] if i > 0 else self.frames[i]
+            nxt = self.frames[i + 1] if i < n - 1 else self.frames[i]
+
+            def smooth_contour(cur: PyContour, pre: PyContour, nex: PyContour) -> PyContour:
+                m = len(cur.points)
+                new = cur.copy()
+                for j in range(m):
+                    cp, pp, np_ = cur.points[j], pre.points[j], nex.points[j]
+                    q = new.points[j]
+                    q.x = (pp.x + cp.x + np_.x) / 3.0
+                    q.y = (pp.y + cp.y + np_.y) / 3.0
+                new.compute_centroid()
+                return new
+
+            current.lumen = smooth_contour(current.lumen, prev.lumen, nxt.lumen)
+            for kind in ("Eem", "Wall"):
+                if kind in current.extras and kind in prev.extras and kind in nxt.extras:
+                    current.extras[kind] = smooth_contour(
+                        current.extras[kind], prev.extras[kind], nxt.extras[kind]
+                    )
+            out_frames.append(current)
+        return PyGeometry(out_frames, self.label)
+
+    def rotate_geometry(self, angle_rad: float) -> None:
+        """Rotate every frame about its own centroid and re-sort points CCW.
+        Parity: geometry.rs:241-250."""
+        if angle_rad == 0.0:
+            return
+        for frame in self.frames:
+            frame.rotate_inplace(angle_rad, (frame.centroid[0], frame.centroid[1]))
+            frame.sort_frame_points_inplace()
+
+    def sort_frame_points_by_z(self) -> None:
+        """Roll every contour's point list so frame 0's highest-z lumen point
+        lands at index 0; reassign point_index.  Parity: geometry.rs:257-276."""
+        if not self.frames:
+            return
+        lumen_pts = self.frames[0].lumen.points
+        if not lumen_pts:
+            return
+        zs = np.array([p.z for p in lumen_pts])
+        shift = len(zs) - 1 - int(np.argmax(zs[::-1]))  # Rust max_by: last max
+        for frame in self.frames:
+            frame.lumen.rotate_and_reindex(shift)
+            for contour in frame.extras.values():
+                contour.rotate_and_reindex(shift)
+
+    def translate_geometry(self, translation: Tuple[float, float, float]) -> None:
+        dx, dy, dz = translation
+        for frame in self.frames:
+            frame.translate_inplace(dx, dy, dz)
+
+    def insert_frame(self, frame: PyFrame, idx: Optional[int] = None) -> None:
+        """Insert at ``idx`` (or z-ordered position) and renumber ids.
+        Parity: geometry.rs:285-319."""
+        if idx is not None:
+            pos = idx
+        else:
+            z = frame.centroid[2]
+            pos = next(
+                (i for i, f in enumerate(self.frames) if f.centroid[2] > z),
+                len(self.frames),
+            )
+        self.frames.insert(pos, frame)
+        for new_id, fr in enumerate(self.frames):
+            fr.id = new_id
+            for contour in [fr.lumen, *fr.extras.values()]:
+                contour.id = new_id
+                for p in contour.points:
+                    p.frame_index = new_id
+            if fr.reference_point is not None:
+                fr.reference_point.frame_index = new_id
+
+    def ensure_proximal_at_position_zero(self) -> None:
+        """Reverse so the proximal end sits at index 0, then reassign sorted
+        z-values and sequential ids.  Parity: geometry.rs:325-381."""
+        n = len(self.frames)
+        if n == 0:
+            return
+        proximal_idx = min(self.find_proximal_end_idx(), n - 1)
+        if proximal_idx != 0:
+            self.frames = list(reversed(self.frames))
+
+        zs = sorted(f.centroid[2] for f in self.frames)
+        next_contour_id = 0
+        for idx, frame in enumerate(self.frames):
+            frame.id = idx
+            assigned_z = zs[idx] if idx < len(zs) else frame.centroid[2]
+            frame.centroid = (frame.centroid[0], frame.centroid[1], assigned_z)
+
+            frame.lumen.id = next_contour_id
+            next_contour_id += 1
+            for p in frame.lumen.points:
+                p.z = assigned_z
+            if frame.lumen.centroid is not None:
+                c = frame.lumen.centroid
+                frame.lumen.centroid = (c[0], c[1], assigned_z)
+
+            for contour in frame.extras.values():
+                contour.id = next_contour_id
+                next_contour_id += 1
+                for p in contour.points:
+                    p.z = assigned_z
+                if contour.centroid is not None:
+                    c = contour.centroid
+                    contour.centroid = (c[0], c[1], assigned_z)
+
+            if frame.reference_point is not None:
+                frame.reference_point.z = assigned_z
+
+    def center_to_contour_inplace(self, contour_type) -> None:
+        """Translate all frames so the chosen contour type's centroids stack
+        over frame 0's.  Parity: geometry.rs:383-441."""
+        if not self.frames:
+            return
+        name = contour_type.name if isinstance(contour_type, PyContourType) else str(contour_type)
+
+        def centroid_of(frame: PyFrame):
+            if name == "Lumen":
+                frame.lumen.compute_centroid()
+                return frame.lumen.centroid
+            contour = frame.extras.get(name)
+            if contour is not None:
+                contour.compute_centroid()
+                return contour.centroid
+            return frame.centroid
+
+        reference_centroid = centroid_of(self.frames[0])
+        for frame in self.frames[1:]:
+            current = centroid_of(frame)
+            frame.translate_inplace(
+                reference_centroid[0] - current[0],
+                reference_centroid[1] - current[1],
+                0.0,
+            )
+
+    # -- Python API surface ------------------------------------------------
+    def get_contours_by_type(self, contour_type: str) -> List[PyContour]:
+        if contour_type not in CONTOUR_TYPE_NAMES:
+            return []
+        if contour_type == "Lumen":
+            return [f.lumen.copy() for f in self.frames]
+        return [
+            f.extras[contour_type].copy()
+            for f in self.frames
+            if contour_type in f.extras
+        ]
+
+    def get_lumen_contours(self) -> List[PyContour]:
+        return [f.lumen.copy() for f in self.frames]
+
+    def get_contours(self, contour_type: str) -> List[PyContour]:
+        return self.get_contours_by_type(contour_type)
+
+    def rotate(self, angle_deg: float) -> "PyGeometry":
+        out = self.copy()
+        out.rotate_geometry(math.radians(angle_deg))
+        return out
+
+    def translate(self, dx: float, dy: float, dz: float) -> "PyGeometry":
+        out = self.copy()
+        out.translate_geometry((dx, dy, dz))
+        return out
+
+    def sort_frame_points(self) -> "PyGeometry":
+        out = self.copy()
+        out.sort_frame_points_by_z()
+        return out
+
+    def get_summary(self) -> Tuple[float, float, float]:
+        """(minimal lumen area, max stenosis fraction, stenosis length mm).
+        Parity: py_geometry.rs:190-253."""
+        if not self.frames:
+            return (0.0, 0.0, 0.0)
+        areas = [f.lumen.get_area() for f in self.frames]
+        biggest = max(areas)
+        mla = min(areas)
+        max_stenosis = 1.0 - (mla / biggest) if biggest > 0.0 else 0.0
+
+        all_elliptic = all(f.lumen.get_elliptic_ratio() < 1.3 for f in self.frames)
+        threshold = (0.70 if all_elliptic else 0.50) * biggest
+
+        centroids = [f.centroid for f in self.frames]
+        longest_mm = 0.0
+        i = 0
+        while i < len(areas):
+            if areas[i] < threshold:
+                start = i
+                end = i
+                while end + 1 < len(areas) and areas[end + 1] < threshold:
+                    end += 1
+                run_len = 0.0
+                for k in range(start, end):
+                    a, b = centroids[k], centroids[k + 1]
+                    run_len += math.sqrt(
+                        (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2
+                    )
+                longest_mm = max(longest_mm, run_len)
+                i = end + 1
+            else:
+                i += 1
+        return (mla, max_stenosis, longest_mm)
+
+    def center_to_contour(self, contour_type) -> "PyGeometry":
+        out = self.copy()
+        out.center_to_contour_inplace(contour_type)
+        return out
+
+    def get_frame_at_z(self, z: float) -> PyFrame:
+        if not self.frames:
+            raise ValueError("geometry contains no frames")
+        return min(self.frames, key=lambda f: abs(f.centroid[2] - z)).copy()
+
+    def get_frame_at_index(self, index: int) -> PyFrame:
+        if index < 0 or index >= len(self.frames):
+            raise IndexError(
+                f"index {index} out of range for geometry with {len(self.frames)} frames"
+            )
+        return self.frames[index].copy()
+
+    def replace_frame(self, index: int, frame: PyFrame) -> "PyGeometry":
+        if index < 0 or index >= len(self.frames):
+            raise IndexError(
+                f"index {index} is out of range for geometry with {len(self.frames)} frames"
+            )
+        new_frames = [f.copy() for f in self.frames]
+        new_frames[index] = frame
+        return PyGeometry(new_frames, self.label)
+
+    def downsample(self, n_points: int) -> "PyGeometry":
+        """Evenly-strided downsample of every contour except the Catheter.
+        Parity: py_geometry.rs:394-433."""
+
+        def ds(contour: PyContour) -> PyContour:
+            out = contour.copy()
+            out.points = [p.copy() for p in downsample_contour_points(contour.points, n_points)]
+            return out
+
+        new_frames = []
+        for frame in self.frames:
+            nf = frame.copy()
+            nf.lumen = ds(frame.lumen)
+            nf.extras = {
+                k: (v.copy() if k == "Catheter" else ds(v))
+                for k, v in frame.extras.items()
+            }
+            new_frames.append(nf)
+        return PyGeometry(new_frames, self.label)
+
+
+class PyGeometryPair:
+    __slots__ = ("geom_a", "geom_b", "label")
+
+    def __init__(self, geom_a: PyGeometry, geom_b: PyGeometry, label: str = "") -> None:
+        self.geom_a = geom_a
+        self.geom_b = geom_b
+        self.label = str(label)
+
+    def copy(self) -> "PyGeometryPair":
+        return PyGeometryPair(self.geom_a.copy(), self.geom_b.copy(), self.label)
+
+    def __repr__(self) -> str:
+        return (
+            f"GeometryPair {self.label} (diastolic: {len(self.geom_a.frames)} "
+            f"frames, systolic: {len(self.geom_b.frames)} frames)"
+        )
+
+    def get_summary(self):
+        """((summary_a, summary_b), per-frame deformation table).  Columns:
+        [id, area_dia, ellip_dia, area_sys, ellip_sys, z].
+        Parity: py_geometry_pair.rs:70-199 (table printing omitted to keep
+        stdout clean; the returned matrix is identical)."""
+        dia = self.geom_a.get_summary()
+        sys_ = self.geom_b.get_summary()
+        dia_lumen = self.geom_a.get_lumen_contours()
+        sys_lumen = self.geom_b.get_lumen_contours()
+        mat = []
+        for i, c in enumerate(dia_lumen):
+            s = sys_lumen[i] if i < len(sys_lumen) else c
+            mat.append(
+                [
+                    float(c.id),
+                    c.get_area(),
+                    c.get_elliptic_ratio(),
+                    s.get_area(),
+                    s.get_elliptic_ratio(),
+                    c.centroid[2],
+                ]
+            )
+        return ((dia, sys_), mat)

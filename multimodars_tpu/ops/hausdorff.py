@@ -1,0 +1,45 @@
+"""Masked Hausdorff distance as fused pairwise-distance reductions.
+
+Reference semantics (process_utils.rs:78-121):
+
+- 2-D only (x, y), even for 3-D points
+- ``hausdorff = max(directed(a, b), directed(b, a))``
+- directed = max over a of (min over b of squared distance), sqrt at the end
+- either set empty -> 0.0
+
+On TPU the [N, M] distance tile plus its min/max reductions fuse into a
+single VPU loop; masks use +/-inf sentinels so padded slots can never win.
+Monotonicity of sqrt lets every argmin/compare run on squared distances.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def hausdorff_sq_masked(p, q, pmask, qmask):
+    """Squared symmetric Hausdorff between point sets with validity masks.
+
+    p: [..., N, 2], q: [..., M, 2]; pmask: [..., N], qmask: [..., M].
+    Returns [...] squared distances (0 where either set is empty).
+    """
+    dx = p[..., :, None, 0] - q[..., None, :, 0]
+    dy = p[..., :, None, 1] - q[..., None, :, 1]
+    d2 = dx * dx + dy * dy  # [..., N, M]
+
+    inf = jnp.asarray(jnp.inf, d2.dtype)
+    # forward: for each valid p_i, min over valid q_j; then max over valid i
+    min_over_q = jnp.where(qmask[..., None, :], d2, inf).min(axis=-1)
+    fwd = jnp.where(pmask, min_over_q, -inf).max(axis=-1)
+    # backward
+    min_over_p = jnp.where(pmask[..., :, None], d2, inf).min(axis=-2)
+    bwd = jnp.where(qmask, min_over_p, -inf).max(axis=-1)
+
+    h = jnp.maximum(fwd, bwd)
+    empty = (~pmask.any(axis=-1)) | (~qmask.any(axis=-1))
+    return jnp.where(empty, jnp.zeros_like(h), h)
+
+
+def hausdorff_distance_masked(p, q, pmask, qmask):
+    """Symmetric Hausdorff distance (sqrt of :func:`hausdorff_sq_masked`)."""
+    return jnp.sqrt(hausdorff_sq_masked(p, q, pmask, qmask))

@@ -1,0 +1,183 @@
+"""Batched rotation search: the reference's ``search_range`` +
+``find_best_rotation`` multi-resolution ladder, re-expressed as static-shape
+vmapped grid sweeps.
+
+Reference semantics (process_utils.rs:33-75, align_within.rs:193-247):
+
+- grid = ``start + i*step`` for i = 0..=ceil((stop-start)/step), kept while
+  <= stop, each normalised to (-pi, pi]
+- start/stop clamp the center +/- range to +/-limes
+- argmin with first-wins tie-breaking; degenerate grid -> center
+- ladder: coarse 1 deg full-range, then 0.1 deg within +/-5 deg, then
+  0.01 deg within +/-0.1 deg, then the user step within +/-10*step —
+  stages chosen statically from the user step
+
+TPU mapping: the frame axis and the angle axis are both embarrassingly
+parallel; each (frame, angle) candidate evaluates one masked Hausdorff over
+an [N, M] tile.  Angles are swept with ``lax.map`` so only one [F, N, M]
+intermediate is live at a time and XLA fuses the rotate + distance + min/max
+chain into a single VPU loop per tile.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .hausdorff import hausdorff_sq_masked
+
+TWO_PI = 2.0 * math.pi
+
+
+def _normalize_angle(a):
+    """((a + pi) rem_euclid 2pi) - pi, mapping to (-pi, pi]."""
+    return jnp.mod(a + math.pi, TWO_PI) - math.pi
+
+
+def rotation_cost_table(test, ref, test_mask, ref_mask, angles, angles_valid):
+    """Squared-Hausdorff cost of rotating each frame's centered test set by
+    each candidate angle against its centered reference set.
+
+    test:  [F, N, 2] (centered on the rotation pivot)
+    ref:   [F, M, 2] (centered on the same pivot)
+    angles:[F, K]; angles_valid: [F, K]
+    Returns costs [F, K] with +inf at invalid slots.
+    """
+    K = angles.shape[1]
+
+    def cost_for_angle(k):
+        th = angles[:, k]  # [F]
+        c = jnp.cos(th)[:, None]
+        s = jnp.sin(th)[:, None]
+        tx = test[..., 0] * c - test[..., 1] * s  # [F, N]
+        ty = test[..., 0] * s + test[..., 1] * c
+        rotated = jnp.stack([tx, ty], axis=-1)
+        # reference is (ref, rotated-test): hausdorff is symmetric anyway
+        return hausdorff_sq_masked(rotated, ref, test_mask, ref_mask)  # [F]
+
+    costs = lax.map(cost_for_angle, jnp.arange(K))  # [K, F]
+    costs = costs.T
+    inf = jnp.asarray(jnp.inf, costs.dtype)
+    return jnp.where(angles_valid, costs, inf)
+
+
+def candidate_angles(centers, step_deg: float, range_deg: float, limes_deg: float):
+    """Static-shape candidate grid per frame: angles [F, K] + validity mask.
+
+    Mirrors search_range's dynamic grid exactly: the static K bounds the
+    worst case (no clamping); the validity mask reproduces the take_while
+    and clamping behaviour per frame.
+    """
+    step = math.radians(step_deg)
+    rng = math.radians(range_deg)
+    limes = math.radians(limes_deg)
+    K = int(math.ceil(2.0 * rng / step)) + 2 if step > 0 else 1
+
+    start = jnp.maximum(centers - rng, -limes)  # [F]
+    stop = jnp.minimum(centers + rng, limes)
+    span_ok = stop > start
+    steps = jnp.maximum(jnp.ceil((stop - start) / step), 1.0)  # [F]
+
+    i = jnp.arange(K, dtype=centers.dtype)
+    raw = start[:, None] + i[None, :] * step  # [F, K]
+    valid = (
+        (i[None, :] <= steps[:, None])
+        & (raw <= stop[:, None])
+        & span_ok[:, None]
+    )
+    return _normalize_angle(raw), valid
+
+
+def search_range_batched(
+    test,
+    ref,
+    test_mask,
+    ref_mask,
+    step_deg: float,
+    range_deg: float,
+    centers,
+    limes_deg: float,
+):
+    """One ``search_range`` stage vmapped over the frame axis.
+
+    Returns the best angle per frame (first-wins argmin), falling back to
+    the center where the grid is degenerate.  Parity:
+    process_utils.rs:33-75.
+    """
+    if step_deg <= 0.0:
+        return centers
+    angles, valid = candidate_angles(centers, step_deg, range_deg, limes_deg)
+    costs = rotation_cost_table(test, ref, test_mask, ref_mask, angles, valid)
+    best_k = jnp.argmin(costs, axis=1)  # first occurrence wins, like the
+    # sequential reduce with a strictly-less comparison
+    best = jnp.take_along_axis(angles, best_k[:, None], axis=1)[:, 0]
+    any_valid = valid.any(axis=1)
+    return jnp.where(any_valid, best, centers)
+
+
+def ladder_stages(step_deg: float, range_deg: float):
+    """Static stage list (step, range, centered_on_previous) reproducing
+    find_best_rotation's match arms (align_within.rs:208-246)."""
+    if step_deg >= 1.0:
+        return [(step_deg, range_deg, False)]
+    if 0.1 <= step_deg < 1.0:
+        return [
+            (1.0, range_deg, False),
+            (step_deg, min(range_deg, 5.0), True),
+        ]
+    if 0.01 <= step_deg < 0.1:
+        return [
+            (1.0, range_deg, False),
+            (0.1, min(range_deg, 5.0), True),
+            (step_deg, min(range_deg, 10.0 * step_deg), True),
+        ]
+    return [
+        (1.0, range_deg, False),
+        (0.1, min(range_deg, 5.0), True),
+        (0.01, min(range_deg, 0.1), True),
+        (step_deg, min(range_deg, 10.0 * step_deg), True),
+    ]
+
+
+@partial(jax.jit, static_argnames=("step_deg", "range_deg", "bruteforce"))
+def multires_rotation_search(
+    test,
+    ref,
+    test_mask,
+    ref_mask,
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool = False,
+):
+    """Best rotation per frame pair: full ladder (or single brute-force
+    sweep), all stages batched over the frame axis.
+
+    test/ref: [F, N|M, 2] centered point sets; masks [F, N|M].
+    Returns [F] best angles in radians.
+    """
+    dtype = test.dtype
+    F = test.shape[0]
+    centers = jnp.zeros((F,), dtype=dtype)
+    if bruteforce:
+        return search_range_batched(
+            test, ref, test_mask, ref_mask, step_deg, range_deg, centers, range_deg
+        )
+    best = centers
+    for stage_step, stage_range, centered in ladder_stages(step_deg, range_deg):
+        stage_centers = best if centered else centers
+        best = search_range_batched(
+            test,
+            ref,
+            test_mask,
+            ref_mask,
+            stage_step,
+            stage_range,
+            stage_centers,
+            range_deg,
+        )
+    return best

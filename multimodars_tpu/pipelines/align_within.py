@@ -1,0 +1,453 @@
+"""Intra-pullback frame alignment — the hot path.
+
+Parity: ``src/intravascular/processing/align_within.rs`` of the reference.
+
+TPU-first reformulation
+-----------------------
+The reference walks the frame chain sequentially: frame i is rotated by the
+cumulative rotation, translated onto frame i-1's centroid, then a
+multi-resolution search finds the relative rotation delta_i minimising the
+Hausdorff distance to the *aligned* frame i-1 (align_within.rs:72-123).
+
+Because rotations are rigid, the Hausdorff cost of rotating the centered
+test set by (phi_{i-1} + delta) against the centered reference set rotated
+by phi_{i-1} equals the cost of rotating the *original* centered test set by
+delta against the *original* centered reference set — applying the inverse
+rotation R(-phi_{i-1}) to both sets leaves all pairwise distances unchanged.
+The chain therefore factorises into F-1 independent relative-rotation
+searches (vmapped over frames x angles on the TPU) composed by a cumulative
+sum: phi_i = sum_{k<=i} delta_k.  This removes the only sequential
+dependency of the reference's hot loop while computing the same optima.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..models.contour import PyContour, downsample_contour_points
+from ..models.frame import PyFrame
+from ..models.geometry import PyGeometry
+from ..models.point import PyContourPoint
+from ..ops.rotation_search import multires_rotation_search
+from ..utils.logs import AlignLog, dump_table
+from . import wall
+
+
+# ---------------------------------------------------------------------------
+# point-set extraction
+# ---------------------------------------------------------------------------
+
+def _frame_alignment_points(
+    frame: PyFrame, sample_size_lumen: int, sample_size_catheter: Optional[int]
+) -> np.ndarray:
+    """Downsampled lumen (+ proportionally downsampled catheter) points of a
+    frame, as (n, 2) xy.  Parity: catheter_lumen_vec_from_frames
+    (align_within.rs:173-191)."""
+    pts = downsample_contour_points(frame.lumen.points, sample_size_lumen)
+    if sample_size_catheter is not None:
+        catheter = frame.extras.get("Catheter")
+        if catheter is not None:
+            pts = pts + downsample_contour_points(catheter.points, sample_size_catheter)
+    out = np.empty((len(pts), 2), dtype=np.float64)
+    for i, p in enumerate(pts):
+        out[i, 0] = p.x
+        out[i, 1] = p.y
+    return out
+
+
+def _pack_centered_sets(
+    geometry: PyGeometry, sample_size: int, sample_size_catheter: Optional[int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """[F, S, 2] centered point sets + [F, S] masks (padded)."""
+    sets = []
+    for frame in geometry.frames:
+        xy = _frame_alignment_points(frame, sample_size, sample_size_catheter)
+        xy = xy - np.array([frame.centroid[0], frame.centroid[1]])
+        sets.append(xy)
+    S = max(s.shape[0] for s in sets)
+    F = len(sets)
+    pts = np.zeros((F, S, 2), dtype=np.float64)
+    mask = np.zeros((F, S), dtype=bool)
+    for i, s in enumerate(sets):
+        n = s.shape[0]
+        pts[i, :n] = s
+        mask[i, :n] = True
+    return pts, mask
+
+
+def relative_rotations(
+    geometry: PyGeometry,
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool,
+    sample_size: int,
+    sample_size_catheter: Optional[int],
+) -> np.ndarray:
+    """Per-consecutive-pair optimal relative rotations [F-1] (radians),
+    computed as one batched device sweep."""
+    pts, mask = _pack_centered_sets(geometry, sample_size, sample_size_catheter)
+    dtype = config.compute_dtype
+    test = jnp.asarray(pts[1:], dtype=dtype)
+    ref = jnp.asarray(pts[:-1], dtype=dtype)
+    tmask = jnp.asarray(mask[1:])
+    rmask = jnp.asarray(mask[:-1])
+    delta = multires_rotation_search(
+        test, ref, tmask, rmask, float(step_deg), float(range_deg), bool(bruteforce)
+    )
+    return np.asarray(delta, dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# hole filling (host-side data repair)
+# ---------------------------------------------------------------------------
+
+def _median(values: List[float]) -> float:
+    if not values:
+        return 0.0
+    s = sorted(values)
+    n = len(s)
+    if n % 2 == 1:
+        return s[n // 2]
+    return (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def detect_holes(geometry: PyGeometry) -> Tuple[bool, float]:
+    """(has_hole, baseline median spacing).  Parity: align_within.rs:348-370."""
+    z_diffs = [
+        abs(geometry.frames[i].centroid[2] - geometry.frames[i - 1].centroid[2])
+        for i in range(1, len(geometry.frames))
+    ]
+    if not z_diffs:
+        return False, 0.0
+    baseline = _median(list(z_diffs))
+    if baseline <= np.finfo(np.float64).eps:
+        return False, baseline
+    return any(d >= 1.5 * baseline for d in z_diffs), baseline
+
+
+def _avg_opt(a, b):
+    if a is not None and b is not None:
+        return (a + b) / 2.0
+    return a if a is not None else b
+
+
+def _interp_opt(a, b, t):
+    if a is not None and b is not None:
+        return a + (b - a) * t
+    return a if a is not None else b
+
+
+def _interp_contour(c1: PyContour, c2: PyContour, t: float, id_: int, original_frame: int) -> PyContour:
+    n = min(len(c1.points), len(c2.points))
+    points = []
+    for i in range(n):
+        p1, p2 = c1.points[i], c2.points[i]
+        points.append(
+            PyContourPoint(
+                original_frame,
+                i,
+                p1.x + (p2.x - p1.x) * t,
+                p1.y + (p2.y - p1.y) * t,
+                p1.z + (p2.z - p1.z) * t,
+                p1.aortic or p2.aortic,
+            )
+        )
+    if c1.centroid is not None and c2.centroid is not None:
+        centroid = tuple(
+            c1.centroid[k] + (c2.centroid[k] - c1.centroid[k]) * t for k in range(3)
+        )
+    else:
+        centroid = c1.centroid if c1.centroid is not None else c2.centroid
+    return PyContour(
+        id_,
+        original_frame,
+        points,
+        centroid if centroid is not None else (0.0, 0.0, 0.0),
+        _interp_opt(c1.aortic_thickness, c2.aortic_thickness, t),
+        _interp_opt(c1.pulmonary_thickness, c2.pulmonary_thickness, t),
+        c1.kind,
+    )
+
+
+def _interp_extras(frame_1: PyFrame, frame_2: PyFrame, t: float, averager):
+    extras = {}
+    for key in list(frame_1.extras.keys()) + list(frame_2.extras.keys()):
+        if key in extras:
+            continue
+        c1 = frame_1.extras.get(key)
+        c2 = frame_2.extras.get(key)
+        if c1 is not None and c2 is not None:
+            extras[key] = averager(c1, c2)
+        elif c1 is not None:
+            extras[key] = c1.copy()
+        elif c2 is not None:
+            extras[key] = c2.copy()
+    return extras
+
+
+def fix_one_frame_hole(frame_1: PyFrame, frame_2: PyFrame) -> PyFrame:
+    """Averaged frame between two frames (align_within.rs:498-542)."""
+    centroid = tuple((frame_1.centroid[k] + frame_2.centroid[k]) / 2.0 for k in range(3))
+    lumen = _interp_contour(
+        frame_1.lumen, frame_2.lumen, 0.5, frame_2.lumen.id, frame_2.lumen.original_frame
+    )
+    # exact parity with avg_contour: thickness averaging uses avg_opt
+    lumen.aortic_thickness = _avg_opt(
+        frame_1.lumen.aortic_thickness, frame_2.lumen.aortic_thickness
+    )
+    lumen.pulmonary_thickness = _avg_opt(
+        frame_1.lumen.pulmonary_thickness, frame_2.lumen.pulmonary_thickness
+    )
+    extras = _interp_extras(
+        frame_1,
+        frame_2,
+        0.5,
+        lambda c1, c2: _interp_contour(c1, c2, 0.5, c2.id, c2.original_frame),
+    )
+    return PyFrame(frame_2.id, centroid, lumen, extras, None)
+
+
+def create_interpolated_frame(frame_1: PyFrame, frame_2: PyFrame, t: float) -> PyFrame:
+    """Lerped frame at parameter t (align_within.rs:597-645)."""
+    centroid = tuple(
+        frame_1.centroid[k] + (frame_2.centroid[k] - frame_1.centroid[k]) * t
+        for k in range(3)
+    )
+    lumen = _interp_contour(
+        frame_1.lumen, frame_2.lumen, t, frame_2.lumen.id, frame_2.lumen.original_frame
+    )
+    extras = _interp_extras(
+        frame_1, frame_2, t, lambda c1, c2: _interp_contour(c1, c2, t, c2.id, c2.original_frame)
+    )
+    rp1, rp2 = frame_1.reference_point, frame_2.reference_point
+    if rp1 is not None and rp2 is not None:
+        reference_point = PyContourPoint(
+            frame_2.id,
+            0,
+            rp1.x + (rp2.x - rp1.x) * t,
+            rp1.y + (rp2.y - rp1.y) * t,
+            rp1.z + (rp2.z - rp1.z) * t,
+            rp1.aortic or rp2.aortic,
+        )
+    elif rp1 is not None:
+        reference_point = rp1.copy()
+    elif rp2 is not None:
+        reference_point = rp2.copy()
+    else:
+        reference_point = None
+    return PyFrame(frame_2.id, centroid, lumen, extras, reference_point)
+
+
+def fill_holes(geometry: PyGeometry) -> PyGeometry:
+    """Insert averaged / interpolated frames for missing z-slices.
+    Parity: align_within.rs:378-449."""
+    hole, baseline = detect_holes(geometry)
+    if not hole:
+        return geometry.copy()
+    if baseline <= np.finfo(np.float64).eps:
+        raise ValueError("Baseline spacing is zero or too small to decide.")
+
+    geometry = geometry.copy()
+    print(
+        "⚠️\tHole detected! Attempting to fix using insert_frame "
+        f"(baseline spacing = {baseline:.3f})"
+    )
+    i = 1
+    while i < len(geometry.frames):
+        prev = geometry.frames[i - 1].copy()
+        curr = geometry.frames[i].copy()
+        diff = abs(curr.centroid[2] - prev.centroid[2])
+        ratio = diff / baseline
+        if ratio < 1.5:
+            i += 1
+        elif ratio < 2.5:
+            mid = fix_one_frame_hole(prev, curr)
+            geometry.insert_frame(mid, i)
+            i += 2
+        elif ratio < 3.5:
+            f1 = create_interpolated_frame(prev, curr, 1.0 / 3.0)
+            f2 = create_interpolated_frame(prev, curr, 2.0 / 3.0)
+            geometry.insert_frame(f1, i)
+            geometry.insert_frame(f2, i + 1)
+            i += 3
+        else:
+            missing = max(int(math.floor(ratio - 1.0)), 1)
+            if ratio >= 10.0:
+                print(
+                    f"🛑 WARNING: Very large gap (ratio {ratio:.3f}) — inserting "
+                    f"{missing} frames but geometry may not be realistic!"
+                )
+            elif ratio >= 5.0:
+                print(f"⚠️\tLarge gap (ratio {ratio:.3f}) — inserting {missing} frames")
+            for frame_idx in range(1, missing + 1):
+                t = frame_idx / (missing + 1)
+                geometry.insert_frame(
+                    create_interpolated_frame(prev, curr, t), i + frame_idx - 1
+                )
+            i += missing + 1
+    return geometry
+
+
+# ---------------------------------------------------------------------------
+# axis normalisation / classification
+# ---------------------------------------------------------------------------
+
+def is_anomalous_coronary(ref_frame: PyFrame) -> bool:
+    """Parity: align_within.rs:249-254 (threshold 2.0, not the clinical 1.3)."""
+    return (
+        ref_frame.lumen.get_elliptic_ratio() > 2.0
+        or ref_frame.lumen.aortic_thickness is not None
+        or ref_frame.lumen.pulmonary_thickness is not None
+    )
+
+
+def angle_ref_point_to_right(ref_frame: PyFrame, anomalous: bool) -> float:
+    """Rotation putting the reference point rightmost (non-anomalous: the
+    centroid->ref line horizontal; anomalous: the farthest-pair axis
+    vertical).  Parity: align_within.rs:256-317."""
+    ref_point = ref_frame.reference_point
+    if ref_point is None:
+        raise ValueError("No reference point found in frame")
+    if anomalous:
+        (p1, p2), _ = ref_frame.lumen.find_farthest_points()
+        p1c = (p1.x, p1.y, p1.z)
+        p2c = (p2.x, p2.y, p2.z)
+    else:
+        p1c = ref_frame.centroid
+        p2c = (ref_point.x, ref_point.y, ref_point.z)
+
+    line_angle = math.atan2(p2c[1] - p1c[1], p2c[0] - p1c[0])
+    desired = math.pi / 2.0 if anomalous else 0.0
+    rotation = (desired - line_angle) % (2.0 * math.pi)
+
+    def rotate2(pt, center, angle):
+        dx = pt[0] - center[0]
+        dy = pt[1] - center[1]
+        c = math.cos(angle)
+        s = math.sin(angle)
+        return (dx * c - dy * s + center[0], dx * s + dy * c + center[1])
+
+    center = (p1c[0], p1c[1])
+    ref_pt_2d = (ref_point.x, ref_point.y)
+    rotated_ref = rotate2(ref_pt_2d, center, rotation)
+    all_good = True
+    for op in ((p1c[0], p1c[1]), (p2c[0], p2c[1])):
+        if (
+            abs(op[0] - ref_pt_2d[0]) <= np.finfo(np.float64).eps
+            and abs(op[1] - ref_pt_2d[1]) <= np.finfo(np.float64).eps
+        ):
+            continue
+        r_op = rotate2(op, center, rotation)
+        if rotated_ref[0] <= r_op[0]:
+            all_good = False
+            break
+    if not all_good:
+        rotation = (rotation + math.pi) % (2.0 * math.pi)
+    return rotation
+
+
+def assign_aortic(geometry: PyGeometry) -> PyGeometry:
+    """Flag the second half of every lumen contour's points as aortic.
+    Parity: align_within.rs:319-331."""
+    out = geometry.copy()
+    for frame in out.frames:
+        n = len(frame.lumen.points)
+        if n == 0:
+            continue
+        half = n // 2
+        for i, p in enumerate(frame.lumen.points):
+            p.aortic = i >= half
+    return out
+
+
+# ---------------------------------------------------------------------------
+# main entry
+# ---------------------------------------------------------------------------
+
+def align_frames_in_geometry(
+    geometry: PyGeometry,
+    step_deg: float,
+    range_deg: float,
+    smooth: bool,
+    bruteforce: bool,
+    sample_size: int,
+    verbose: bool = True,
+) -> Tuple[PyGeometry, List[AlignLog], bool]:
+    """Align all frames of a pullback; returns (geometry, logs, anomalous).
+
+    Parity: ``align_frames_in_geometry`` (align_within.rs:24-171), with the
+    sequential chain replaced by the batched relative-rotation search (see
+    module docstring).
+    """
+    if not geometry.frames:
+        raise ValueError("Geometry contains no frames")
+    if not geometry.frames[0].lumen.points:
+        raise ValueError("Lumen contours have no points")
+    if sample_size == 0:
+        raise ValueError("sample_size must be > 0")
+
+    geometry = geometry.copy()
+    ref_idx = geometry.ref_or_proximal_idx()
+
+    sample_ratio = sample_size / len(geometry.frames[0].lumen.points)
+    catheter0 = geometry.frames[0].extras.get("Catheter")
+    sample_size_catheter = (
+        int(math.ceil(len(catheter0.points) * sample_ratio))
+        if catheter0 is not None
+        else None
+    )
+
+    logs: List[AlignLog] = []
+    if len(geometry.frames) > 1:
+        delta = relative_rotations(
+            geometry, step_deg, range_deg, bruteforce, sample_size, sample_size_catheter
+        )
+        cumulative = np.cumsum(delta)
+
+        c0 = geometry.frames[0].centroid
+        for i in range(1, len(geometry.frames)):
+            frame = geometry.frames[i]
+            ci = frame.centroid
+            frame.rotate_inplace(float(cumulative[i - 1]), (ci[0], ci[1]))
+            tx = c0[0] - ci[0]
+            ty = c0[1] - ci[1]
+            frame.translate_inplace(tx, ty, 0.0)
+            logs.append(
+                AlignLog(
+                    contour_id=frame.id,
+                    matched_to=geometry.frames[i - 1].id,
+                    rot_deg=math.degrees(float(delta[i - 1])),
+                    tx=tx,
+                    ty=ty,
+                    centroid=(frame.centroid[0], frame.centroid[1]),
+                )
+            )
+
+    geometry = fill_holes(geometry)
+
+    anomalous = is_anomalous_coronary(geometry.frames[ref_idx])
+    additional_rotation = angle_ref_point_to_right(geometry.frames[ref_idx], anomalous)
+    geometry.rotate_geometry(additional_rotation)
+
+    final_geometry = assign_aortic(geometry) if anomalous else geometry
+
+    final_geometry = PyGeometry(
+        wall.create_wall_frames(final_geometry.frames, anomalous, False),
+        final_geometry.label,
+    )
+
+    if smooth:
+        final_geometry = final_geometry.smooth_frames()
+
+    if verbose:
+        title = (
+            f"✅ Finished aligning '{final_geometry.label}' (anomalous: {anomalous})"
+        )
+        dump_table(title, logs)
+
+    return final_geometry, logs, anomalous

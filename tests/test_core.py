@@ -1,0 +1,116 @@
+"""Core data-model tests mirroring the reference's tests/test_core.py and
+the Rust unit tests in contour.rs / geometry.rs."""
+
+import math
+
+import numpy as np
+import pytest
+
+from multimodars_tpu import PyContour, PyContourPoint, PyContourType
+
+
+def circle_contour(n=16, r=2.0, cx=0.0, cy=0.0, z=0.0):
+    pts = [
+        PyContourPoint(
+            0, i, cx + r * math.cos(2 * math.pi * i / n), cy + r * math.sin(2 * math.pi * i / n), z, False
+        )
+        for i in range(n)
+    ]
+    c = PyContour(0, 0, pts, (cx, cy, z), None, None, "Lumen")
+    c.compute_centroid()
+    return c
+
+
+def test_point_distance():
+    p1 = PyContourPoint(1, 0, 0.0, 0.0, 0.0, False)
+    p2 = PyContourPoint(1, 1, 3.0, 4.0, 0.0, False)
+    assert abs(p1.distance(p2) - 5.0) < 1e-12
+
+
+def test_point_rotate():
+    p = PyContourPoint(1, 0, 1.0, 0.0, 0.0, False)
+    r = p.rotate(math.pi / 2, (0.0, 0.0))
+    assert abs(r.x) < 1e-12 and abs(r.y - 1.0) < 1e-12
+
+
+def test_contour_centroid_and_area():
+    c = circle_contour(n=256, r=2.0)
+    assert np.allclose(c.centroid[:2], (0.0, 0.0), atol=1e-12)
+    # regular polygon area -> pi r^2 as n grows
+    assert abs(c.get_area() - math.pi * 4.0) < 0.01
+
+
+def test_square_area():
+    pts = [(0, 0), (2, 0), (2, 2), (0, 2)]
+    c = PyContour(
+        0, 0, [PyContourPoint(0, i, x, y, 0.0, False) for i, (x, y) in enumerate(pts)],
+        (1, 1, 0), None, None, "Lumen",
+    )
+    assert abs(c.get_area() - 4.0) < 1e-12
+
+
+def test_farthest_and_opposite():
+    c = circle_contour(n=64, r=3.0)
+    (_, _), dist = c.find_farthest_points()
+    assert abs(dist - 6.0) < 0.02
+    (_, _), min_d = c.find_closest_opposite()
+    assert abs(min_d - 6.0) < 0.05  # circle: all opposite chords equal
+    assert abs(c.get_elliptic_ratio() - 1.0) < 0.01
+
+
+def test_elliptic_ratio_of_ellipse():
+    n = 128
+    pts = [
+        PyContourPoint(
+            0, i, 4.0 * math.cos(2 * math.pi * i / n), 1.0 * math.sin(2 * math.pi * i / n), 0.0, False
+        )
+        for i in range(n)
+    ]
+    c = PyContour(0, 0, pts, (0, 0, 0), None, None, "Lumen")
+    c.compute_centroid()
+    assert c.get_elliptic_ratio() > 3.5
+
+
+def test_rotate_round_trip():
+    c = circle_contour(n=32, r=1.5, cx=2.0, cy=3.0)
+    r = c.rotate(37.0).rotate(-37.0)
+    np.testing.assert_allclose(r.xyz(), c.xyz(), atol=1e-12)
+
+
+def test_translate():
+    c = circle_contour()
+    t = c.translate(1.0, -2.0, 0.5)
+    np.testing.assert_allclose(t.xyz(), c.xyz() + np.array([1.0, -2.0, 0.5]), atol=1e-12)
+
+
+def test_sort_contour_points_highest_y_first():
+    c = circle_contour(n=16, r=2.0)
+    # scramble
+    import random
+
+    rng = random.Random(0)
+    rng.shuffle(c.points)
+    s = c.sort_contour_points()
+    ys = [p.y for p in s.points]
+    assert ys[0] == max(ys)
+    assert [p.point_index for p in s.points] == list(range(16))
+    # counterclockwise: consecutive angles increase (mod 2pi)
+    ang = np.unwrap([math.atan2(p.y, p.x) for p in s.points])
+    assert np.all(np.diff(ang) > 0) or np.all(np.diff(ang) < 0)
+
+
+def test_contour_type_enum():
+    assert PyContourType.Lumen.name == "Lumen"
+    assert PyContourType.from_string("calcification") is PyContourType.Calcification
+    assert len(PyContourType.all_types()) == 6
+    with pytest.raises(ValueError):
+        PyContourType.from_string("bogus")
+
+
+def test_downsample():
+    from multimodars_tpu.models import downsample_contour_points
+
+    pts = [PyContourPoint(0, i, float(i), 0, 0, False) for i in range(10)]
+    ds = downsample_contour_points(pts, 4)
+    assert [p.x for p in ds] == [0.0, 2.0, 5.0, 7.0]
+    assert len(downsample_contour_points(pts, 20)) == 10
