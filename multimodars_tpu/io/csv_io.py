@@ -1,0 +1,377 @@
+"""CSV contour/record readers and the ASCII VTP centerline parser.
+
+Parity: ``src/intravascular/io/input.rs`` of the reference.
+
+- contour CSVs are headerless rows ``frame, x, y, z`` with sniffed tab/comma
+  delimiters; malformed rows are skipped with a warning
+- record CSVs have headers and are matched by column name
+- VTP parsing accepts ASCII-format PolyData only and orders branches by
+  descending arc length (longest = branch 0)
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import os
+import sys
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..models.centerline import PyCenterline, PyCenterlinePoint
+from ..models.point import PyContourPoint
+from ..models.record import PyInputData, PyRecord
+
+RECORD_FILE_NAME = "combined_sorted_manual.csv"  # legacy AIVUS
+RECORD_FILE_NAME_ALT = "diastolic_systolic_records.csv"  # holOrama
+
+
+def _resolve_record_path(directory: Path) -> Path:
+    primary = directory / RECORD_FILE_NAME
+    return primary if primary.exists() else directory / RECORD_FILE_NAME_ALT
+
+
+def _detect_delimiter(path) -> str:
+    with open(path, "r", errors="replace") as fh:
+        first_line = fh.readline()
+    return "\t" if first_line.count("\t") > first_line.count(",") else ","
+
+
+def read_contour_data(path) -> List[PyContourPoint]:
+    """Headerless ``frame, x, y, z`` rows; skips malformed rows.
+    Parity: input.rs:172-194."""
+    delim = _detect_delimiter(path)
+    points: List[PyContourPoint] = []
+    with open(path, "r", newline="") as fh:
+        for row in csv.reader(fh, delimiter=delim):
+            if not row:
+                continue
+            try:
+                frame = int(row[0])
+                x, y, z = float(row[1]), float(row[2]), float(row[3])
+                aortic = False
+                if len(row) > 4 and row[4].strip():
+                    aortic = row[4].strip().lower() in ("true", "1")
+                points.append(PyContourPoint(frame, 0, x, y, z, aortic))
+            except (ValueError, IndexError) as e:
+                print(f"Skipping invalid record: {e!r}", file=sys.stderr)
+    return points
+
+
+def read_reference_point(path) -> PyContourPoint:
+    """First row of a reference-point CSV.  Parity: input.rs:213-233."""
+    delim = _detect_delimiter(path)
+    with open(path, "r", newline="") as fh:
+        for row in csv.reader(fh, delimiter=delim):
+            if not row:
+                continue
+            return PyContourPoint(int(row[0]), 0, float(row[1]), float(row[2]), float(row[3]), False)
+    raise ValueError(f"reference-point file {path!r} was empty — this data is required")
+
+
+def _parse_opt_float(value: str) -> Optional[float]:
+    value = value.strip()
+    if not value:
+        return None
+    try:
+        return float(value)
+    except ValueError:
+        return None
+
+
+def read_records(path) -> List[PyRecord]:
+    """Header CSV matched by column name (frame/phase/measurement_1/_2).
+    Parity: input.rs:235-249."""
+    delim = _detect_delimiter(path)
+    records: List[PyRecord] = []
+    with open(path, "r", newline="") as fh:
+        for row in csv.DictReader(fh, delimiter=delim):
+            records.append(
+                PyRecord(
+                    int(row["frame"]),
+                    row["phase"].strip(),
+                    _parse_opt_float(row.get("measurement_1", "") or ""),
+                    _parse_opt_float(row.get("measurement_2", "") or ""),
+                )
+            )
+    return records
+
+
+def _read_optional_contour_file(directory: Path, prefix: str, phase: str, label: str):
+    p = directory / f"{prefix}_{phase}_contours.csv"
+    if not p.exists():
+        print(f"{label} file not found, skipping: {p}", file=sys.stderr)
+        return None
+    return read_contour_data(p)
+
+
+def _read_optional_records(path: Path):
+    if not path.exists():
+        return None
+    return read_records(path)
+
+
+def process_directory(
+    path,
+    names: Optional[Dict[str, str]] = None,
+    diastole: bool = True,
+    label: str = "",
+) -> PyInputData:
+    """Load an AIVUS-CAA measurement directory into a raw input bundle.
+    Parity: ``InputData::process_directory`` (input.rs:62-146).
+
+    ``names`` maps contour-type names to file prefixes; the default mirrors
+    build.rs:22-28 (lumen/eem/calcium/branch)."""
+    path = Path(path)
+    phase = "diastolic" if diastole else "systolic"
+    if names is None:
+        names = {
+            "Lumen": "lumen",
+            "Eem": "eem",
+            "Calcification": "calcium",
+            "Sidebranch": "branch",
+            "Catheter": "catheter",
+        }
+
+    contours_path = path / f"{phase}_contours.csv"
+    if not contours_path.exists():
+        raise FileNotFoundError(f"required contours file missing: {contours_path}")
+    lumen_points = read_contour_data(contours_path)
+
+    ref_path = path / f"{phase}_reference_points.csv"
+    if not ref_path.exists():
+        raise FileNotFoundError(f"required reference-point file missing: {ref_path}")
+    ref_point = read_reference_point(ref_path)
+
+    eem = calcification = sidebranch = record = None
+    for raw_name in names.values():
+        name = raw_name.strip().lower()
+        if name in ("", "lumen"):
+            continue
+        elif name in ("branch", "sidebranch"):
+            sidebranch = _read_optional_contour_file(path, "branch", phase, "sidebranch")
+        elif name in ("calcium", "calcification"):
+            calcification = _read_optional_contour_file(path, "calcium", phase, "calcification")
+        elif name in ("eem", "e_e_m"):
+            eem = _read_optional_contour_file(path, "eem", phase, "eem")
+        elif name in ("records", "record", "phases"):
+            record = _read_optional_records(_resolve_record_path(path))
+            if record is None:
+                print(f"records file not found, skipping: {_resolve_record_path(path)}", file=sys.stderr)
+        else:
+            print(f"process_directory: unknown mapping name '{name}', skipping", file=sys.stderr)
+
+    if record is None:
+        record = _read_optional_records(_resolve_record_path(path))
+
+    # InputData stores raw point lists on this internal class (the public
+    # PyInputData wraps them as single contours like py_input_data.rs:183-253)
+    return InputData(
+        lumen=lumen_points,
+        eem=eem,
+        calcification=calcification,
+        sidebranch=sidebranch,
+        record=record,
+        ref_point=ref_point,
+        diastole=diastole,
+        label=label,
+    )
+
+
+class InputData:
+    """Raw flattened input bundle (internal form; mirrors the Rust
+    ``InputData`` with Vec<ContourPoint> groups)."""
+
+    __slots__ = (
+        "lumen",
+        "eem",
+        "calcification",
+        "sidebranch",
+        "record",
+        "ref_point",
+        "diastole",
+        "label",
+    )
+
+    def __init__(
+        self,
+        lumen: List[PyContourPoint],
+        eem=None,
+        calcification=None,
+        sidebranch=None,
+        record: Optional[List[PyRecord]] = None,
+        ref_point: Optional[PyContourPoint] = None,
+        diastole: bool = True,
+        label: str = "",
+    ) -> None:
+        self.lumen = lumen
+        self.eem = eem
+        self.calcification = calcification
+        self.sidebranch = sidebranch
+        self.record = record
+        self.ref_point = ref_point
+        self.diastole = diastole
+        self.label = label
+
+    @staticmethod
+    def from_py_input_data(py_in: PyInputData) -> "InputData":
+        """Flatten list-of-PyContour groups into raw point lists.
+        Parity: py_input_data.rs:103-172."""
+        def flatten(group):
+            if group is None:
+                return None
+            out: List[PyContourPoint] = []
+            for contour in group:
+                out.extend(p.copy() for p in contour.points)
+            return out
+
+        return InputData(
+            lumen=flatten(py_in.lumen) or [],
+            eem=flatten(py_in.eem),
+            calcification=flatten(py_in.calcification),
+            sidebranch=flatten(py_in.sidebranch),
+            record=list(py_in.record) if py_in.record is not None else None,
+            ref_point=py_in.ref_point.copy() if py_in.ref_point is not None else None,
+            diastole=py_in.diastole,
+            label=py_in.label,
+        )
+
+
+# ---------------------------------------------------------------------------
+# VTP centerline parser
+# ---------------------------------------------------------------------------
+
+_BINARY_PROBE_BYTES = 512
+_MIN_TANGENT_NORM = 1e-12
+
+
+def _extract_section(xml: str, tag: str) -> str:
+    open_tag = f"<{tag}"
+    close_tag = f"</{tag}>"
+    start = xml.find(open_tag)
+    if start < 0:
+        raise ValueError(f"VTP: <{tag}> section not found")
+    rest = xml[start:]
+    end_rel = rest.find(close_tag)
+    if end_rel < 0:
+        raise ValueError(f"VTP: </{tag}> not found")
+    return rest[: end_rel + len(close_tag)]
+
+
+def _dataarray_text(section: str, name: str) -> str:
+    needle = f'Name="{name}"'
+    pos = section.find(needle)
+    if pos < 0:
+        raise ValueError(f'VTP: DataArray Name="{name}" not found')
+    da_start = section.rfind("<DataArray", 0, pos)
+    if da_start < 0:
+        raise ValueError(f'VTP: no <DataArray before Name="{name}"')
+    rest = section[da_start:]
+    tag_end = rest.find(">")
+    if tag_end < 0:
+        raise ValueError(f'VTP: unclosed <DataArray Name="{name}">')
+    inner = rest[tag_end + 1 :]
+    close_pos = inner.find("</DataArray>")
+    if close_pos < 0:
+        raise ValueError(f'VTP: no </DataArray> for Name="{name}"')
+    text = inner[:close_pos].strip()
+    text_end = text.find("<")
+    if text_end < 0:
+        text_end = len(text)
+    return text[:text_end].strip()
+
+
+def read_centerline_vtp(path) -> PyCenterline:
+    """ASCII VTP centerline parser: branches ordered by descending arc
+    length (longest = branch 0), forward-difference tangents, optional
+    MaximumInscribedSphereRadius.  Parity: input.rs:259-460."""
+    raw = Path(path).read_bytes()
+    if any(b < 0x09 or (0x0D < b < 0x20) for b in raw[:_BINARY_PROBE_BYTES]):
+        raise ValueError(
+            f"{path!r} appears to be a binary VTP file; only ASCII-format VTP "
+            "is supported. Re-export from your software with 'ASCII' data mode."
+        )
+    xml = raw.decode("utf-8")
+    for fmt in ('format="binary"', 'format="appended"'):
+        if fmt in xml:
+            raise ValueError(
+                f"{path!r}: binary-encoded DataArrays detected ({fmt}); only "
+                "ASCII format is supported. Re-export with 'ASCII' data mode."
+            )
+
+    pts_raw = np.array(
+        _dataarray_text(_extract_section(xml, "Points"), "Points").split(),
+        dtype=np.float64,
+    )
+    if pts_raw.size % 3 != 0:
+        raise ValueError(f"VTP: Points array length {pts_raw.size} not divisible by 3")
+    coords = pts_raw.reshape(-1, 3)
+    n_pts = coords.shape[0]
+
+    radii = np.zeros(n_pts)
+    try:
+        point_data = _extract_section(xml, "PointData")
+        r = np.array(
+            _dataarray_text(point_data, "MaximumInscribedSphereRadius").split(),
+            dtype=np.float64,
+        )
+        if r.size == n_pts:
+            radii = r
+    except ValueError:
+        pass
+
+    lines_sec = _extract_section(xml, "Lines")
+    connectivity = np.array(_dataarray_text(lines_sec, "connectivity").split(), dtype=np.int64)
+    offsets = np.array(_dataarray_text(lines_sec, "offsets").split(), dtype=np.int64)
+    if offsets.size == 0:
+        raise ValueError("VTP: Lines section is empty (no branches)")
+    if offsets[-1] != connectivity.size:
+        raise ValueError(
+            f"VTP: last offset ({offsets[-1]}) != connectivity length ({connectivity.size})"
+        )
+
+    starts = np.concatenate([[0], offsets])
+    vtk_branches = [
+        connectivity[starts[i] : offsets[i]] for i in range(offsets.size)
+    ]
+
+    def branch_arc_length(branch):
+        if branch.size < 2:
+            return 0.0
+        seg = coords[branch[1:]] - coords[branch[:-1]]
+        return float(np.sqrt((seg * seg).sum(-1)).sum())
+
+    lengths = [branch_arc_length(b) for b in vtk_branches]
+    order = sorted(range(len(vtk_branches)), key=lambda i: -lengths[i])
+
+    cl_points: List[PyCenterlinePoint] = []
+    branch_start_indices: List[int] = []
+    for branch_id, vtk_idx in enumerate(order):
+        branch_start_indices.append(len(cl_points))
+        branch = vtk_branches[vtk_idx]
+        for local_i, pt_idx in enumerate(branch):
+            if pt_idx >= n_pts:
+                raise ValueError(
+                    f"VTP: connectivity index {pt_idx} out of range ({n_pts} points)"
+                )
+            x, y, z = coords[pt_idx]
+            idx = len(cl_points)
+            if local_i + 1 < len(branch):
+                diff = coords[branch[local_i + 1]] - coords[pt_idx]
+                norm = float(np.linalg.norm(diff))
+                tangent = tuple(diff / norm) if norm > _MIN_TANGENT_NORM else (0.0, 0.0, 0.0)
+            elif local_i > 0:
+                tangent = cl_points[-1].tangent
+            else:
+                tangent = (0.0, 0.0, 0.0)
+            cl_points.append(
+                PyCenterlinePoint(
+                    PyContourPoint(idx, idx, float(x), float(y), float(z), False),
+                    tangent,
+                    branch_id,
+                    float(radii[pt_idx]),
+                )
+            )
+    return PyCenterline(cl_points, branch_start_indices)

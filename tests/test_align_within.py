@@ -99,3 +99,32 @@ def test_validation_errors(dummy_geom):
         align_frames_in_geometry(PyGeometry([], "x"), 1.0, 10.0, False, False, 10)
     with pytest.raises(ValueError):
         align_frames_in_geometry(dummy_geom, 1.0, 10.0, False, False, 0)
+
+
+FIXTURES_DIR = "/root/reference/data/fixtures"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(FIXTURES_DIR), reason="fixtures not mounted"
+)
+def test_idealized_geometry():
+    """Parity: align_within.rs test_idealized_geometry — recovers ±15 deg
+    rotations and ±0.01·idx translations on the shipped idealized fixture."""
+    from multimodars_tpu.io import build_geometry_from_inputdata
+
+    geometry = build_geometry_from_inputdata(
+        None, FIXTURES_DIR + "/idealized_geometry", "stress", True,
+        (4.5, 4.5), 0.5, 20, verbose=False,
+    )
+    geom, logs, anomalous = align_frames_in_geometry(
+        geometry, 0.01, 20.0, smooth=True, bruteforce=False, sample_size=200,
+        verbose=False,
+    )
+    assert geom.frames
+    assert anomalous
+    for log in logs:
+        assert abs(abs(log.rot_deg) - 15.0) < 1.0
+    for i, log in enumerate(logs):
+        idx = i + 1.0
+        assert abs(log.tx - (-0.01 * idx)) < 0.001
+        assert abs(log.ty - (0.01 * idx)) < 0.001

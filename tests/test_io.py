@@ -1,0 +1,130 @@
+"""I/O + geometry-builder golden tests mirroring build.rs io_tests and
+input.rs input_tests.  Fixture CSVs are read from the mounted reference
+checkout and skipped when absent."""
+
+import os
+from pathlib import Path
+
+import pytest
+
+from multimodars_tpu.io import (
+    build_geometry_from_inputdata,
+    read_centerline_vtp,
+    read_contour_data,
+)
+from multimodars_tpu.io.csv_io import InputData, process_directory
+from multimodars_tpu.models.point import PyContourPoint
+
+FIXTURES = Path("/root/reference/data/fixtures")
+EXAMPLES = Path("/root/reference/examples/data")
+
+needs_fixtures = pytest.mark.skipif(
+    not FIXTURES.exists(), reason="reference fixtures not mounted"
+)
+needs_examples = pytest.mark.skipif(
+    not EXAMPLES.exists(), reason="reference examples not mounted"
+)
+
+
+@needs_fixtures
+def test_process_directory_idealized():
+    input_data = process_directory(FIXTURES / "idealized_geometry", None, True, "")
+    assert input_data.lumen
+    assert input_data.eem is not None
+    assert input_data.calcification is not None
+    assert input_data.record is None
+    assert input_data.ref_point.x > 0.0
+
+
+@needs_fixtures
+def test_rest_directory_area_elliptic():
+    """Parity: build.rs test_rest_directory_area_elliptic (golden values)."""
+    geometry = build_geometry_from_inputdata(
+        None, FIXTURES / "ivus_rest", "full", True, (4.5, 4.5), 0.5, 20, verbose=False
+    )
+    lumen0 = geometry.frames[0].lumen
+    assert lumen0.original_frame == 385
+    assert abs(lumen0.get_area() - 5.42) < 0.1
+    (_, _), long_d = lumen0.find_farthest_points()
+    (_, _), short_d = lumen0.find_closest_opposite()
+    assert abs(long_d - 5.2) < 0.1
+    assert abs(short_d - 1.15) < 0.1
+    assert abs(lumen0.get_elliptic_ratio() - 4.52) < 0.1
+    assert lumen0.aortic_thickness == 0.96
+    assert lumen0.pulmonary_thickness == 1.68
+    assert geometry.frames[0].reference_point.frame_index == lumen0.original_frame
+
+
+@needs_fixtures
+def test_catheter_contour_properties():
+    geometry = build_geometry_from_inputdata(
+        None, FIXTURES / "ivus_rest", "test", True, (4.5, 4.5), 0.5, 20, verbose=False
+    )
+    for frame in geometry.frames:
+        catheter = frame.extras.get("Catheter")
+        assert catheter is not None
+        assert len(catheter.points) == 20
+        assert abs(catheter.centroid[2] - frame.lumen.centroid[2]) < 1e-6
+
+
+@needs_fixtures
+def test_full_directory_consistent_ids():
+    geometry = build_geometry_from_inputdata(
+        None, FIXTURES / "ivus_full", "full", True, (4.5, 4.5), 0.5, 20, verbose=False
+    )
+    assert geometry.frames
+    for i, frame in enumerate(geometry.frames):
+        assert frame.id == i
+        for kind in ("Eem", "Catheter"):
+            assert kind in frame.extras, f"frame {i} missing {kind}"
+            assert frame.extras[kind].id == frame.lumen.id
+            assert frame.extras[kind].original_frame == frame.lumen.original_frame
+
+
+def test_build_geometry_with_input_data():
+    pt = PyContourPoint(0, 0, 1.0, 2.0, 3.0, False)
+    input_data = InputData(
+        lumen=[pt],
+        eem=[pt.copy()],
+        ref_point=pt.copy(),
+        diastole=True,
+        label="test",
+    )
+    geometry = build_geometry_from_inputdata(
+        input_data, None, "test_label", True, (0.0, 0.0), 1.0, 10, verbose=False
+    )
+    assert geometry.frames
+    assert geometry.label == "test_label"
+
+
+def test_error_on_no_input():
+    with pytest.raises(ValueError, match="Either input_data or path"):
+        build_geometry_from_inputdata(None, None, "test", True, (0.0, 0.0), 1.0, 10)
+
+
+@needs_examples
+def test_read_centerline_vtp():
+    cl = read_centerline_vtp(EXAMPLES / "lca_cl.vtp")
+    assert len(cl.points) > 0
+    assert cl.branch_start_indices[0] == 0
+    # branch 0 must be the longest by arc length
+    import numpy as np
+
+    branches = cl._branches_as_lists()
+    def arc(b):
+        pos = np.array([[p.contour_point.x, p.contour_point.y, p.contour_point.z] for p in b])
+        return float(np.sqrt(((pos[1:] - pos[:-1]) ** 2).sum(-1)).sum()) if len(pos) > 1 else 0.0
+    lengths = [arc(b) for b in branches]
+    assert lengths[0] == max(lengths)
+    # tangents are unit where defined
+    t = cl.tangents()
+    import numpy as np
+    norms = np.linalg.norm(t, axis=1)
+    assert ((np.abs(norms - 1.0) < 1e-6) | (norms < 1e-9)).all()
+
+
+@needs_examples
+def test_read_contour_csv_tab_or_comma():
+    pts = read_contour_data(FIXTURES / "ivus_rest" / "diastolic_contours.csv")
+    assert pts
+    assert pts[0].frame_index == 347
