@@ -24,9 +24,32 @@ from .models import (
     PyDiscretizedVesselTree,
 )
 
+from ._processing import (
+    from_file_full,
+    from_file_doublepair,
+    from_file_singlepair,
+    from_file_single,
+    from_array_full,
+    from_array_doublepair,
+    from_array_singlepair,
+    from_array_single,
+    to_obj,
+    read_centerline_vtp,
+)
+from ._converters import (
+    to_array,
+    numpy_to_geometry,
+    numpy_to_centerline,
+    numpy_to_inputdata,
+    array_to_pyinputdata,
+    geometry_to_frames_array,
+    geometry_to_trimesh,
+)
+
 __version__ = "0.1.0"
 
 __all__ = [
+    # Core classes
     "PyContourPoint",
     "PyContour",
     "PyFrame",
@@ -38,4 +61,23 @@ __all__ = [
     "PyRecord",
     "PyContourType",
     "PyDiscretizedVesselTree",
+    # Converter functions
+    "to_array",
+    "numpy_to_geometry",
+    "numpy_to_centerline",
+    "numpy_to_inputdata",
+    "array_to_pyinputdata",
+    "geometry_to_frames_array",
+    "geometry_to_trimesh",
+    # Processing functions
+    "from_file_full",
+    "from_file_doublepair",
+    "from_file_singlepair",
+    "from_file_single",
+    "from_array_full",
+    "from_array_doublepair",
+    "from_array_singlepair",
+    "from_array_single",
+    "to_obj",
+    "read_centerline_vtp",
 ]

@@ -1,0 +1,428 @@
+"""Minimal triangle-mesh toolkit (trimesh-equivalent surface for this
+package).
+
+The reference leans on the ``trimesh`` library for mesh bookkeeping
+(loading, merging, connected components, winding repair, hole filling); that
+dependency is not available here, so this module provides a compact
+numpy-based implementation of exactly the operations the pipelines use.
+Heavy geometric kernels (ray casting, NN sweeps) live in
+:mod:`multimodars_tpu.ccta.kernels` as batched JAX ops.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections import defaultdict, deque
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+
+class Mesh:
+    """Triangle mesh: float64 vertices (V, 3) + int64 faces (F, 3)."""
+
+    def __init__(self, vertices, faces, process: bool = False):
+        self.vertices = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+        self.faces = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+        self._cache: Dict[str, object] = {}
+        if process:
+            self.merge_vertices()
+            self.remove_degenerate_faces()
+
+    # -- derived quantities -------------------------------------------------
+    def _invalidate(self) -> None:
+        self._cache.clear()
+
+    @property
+    def triangles(self) -> np.ndarray:
+        return self.vertices[self.faces]
+
+    @property
+    def triangles_center(self) -> np.ndarray:
+        return self.triangles.mean(axis=1)
+
+    @property
+    def face_normals(self) -> np.ndarray:
+        if "face_normals" not in self._cache:
+            t = self.triangles
+            n = np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
+            norm = np.linalg.norm(n, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                n = np.where(norm > 1e-300, n / norm, 0.0)
+            self._cache["face_normals"] = n
+        return self._cache["face_normals"]
+
+    @property
+    def vertex_normals(self) -> np.ndarray:
+        if "vertex_normals" not in self._cache:
+            vn = np.zeros_like(self.vertices)
+            fn = self.face_normals
+            for k in range(3):
+                np.add.at(vn, self.faces[:, k], fn)
+            norm = np.linalg.norm(vn, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                vn = np.where(norm > 1e-300, vn / norm, 0.0)
+            self._cache["vertex_normals"] = vn
+        return self._cache["vertex_normals"]
+
+    @property
+    def area_faces(self) -> np.ndarray:
+        t = self.triangles
+        return 0.5 * np.linalg.norm(
+            np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0]), axis=1
+        )
+
+    @property
+    def bounds(self) -> np.ndarray:
+        return np.stack([self.vertices.min(axis=0), self.vertices.max(axis=0)])
+
+    @property
+    def edges(self) -> np.ndarray:
+        f = self.faces
+        return np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+
+    @property
+    def edges_sorted(self) -> np.ndarray:
+        return np.sort(self.edges, axis=1)
+
+    @property
+    def is_watertight(self) -> bool:
+        """Every edge shared by exactly two faces."""
+        if len(self.faces) == 0:
+            return False
+        _, counts = np.unique(self.edges_sorted, axis=0, return_counts=True)
+        return bool((counts == 2).all())
+
+    def copy(self) -> "Mesh":
+        return Mesh(self.vertices.copy(), self.faces.copy())
+
+    def __repr__(self) -> str:
+        return f"Mesh(vertices={len(self.vertices)}, faces={len(self.faces)})"
+
+    # -- topology helpers ---------------------------------------------------
+    def vertex_adjacency(self) -> List[Set[int]]:
+        adj: List[Set[int]] = [set() for _ in range(len(self.vertices))]
+        for a, b in self.edges:
+            adj[a].add(int(b))
+            adj[b].add(int(a))
+        return adj
+
+    def vertex_faces_map(self) -> List[List[int]]:
+        vf: List[List[int]] = [[] for _ in range(len(self.vertices))]
+        for fi, face in enumerate(self.faces):
+            for v in face:
+                vf[v].append(fi)
+        return vf
+
+    def boundary_edges(self) -> np.ndarray:
+        """Edges referenced by exactly one face, as (n, 2) vertex pairs in
+        face winding order."""
+        es = self.edges_sorted
+        uniq, inverse, counts = np.unique(
+            es, axis=0, return_inverse=True, return_counts=True
+        )
+        boundary_mask = counts[inverse] == 1
+        return self.edges[boundary_mask]
+
+    def boundary_loops(self) -> List[List[int]]:
+        """Ordered closed vertex loops of the boundary."""
+        bedges = self.boundary_edges()
+        nxt: Dict[int, int] = {}
+        for a, b in bedges:
+            nxt[int(a)] = int(b)
+        loops: List[List[int]] = []
+        seen: Set[int] = set()
+        for start in list(nxt):
+            if start in seen:
+                continue
+            loop = [start]
+            seen.add(start)
+            cur = nxt.get(start)
+            while cur is not None and cur != start and cur not in seen:
+                loop.append(cur)
+                seen.add(cur)
+                cur = nxt.get(cur)
+            if cur == start and len(loop) >= 3:
+                loops.append(loop)
+        return loops
+
+    def connected_components(self, engine: str = "vertex") -> List[np.ndarray]:
+        """Vertex index arrays of connected components (by shared edges)."""
+        n = len(self.vertices)
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in self.edges_sorted:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups: Dict[int, List[int]] = defaultdict(list)
+        for v in range(n):
+            groups[find(v)].append(v)
+        return [np.array(g) for g in groups.values()]
+
+    def split_components(self) -> List["Mesh"]:
+        """Split into face-connected component meshes."""
+        comps = self.connected_components()
+        out = []
+        for comp in comps:
+            vset = np.zeros(len(self.vertices), dtype=bool)
+            vset[comp] = True
+            fmask = vset[self.faces].all(axis=1)
+            if not fmask.any():
+                continue
+            out.append(self.submesh_from_faces(np.nonzero(fmask)[0]))
+        return out
+
+    def submesh_from_faces(self, face_indices) -> "Mesh":
+        faces = self.faces[np.asarray(face_indices)]
+        used = np.unique(faces)
+        remap = np.full(len(self.vertices), -1, dtype=np.int64)
+        remap[used] = np.arange(len(used))
+        return Mesh(self.vertices[used], remap[faces])
+
+    # -- cleanup ------------------------------------------------------------
+    def merge_vertices(self, digits: int = 8) -> None:
+        """Merge vertices closer than 10^-digits (grid hashing, like
+        trimesh.merge_vertices)."""
+        if len(self.vertices) == 0:
+            return
+        rounded = np.round(self.vertices, digits)
+        uniq, inverse = np.unique(rounded, axis=0, return_inverse=True)
+        # keep first occurrence's original coordinates
+        first_idx = np.full(len(uniq), -1, dtype=np.int64)
+        for i in range(len(self.vertices) - 1, -1, -1):
+            first_idx[inverse[i]] = i
+        self.vertices = self.vertices[first_idx]
+        self.faces = inverse[self.faces]
+        self.remove_degenerate_faces()
+        self._invalidate()
+
+    def remove_degenerate_faces(self) -> None:
+        f = self.faces
+        ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+        self.faces = f[ok]
+        self._invalidate()
+
+    def remove_duplicate_faces(self) -> None:
+        key = np.sort(self.faces, axis=1)
+        _, idx = np.unique(key, axis=0, return_index=True)
+        self.faces = self.faces[np.sort(idx)]
+        self._invalidate()
+
+    def remove_unreferenced_vertices(self) -> None:
+        used = np.unique(self.faces)
+        remap = np.full(len(self.vertices), -1, dtype=np.int64)
+        remap[used] = np.arange(len(used))
+        self.vertices = self.vertices[used]
+        self.faces = remap[self.faces]
+        self._invalidate()
+
+    def update_faces(self, mask) -> None:
+        self.faces = self.faces[np.asarray(mask)]
+        self._invalidate()
+
+    # -- repair -------------------------------------------------------------
+    def fix_winding(self) -> None:
+        """BFS winding-consistency repair (same algorithm as
+        trimesh.repair.fix_winding / the reference's fix_mesh_winding,
+        ccta_py.rs:718-759)."""
+        self.faces = np.array(fix_faces_winding(self.faces.tolist()), dtype=np.int64)
+        self._invalidate()
+
+    def fix_normals(self) -> None:
+        """Make winding consistent and orient outward (majority of normals
+        pointing away from the centroid)."""
+        self.fix_winding()
+        if len(self.faces) == 0:
+            return
+        center = self.vertices.mean(axis=0)
+        outward = ((self.triangles_center - center) * self.face_normals).sum(axis=1)
+        if (outward < 0).sum() > len(outward) / 2:
+            self.faces = self.faces[:, ::-1]
+        self._invalidate()
+
+    def fill_holes(self) -> bool:
+        """Fan-fill every boundary loop; returns True if watertight after."""
+        loops = self.boundary_loops()
+        new_faces = []
+        for loop in loops:
+            anchor = loop[0]
+            for i in range(1, len(loop) - 1):
+                new_faces.append([anchor, loop[i], loop[i + 1]])
+        if new_faces:
+            self.faces = np.concatenate(
+                [self.faces, np.asarray(new_faces, dtype=np.int64)], axis=0
+            )
+            self._invalidate()
+        return self.is_watertight
+
+    # -- io -----------------------------------------------------------------
+    def export(self, path) -> None:
+        path = Path(path)
+        suffix = path.suffix.lower()
+        if suffix == ".obj":
+            write_obj(self, path)
+        elif suffix == ".stl":
+            write_stl(self, path)
+        else:
+            raise ValueError(f"Unsupported mesh export format: {suffix}")
+
+
+def concatenate(meshes: Sequence[Mesh]) -> Mesh:
+    """Stack meshes into one (trimesh.util.concatenate analog)."""
+    vertices = []
+    faces = []
+    offset = 0
+    for m in meshes:
+        vertices.append(m.vertices)
+        faces.append(m.faces + offset)
+        offset += len(m.vertices)
+    return Mesh(np.concatenate(vertices), np.concatenate(faces))
+
+
+def fix_faces_winding(faces: List[List[int]]) -> List[List[int]]:
+    """BFS winding-consistency repair over the manifold face adjacency.
+
+    Parity: ``fix_mesh_winding`` (ccta_py.rs:545-633, a port of
+    trimesh.repair.fix_winding): adjacency counts only edges shared by
+    exactly two faces; if both faces traverse the shared edge in the same
+    direction (accounting for the current face's flip state) the neighbour
+    is flipped by reversing its vertex order.
+    """
+    n_faces = len(faces)
+    if n_faces == 0:
+        return list(faces)
+
+    edge_owners: Dict[Tuple[int, int], List[Tuple[int, int, int]]] = defaultdict(list)
+    for fi, face in enumerate(faces):
+        for u, v in ((face[0], face[1]), (face[1], face[2]), (face[2], face[0])):
+            key = (u, v) if u < v else (v, u)
+            edge_owners[key].append((fi, u, v))
+
+    adjacency: Dict[int, List[Tuple[int, Tuple[int, int], Tuple[int, int]]]] = defaultdict(list)
+    for owners in edge_owners.values():
+        if len(owners) != 2:
+            continue
+        (fa, ua, va), (fb, ub, vb) = owners
+        adjacency[fa].append((fb, (ua, va), (ub, vb)))
+        adjacency[fb].append((fa, (ub, vb), (ua, va)))
+
+    flipped = [False] * n_faces
+    visited = [False] * n_faces
+    for start in range(n_faces):
+        if visited[start]:
+            continue
+        visited[start] = True
+        queue = deque([start])
+        while queue:
+            current = queue.popleft()
+            for neighbor, current_edge, neighbor_edge in adjacency.get(current, ()):
+                if visited[neighbor]:
+                    continue
+                current_dir = (
+                    (current_edge[1], current_edge[0])
+                    if flipped[current]
+                    else current_edge
+                )
+                # same starting vertex => same traversal direction => flip
+                if current_dir[0] == neighbor_edge[0]:
+                    flipped[neighbor] = True
+                visited[neighbor] = True
+                queue.append(neighbor)
+
+    return [
+        [face[2], face[1], face[0]] if flipped[i] else list(face)
+        for i, face in enumerate(faces)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# file formats
+# ---------------------------------------------------------------------------
+
+def write_obj(mesh: Mesh, path) -> None:
+    with open(path, "w") as fh:
+        for v in mesh.vertices:
+            fh.write(f"v {v[0]!r} {v[1]!r} {v[2]!r}\n")
+        for f in mesh.faces + 1:
+            fh.write(f"f {f[0]} {f[1]} {f[2]}\n")
+
+
+def write_stl(mesh: Mesh, path) -> None:
+    """Binary STL."""
+    n = len(mesh.faces)
+    normals = mesh.face_normals
+    tris = mesh.triangles
+    with open(path, "wb") as fh:
+        fh.write(b"\0" * 80)
+        fh.write(struct.pack("<I", n))
+        for i in range(n):
+            fh.write(struct.pack("<3f", *normals[i]))
+            for j in range(3):
+                fh.write(struct.pack("<3f", *tris[i, j]))
+            fh.write(struct.pack("<H", 0))
+
+
+def read_obj(path) -> Mesh:
+    vertices = []
+    faces = []
+    with open(path, "r") as fh:
+        for line in fh:
+            if line.startswith("v "):
+                parts = line.split()
+                vertices.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                idx = []
+                for token in line.split()[1:]:
+                    idx.append(int(token.split("/")[0]) - 1)
+                for k in range(1, len(idx) - 1):  # fan-triangulate polygons
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return Mesh(np.array(vertices), np.array(faces, dtype=np.int64))
+
+
+def read_stl(path) -> Mesh:
+    raw = Path(path).read_bytes()
+    if raw[:5] == b"solid" and b"facet" in raw[:500]:
+        try:
+            return _read_stl_ascii(raw.decode("utf-8", errors="replace"))
+        except Exception:
+            pass
+    n = struct.unpack("<I", raw[80:84])[0]
+    tris = np.frombuffer(raw[84 : 84 + n * 50], dtype=np.uint8).reshape(n, 50)
+    pts = tris[:, 12:48].copy().view("<f4").reshape(n, 3, 3).astype(np.float64)
+    vertices = pts.reshape(-1, 3)
+    faces = np.arange(len(vertices), dtype=np.int64).reshape(-1, 3)
+    mesh = Mesh(vertices, faces)
+    mesh.merge_vertices()
+    return mesh
+
+
+def _read_stl_ascii(text: str) -> Mesh:
+    vertices = []
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("vertex"):
+            parts = line.split()
+            vertices.append([float(parts[1]), float(parts[2]), float(parts[3])])
+    vertices = np.array(vertices)
+    faces = np.arange(len(vertices), dtype=np.int64).reshape(-1, 3)
+    mesh = Mesh(vertices, faces)
+    mesh.merge_vertices()
+    return mesh
+
+
+def read_mesh_file(path) -> Mesh:
+    path = Path(path)
+    suffix = path.suffix.lower()
+    if suffix == ".obj":
+        return read_obj(path)
+    if suffix == ".stl":
+        return read_stl(path)
+    raise ValueError(f"Unsupported mesh format: {suffix}")

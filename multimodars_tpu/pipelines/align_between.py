@@ -1,0 +1,146 @@
+"""Inter-pullback alignment: register geometry B onto geometry A.
+
+Parity: ``src/intravascular/processing/align_between.rs`` of the reference.
+
+TPU mapping: the global point clouds (>=500 sampled lumen points per
+geometry) feed the same batched rotation-search kernel as align_within with
+a single frame slot and the reference cloud's global centroid as pivot.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..models.contour import downsample_contour_points
+from ..models.geometry import PyGeometry, PyGeometryPair
+from ..ops.rotation_search import multires_rotation_search
+
+
+def extract_geometry_points(geometry: PyGeometry, sample_size: int) -> np.ndarray:
+    """Proportionally downsampled lumen points over all frames, (n, 2) xy.
+    Parity: extract_geometry_points_with_frame_info (align_between.rs:154-178).
+    """
+    total_points = sum(len(f.lumen.points) for f in geometry.frames)
+    sample_ratio = sample_size / total_points
+    rows: List[Tuple[float, float]] = []
+    for frame in geometry.frames:
+        frame_n = int(np.ceil(len(frame.lumen.points) * sample_ratio))
+        for p in downsample_contour_points(frame.lumen.points, max(frame_n, 1)):
+            rows.append((p.x, p.y))
+    return np.array(rows, dtype=np.float64)
+
+
+def find_best_rotation_between(
+    reference_xy: np.ndarray,
+    target_xy: np.ndarray,
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool = False,
+) -> float:
+    """Global rotation of the target cloud about the reference cloud's
+    centroid minimising the Hausdorff distance (multi-resolution ladder).
+    Parity: align_between.rs:180-258."""
+    pivot = reference_xy.mean(axis=0)
+    dtype = config.compute_dtype
+    test = jnp.asarray((target_xy - pivot)[None, :, :], dtype=dtype)
+    ref = jnp.asarray((reference_xy - pivot)[None, :, :], dtype=dtype)
+    tmask = jnp.ones(test.shape[:2], dtype=bool)
+    rmask = jnp.ones(ref.shape[:2], dtype=bool)
+    best = multires_rotation_search(
+        test, ref, tmask, rmask, float(step_deg), float(range_deg), bool(bruteforce)
+    )
+    return float(best[0])
+
+
+def rotate_geometry_around_point(
+    geometry: PyGeometry, angle_rad: float, center: Tuple[float, float, float]
+) -> None:
+    """Rotate the whole geometry (points, centroids, reference points) about
+    a single pivot.  Parity: align_between.rs:95-145."""
+    c = np.cos(angle_rad)
+    s = np.sin(angle_rad)
+    cx, cy = center[0], center[1]
+
+    def rot(x, y):
+        tx, ty = x - cx, y - cy
+        return tx * c - ty * s + cx, tx * s + ty * c + cy
+
+    for frame in geometry.frames:
+        for contour in [frame.lumen, *frame.extras.values()]:
+            xyz = contour.xyz()
+            tx = xyz[:, 0] - cx
+            ty = xyz[:, 1] - cy
+            xyz[:, 0] = tx * c - ty * s + cx
+            xyz[:, 1] = tx * s + ty * c + cy
+            contour.set_xyz(xyz)
+            if contour is not frame.lumen and contour.centroid is not None:
+                ccx, ccy = rot(contour.centroid[0], contour.centroid[1])
+                contour.centroid = (ccx, ccy, contour.centroid[2])
+        fx, fy = rot(frame.centroid[0], frame.centroid[1])
+        frame.centroid = (fx, fy, frame.centroid[2])
+        if frame.reference_point is not None:
+            rx, ry = rot(frame.reference_point.x, frame.reference_point.y)
+            frame.reference_point.x = rx
+            frame.reference_point.y = ry
+
+
+def align_between_geometries(
+    geom_a: PyGeometry,
+    geom_b: PyGeometry,
+    rot_deg: float,
+    step_rot_deg: float,
+    sample_size: int,
+    verbose: bool = True,
+) -> PyGeometryPair:
+    """Translate B's reference frame onto A's, find the best global rotation,
+    apply it about A's reference centroid, then re-translate exactly.
+    Parity: align_between.rs:11-92.  Mutates geom_b in place like the
+    reference; the returned pair holds copies."""
+    ref_idx_a = geom_a.ref_or_proximal_idx()
+    ref_idx_b = geom_b.ref_or_proximal_idx()
+
+    ref_a_centroid = geom_a.frames[ref_idx_a].centroid
+    ref_b_centroid = geom_b.frames[ref_idx_b].centroid
+
+    initial_translation = tuple(ref_a_centroid[k] - ref_b_centroid[k] for k in range(3))
+    geom_b.translate_geometry(initial_translation)
+
+    test_a = extract_geometry_points(geom_a, max(sample_size, 500))
+    test_b = extract_geometry_points(geom_b, max(sample_size, 500))
+
+    best_rotation = find_best_rotation_between(test_a, test_b, step_rot_deg, rot_deg)
+
+    rotate_geometry_around_point(geom_b, best_rotation, ref_a_centroid)
+
+    ref_idx_a = geom_a.ref_or_proximal_idx()
+    ref_idx_b = geom_b.ref_or_proximal_idx()
+    final_a = geom_a.frames[ref_idx_a].centroid
+    final_b = geom_b.frames[ref_idx_b].centroid
+    final_translation = tuple(final_a[k] - final_b[k] for k in range(3))
+    geom_b.translate_geometry(final_translation)
+
+    if verbose:
+        print(f"\n✅ Aligned geometry '{geom_b.label}' to '{geom_a.label}'")
+        print("-----------------------------------------")
+        print(
+            f"Applied initial translation: ({initial_translation[0]:.2f}, "
+            f"{initial_translation[1]:.2f}, {initial_translation[2]:.2f}) mm"
+        )
+        print(
+            f"Found best rotation of {np.degrees(best_rotation):.2f}° with "
+            f"parameters: \nrange: {rot_deg:.2f}° \nstep size: {step_rot_deg:.2f}°"
+        )
+        print(
+            f"Applied final translation: ({final_translation[0]:.2f}, "
+            f"{final_translation[1]:.2f}, {final_translation[2]:.2f}) mm"
+        )
+        print("-----------------------------------------")
+
+    # combined label, parity with GeometryPair::new (geometry_pair.rs:12-19)
+    return PyGeometryPair(
+        geom_a.copy(), geom_b.copy(), f"{geom_a.label} - {geom_b.label}"
+    )

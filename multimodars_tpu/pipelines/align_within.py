@@ -369,46 +369,92 @@ def assign_aortic(geometry: PyGeometry) -> PyGeometry:
 # main entry
 # ---------------------------------------------------------------------------
 
-def align_frames_in_geometry(
-    geometry: PyGeometry,
+def align_frames_in_geometries(
+    geometries: List[PyGeometry],
     step_deg: float,
     range_deg: float,
     smooth: bool,
     bruteforce: bool,
     sample_size: int,
     verbose: bool = True,
-) -> Tuple[PyGeometry, List[AlignLog], bool]:
-    """Align all frames of a pullback; returns (geometry, logs, anomalous).
+) -> List[Tuple[PyGeometry, List[AlignLog], bool]]:
+    """Align several pullbacks in one fused device sweep.
 
-    Parity: ``align_frames_in_geometry`` (align_within.rs:24-171), with the
-    sequential chain replaced by the batched relative-rotation search (see
-    module docstring).
+    Where the reference spawns one crossbeam thread per geometry
+    (entry.rs:140-203), the TPU formulation concatenates every geometry's
+    frame pairs along the batch axis and runs a single multi-resolution
+    search over all of them, then finishes each geometry's host-side post
+    steps independently.
     """
-    if not geometry.frames:
-        raise ValueError("Geometry contains no frames")
-    if not geometry.frames[0].lumen.points:
-        raise ValueError("Lumen contours have no points")
-    if sample_size == 0:
-        raise ValueError("sample_size must be > 0")
+    packed = []
+    for geometry in geometries:
+        if not geometry.frames:
+            raise ValueError("Geometry contains no frames")
+        if not geometry.frames[0].lumen.points:
+            raise ValueError("Lumen contours have no points")
+        if sample_size == 0:
+            raise ValueError("sample_size must be > 0")
+        sample_ratio = sample_size / len(geometry.frames[0].lumen.points)
+        catheter0 = geometry.frames[0].extras.get("Catheter")
+        ssc = (
+            int(math.ceil(len(catheter0.points) * sample_ratio))
+            if catheter0 is not None
+            else None
+        )
+        pts, mask = _pack_centered_sets(geometry, sample_size, ssc)
+        packed.append((pts, mask))
 
-    geometry = geometry.copy()
-    ref_idx = geometry.ref_or_proximal_idx()
+    S = max(p.shape[1] for p, _ in packed)
+    tests, refs, tmasks, rmasks, pair_counts = [], [], [], [], []
+    for pts, mask in packed:
+        F, s = pts.shape[0], pts.shape[1]
+        pad_pts = np.zeros((F, S, 2), dtype=pts.dtype)
+        pad_pts[:, :s] = pts
+        pad_mask = np.zeros((F, S), dtype=bool)
+        pad_mask[:, :s] = mask
+        tests.append(pad_pts[1:])
+        refs.append(pad_pts[:-1])
+        tmasks.append(pad_mask[1:])
+        rmasks.append(pad_mask[:-1])
+        pair_counts.append(F - 1)
 
-    sample_ratio = sample_size / len(geometry.frames[0].lumen.points)
-    catheter0 = geometry.frames[0].extras.get("Catheter")
-    sample_size_catheter = (
-        int(math.ceil(len(catheter0.points) * sample_ratio))
-        if catheter0 is not None
-        else None
+    dtype = config.compute_dtype
+    delta_all = multires_rotation_search(
+        jnp.asarray(np.concatenate(tests), dtype=dtype),
+        jnp.asarray(np.concatenate(refs), dtype=dtype),
+        jnp.asarray(np.concatenate(tmasks)),
+        jnp.asarray(np.concatenate(rmasks)),
+        float(step_deg),
+        float(range_deg),
+        bool(bruteforce),
     )
+    delta_all = np.asarray(delta_all, dtype=np.float64)
 
+    results = []
+    offset = 0
+    for geometry, n_pairs in zip(geometries, pair_counts):
+        delta = delta_all[offset : offset + n_pairs]
+        offset += n_pairs
+        results.append(
+            _finish_alignment(
+                geometry.copy(), delta, smooth=smooth, verbose=verbose
+            )
+        )
+    return results
+
+
+def _finish_alignment(
+    geometry: PyGeometry,
+    delta: np.ndarray,
+    smooth: bool,
+    verbose: bool,
+) -> Tuple[PyGeometry, List[AlignLog], bool]:
+    """Apply the found relative rotations and run the host-side post steps
+    (hole filling, axis normalisation, wall synthesis, smoothing)."""
+    ref_idx = geometry.ref_or_proximal_idx()
     logs: List[AlignLog] = []
     if len(geometry.frames) > 1:
-        delta = relative_rotations(
-            geometry, step_deg, range_deg, bruteforce, sample_size, sample_size_catheter
-        )
         cumulative = np.cumsum(delta)
-
         c0 = geometry.frames[0].centroid
         for i in range(1, len(geometry.frames)):
             frame = geometry.frames[i]
@@ -435,19 +481,56 @@ def align_frames_in_geometry(
     geometry.rotate_geometry(additional_rotation)
 
     final_geometry = assign_aortic(geometry) if anomalous else geometry
-
     final_geometry = PyGeometry(
         wall.create_wall_frames(final_geometry.frames, anomalous, False),
         final_geometry.label,
     )
-
     if smooth:
         final_geometry = final_geometry.smooth_frames()
 
     if verbose:
-        title = (
-            f"✅ Finished aligning '{final_geometry.label}' (anomalous: {anomalous})"
+        dump_table(
+            f"✅ Finished aligning '{final_geometry.label}' (anomalous: {anomalous})",
+            logs,
         )
-        dump_table(title, logs)
-
     return final_geometry, logs, anomalous
+
+
+def align_frames_in_geometry(
+    geometry: PyGeometry,
+    step_deg: float,
+    range_deg: float,
+    smooth: bool,
+    bruteforce: bool,
+    sample_size: int,
+    verbose: bool = True,
+) -> Tuple[PyGeometry, List[AlignLog], bool]:
+    """Align all frames of a pullback; returns (geometry, logs, anomalous).
+
+    Parity: ``align_frames_in_geometry`` (align_within.rs:24-171), with the
+    sequential chain replaced by the batched relative-rotation search (see
+    module docstring).
+    """
+    if not geometry.frames:
+        raise ValueError("Geometry contains no frames")
+    if not geometry.frames[0].lumen.points:
+        raise ValueError("Lumen contours have no points")
+    if sample_size == 0:
+        raise ValueError("sample_size must be > 0")
+
+    geometry = geometry.copy()
+    sample_ratio = sample_size / len(geometry.frames[0].lumen.points)
+    catheter0 = geometry.frames[0].extras.get("Catheter")
+    sample_size_catheter = (
+        int(math.ceil(len(catheter0.points) * sample_ratio))
+        if catheter0 is not None
+        else None
+    )
+
+    if len(geometry.frames) > 1:
+        delta = relative_rotations(
+            geometry, step_deg, range_deg, bruteforce, sample_size, sample_size_catheter
+        )
+    else:
+        delta = np.zeros((0,), dtype=np.float64)
+    return _finish_alignment(geometry, delta, smooth=smooth, verbose=verbose)

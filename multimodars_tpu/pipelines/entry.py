@@ -1,0 +1,387 @@
+"""Entry orchestrators for the four processing modes.
+
+Parity: ``src/intravascular/binding/entry.rs`` and
+``src/intravascular/processing/preprocessing.rs`` of the reference.
+
+The reference's crossbeam scoped threads (4-way align-within, 2-way
+align-between) become batched device sweeps: all geometries' frame pairs run
+through one fused rotation search (see align_within.align_frames_in_geometries).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+from ..io.build import build_geometry_from_inputdata
+from ..io.csv_io import InputData
+from ..models.geometry import PyGeometry, PyGeometryPair
+from ..utils.logs import AlignLog
+from . import to_object
+from .align_between import align_between_geometries
+from .align_within import align_frames_in_geometries, align_frames_in_geometry
+from .postprocess import postprocess_geom_pair
+
+# tolerance of distance between frames [mm] that counts as 0 (entry.rs:21)
+TOLERANCE = 0.03
+
+
+def _path_basename(path) -> str:
+    name = Path(path).name
+    return name if name else "unknown"
+
+
+def prepare_n_geometries(
+    labels: Sequence[str],
+    image_center,
+    radius: float,
+    n_points: int,
+    input_data: Optional[List[InputData]],
+    diastole: bool,
+    path_a,
+    path_b,
+    mode: str,
+    verbose: bool = True,
+) -> List[PyGeometry]:
+    """Prepare 1/2/4 geometries for Single/Pair/Full processing.
+    Parity: preprocessing.rs:27-203."""
+    if mode == "single":
+        if input_data:
+            inp = input_data[0]
+            return [
+                build_geometry_from_inputdata(
+                    inp, None, inp.label, inp.diastole, image_center, radius, n_points,
+                    verbose=verbose,
+                )
+            ]
+        path = path_a or path_b
+        if path is None:
+            raise ValueError(
+                "Single processing requires at least one InputData or one path"
+            )
+        label = labels[0] if len(labels) == 1 else _path_basename(path)
+        return [
+            build_geometry_from_inputdata(
+                None, path, label, diastole, image_center, radius, n_points,
+                verbose=verbose,
+            )
+        ]
+
+    if mode == "pair":
+        if input_data and len(input_data) >= 2:
+            return [
+                build_geometry_from_inputdata(
+                    inp, None, inp.label, inp.diastole, image_center, radius, n_points,
+                    verbose=verbose,
+                )
+                for inp in input_data[:2]
+            ]
+        path = path_a or path_b
+        if path is None:
+            raise ValueError(
+                "Pair processing requires at least two InputData or one path"
+            )
+        use_labels = len(labels) == 2
+        basename = _path_basename(path)
+        return [
+            build_geometry_from_inputdata(
+                None,
+                path,
+                labels[idx] if use_labels else basename,
+                dia,
+                image_center,
+                radius,
+                n_points,
+                verbose=verbose,
+            )
+            for idx, dia in enumerate((True, False))
+        ]
+
+    if mode == "full":
+        if input_data and len(input_data) >= 4:
+            return [
+                build_geometry_from_inputdata(
+                    inp, None, inp.label, inp.diastole, image_center, radius, n_points,
+                    verbose=verbose,
+                )
+                for inp in input_data[:4]
+            ]
+        if path_a is None or path_b is None:
+            raise ValueError(
+                "Full processing requires either at least 4 InputData or both paths"
+            )
+        use_labels = len(labels) == 4
+        out = []
+        idx = 0
+        for path in (path_a, path_b):
+            basename = _path_basename(path)
+            for dia in (True, False):
+                out.append(
+                    build_geometry_from_inputdata(
+                        None,
+                        path,
+                        labels[idx] if use_labels else basename,
+                        dia,
+                        image_center,
+                        radius,
+                        n_points,
+                        verbose=verbose,
+                    )
+                )
+                idx += 1
+        return out
+
+    raise ValueError(f"unknown processing mode: {mode}")
+
+
+def _maybe_postprocess(
+    pair: PyGeometryPair, anomalous: bool, postprocessing: bool
+) -> PyGeometryPair:
+    if postprocessing:
+        return postprocess_geom_pair(pair, TOLERANCE, anomalous)
+    return pair.copy()
+
+
+def full_processing(
+    labels: Sequence[str],
+    image_center,
+    radius: float,
+    n_points: int,
+    input_path_a=None,
+    input_path_b=None,
+    input_data: Optional[List[InputData]] = None,
+    write_obj: bool = True,
+    interpolation_steps: int = 0,
+    contour_types: Sequence[str] = ("Lumen", "Catheter", "Wall"),
+    watertight: bool = True,
+    output_path_a: str = "output/rest",
+    output_path_b: str = "output/stress",
+    output_path_c: str = "output/diastole",
+    output_path_d: str = "output/systole",
+    step_deg: float = 0.5,
+    range_deg: float = 90.0,
+    smooth: bool = True,
+    bruteforce: bool = False,
+    sample_size: int = 500,
+    postprocessing: bool = True,
+    verbose: bool = True,
+):
+    """4-phase pipeline: align within x4 (one device sweep) -> align between
+    AB/CD then AC/BD -> optional postprocess -> optional OBJ export.
+    Parity: full_processing_rs (entry.rs:71-361)."""
+    geometries = prepare_n_geometries(
+        labels, image_center, radius, n_points, input_data, True,
+        input_path_a, input_path_b, "full", verbose=verbose,
+    )
+    if len(geometries) != 4:
+        raise ValueError(f"Full processing requires exactly 4 geometries, got {len(geometries)}")
+
+    aligned = align_frames_in_geometries(
+        geometries, step_deg, range_deg, smooth, bruteforce, sample_size, verbose=verbose
+    )
+    (geom_a, logs_a, bool_a), (geom_b, logs_b, bool_b), (geom_c, logs_c, bool_c), (
+        geom_d,
+        logs_d,
+        bool_d,
+    ) = aligned
+
+    pair_ab = align_between_geometries(
+        geom_a, geom_b, range_deg, step_deg, sample_size, verbose=verbose
+    )
+    pair_cd = align_between_geometries(
+        geom_c, geom_d, range_deg, step_deg, sample_size, verbose=verbose
+    )
+    pair_ac = align_between_geometries(
+        geom_a, geom_c, range_deg, step_deg, sample_size, verbose=verbose
+    )
+    pair_bd = align_between_geometries(
+        geom_b, geom_d, range_deg, step_deg, sample_size, verbose=verbose
+    )
+
+    anomalous = bool_a or bool_b or bool_c or bool_d
+    pair_ab = _maybe_postprocess(pair_ab, anomalous, postprocessing)
+    pair_cd = _maybe_postprocess(pair_cd, anomalous, postprocessing)
+    pair_ac = _maybe_postprocess(pair_ac, anomalous, postprocessing)
+    pair_bd = _maybe_postprocess(pair_bd, anomalous, postprocessing)
+
+    if write_obj:
+        pair_ab = to_object.process_case(
+            pair_ab.label, pair_ab, output_path_a, interpolation_steps, watertight, contour_types
+        )
+        pair_cd = to_object.process_case(
+            pair_cd.label, pair_cd, output_path_b, interpolation_steps, watertight, contour_types
+        )
+        pair_ac = to_object.process_case(
+            pair_ac.label, pair_ac, output_path_c, interpolation_steps, watertight, contour_types
+        )
+        pair_bd = to_object.process_case(
+            pair_bd.label, pair_bd, output_path_d, interpolation_steps, watertight, contour_types
+        )
+
+    return pair_ab, pair_cd, pair_ac, pair_bd, logs_a, logs_b, logs_c, logs_d
+
+
+def double_pair_processing(
+    labels: Sequence[str],
+    image_center,
+    radius: float,
+    n_points: int,
+    input_path_a=None,
+    input_path_b=None,
+    input_data: Optional[List[InputData]] = None,
+    write_obj: bool = True,
+    interpolation_steps: int = 0,
+    contour_types: Sequence[str] = ("Lumen", "Catheter", "Wall"),
+    watertight: bool = True,
+    output_path_a: str = "output/rest",
+    output_path_b: str = "output/stress",
+    step_deg: float = 0.5,
+    range_deg: float = 90.0,
+    smooth: bool = True,
+    bruteforce: bool = False,
+    sample_size: int = 500,
+    postprocessing: bool = True,
+    verbose: bool = True,
+):
+    """Two independent pairs (AB and CD).  Parity: double_pair_processing_rs
+    (entry.rs:363-570)."""
+    geometries = prepare_n_geometries(
+        labels, image_center, radius, n_points, input_data, True,
+        input_path_a, input_path_b, "full", verbose=verbose,
+    )
+    if len(geometries) != 4:
+        raise ValueError(
+            f"Double Pair processing requires exactly 4 geometries, got {len(geometries)}"
+        )
+    aligned = align_frames_in_geometries(
+        geometries, step_deg, range_deg, smooth, bruteforce, sample_size, verbose=verbose
+    )
+    (geom_a, logs_a, bool_a), (geom_b, logs_b, bool_b), (geom_c, logs_c, bool_c), (
+        geom_d,
+        logs_d,
+        bool_d,
+    ) = aligned
+
+    pair_ab = align_between_geometries(
+        geom_a, geom_b, range_deg, step_deg, sample_size, verbose=verbose
+    )
+    pair_cd = align_between_geometries(
+        geom_c, geom_d, range_deg, step_deg, sample_size, verbose=verbose
+    )
+
+    anomalous = bool_a or bool_b or bool_c or bool_d
+    pair_ab = _maybe_postprocess(pair_ab, anomalous, postprocessing)
+    pair_cd = _maybe_postprocess(pair_cd, anomalous, postprocessing)
+
+    if write_obj:
+        pair_ab = to_object.process_case(
+            pair_ab.label, pair_ab, output_path_a, interpolation_steps, watertight, contour_types
+        )
+        pair_cd = to_object.process_case(
+            pair_cd.label, pair_cd, output_path_b, interpolation_steps, watertight, contour_types
+        )
+    return pair_ab, pair_cd, logs_a, logs_b, logs_c, logs_d
+
+
+def pair_processing(
+    labels: Sequence[str],
+    image_center,
+    radius: float,
+    n_points: int,
+    input_path=None,
+    input_data: Optional[List[InputData]] = None,
+    write_obj: bool = True,
+    interpolation_steps: int = 0,
+    contour_types: Sequence[str] = ("Lumen", "Catheter", "Wall"),
+    watertight: bool = True,
+    output_path: str = "output/singlepair",
+    step_deg: float = 0.5,
+    range_deg: float = 90.0,
+    smooth: bool = True,
+    bruteforce: bool = False,
+    sample_size: int = 500,
+    postprocessing: bool = True,
+    verbose: bool = True,
+):
+    """One diastole/systole pair.  Parity: pair_processing_rs
+    (entry.rs:572-689)."""
+    geometries = prepare_n_geometries(
+        labels, image_center, radius, n_points, input_data, True,
+        input_path, None, "pair", verbose=verbose,
+    )
+    if len(geometries) != 2:
+        raise ValueError(
+            f"Single Pair processing requires exactly 2 geometries, got {len(geometries)}"
+        )
+    aligned = align_frames_in_geometries(
+        geometries, step_deg, range_deg, smooth, bruteforce, sample_size, verbose=verbose
+    )
+    (geom_a, logs_a, bool_a), (geom_b, logs_b, bool_b) = aligned
+
+    pair = align_between_geometries(
+        geom_a, geom_b, range_deg, step_deg, sample_size, verbose=verbose
+    )
+    pair = _maybe_postprocess(pair, bool_a or bool_b, postprocessing)
+    if write_obj:
+        pair = to_object.process_case(
+            pair.label, pair, output_path, interpolation_steps, watertight, contour_types
+        )
+    return pair, logs_a, logs_b
+
+
+def single_processing(
+    labels: Sequence[str],
+    image_center,
+    radius: float,
+    n_points: int,
+    input_path=None,
+    input_data: Optional[List[InputData]] = None,
+    diastole: bool = True,
+    write_obj: bool = True,
+    watertight: bool = True,
+    contour_types: Sequence[str] = ("Lumen", "Catheter", "Wall"),
+    output_path: str = "output/single",
+    step_deg: float = 0.5,
+    range_deg: float = 90.0,
+    smooth: bool = True,
+    bruteforce: bool = False,
+    sample_size: int = 500,
+    verbose: bool = True,
+):
+    """Single-geometry alignment + per-type OBJ export.
+    Parity: single_processing_rs (entry.rs:691-785)."""
+    from ..io.obj_io import (
+        create_mtl_for_contour_type,
+        extract_contours_by_type,
+        get_contour_type_name,
+        write_obj_mesh_without_uv,
+    )
+
+    geoms = prepare_n_geometries(
+        labels, image_center, radius, n_points, input_data, diastole,
+        input_path, None, "single", verbose=verbose,
+    )
+    if len(geoms) != 1:
+        raise ValueError(f"Single processing requires exactly 1 geometry, got {len(geoms)}")
+
+    geom, logs, _ = align_frames_in_geometry(
+        geoms[0], step_deg, range_deg, smooth, bruteforce, sample_size, verbose=verbose
+    )
+
+    if write_obj:
+        os.makedirs(output_path, exist_ok=True)
+        for contour_type in contour_types:
+            contours = extract_contours_by_type(geom, contour_type)
+            if not contours:
+                print(f"Warning: No contours found for type {contour_type}, skipping")
+                continue
+            type_name = get_contour_type_name(contour_type)
+            obj_path = Path(output_path) / f"{type_name}_{geom.label}.obj"
+            mtl_path = Path(output_path) / f"{type_name}_{geom.label}.mtl"
+            create_mtl_for_contour_type(contour_type, mtl_path, obj_path.name)
+            write_obj_mesh_without_uv(contours, str(obj_path), str(mtl_path), watertight)
+        if verbose:
+            print(f"Successfully wrote OBJ files for geometry {geom.label} to {output_path}")
+
+    return geom, logs

@@ -1,0 +1,70 @@
+"""Inter-pullback alignment tests mirroring align_between.rs unit tests."""
+
+import math
+from pathlib import Path
+
+import pytest
+
+from multimodars_tpu.pipelines.align_between import (
+    align_between_geometries,
+    rotate_geometry_around_point,
+)
+
+FIXTURES = Path("/root/reference/data/fixtures")
+
+
+def test_align_between_simple_geometries(dummy_geom_aligned_long):
+    """Parity: align_between.rs test_align_between_simple_geometries —
+    a 15 deg-rotated copy is recovered to within 1e-6."""
+    geom_a = dummy_geom_aligned_long
+    geom_b = geom_a.copy()
+    geom_b.rotate_geometry(math.radians(15.0))
+
+    pair = align_between_geometries(geom_a, geom_b, 30.0, 0.01, 6, verbose=False)
+
+    for frame_a, frame_b in zip(pair.geom_a.frames, pair.geom_b.frames):
+        assert abs(frame_a.centroid[2] - frame_b.centroid[2]) < 1e-6
+        for pa, pb in zip(frame_a.lumen.points, frame_b.lumen.points):
+            assert abs(pa.x - pb.x) < 1e-6
+            assert abs(pa.y - pb.y) < 1e-6
+            assert abs(pa.z - pb.z) < 1e-6
+
+
+@pytest.mark.skipif(not FIXTURES.exists(), reason="fixtures not mounted")
+def test_align_between_idealized():
+    """Parity: align_between.rs test_align_between_optimized_geometries —
+    rotate a realistic aligned geometry by 15 deg and recover it to <0.01 mm
+    max error."""
+    from multimodars_tpu.io import build_geometry_from_inputdata
+    from multimodars_tpu.pipelines.align_within import align_frames_in_geometry
+
+    geometry = build_geometry_from_inputdata(
+        None, FIXTURES / "idealized_geometry", "stress", True, (4.5, 4.5), 0.5, 20,
+        verbose=False,
+    )
+    geom, _, _ = align_frames_in_geometry(
+        geometry, 0.01, 45.0, smooth=True, bruteforce=False, sample_size=200,
+        verbose=False,
+    )
+    geom_a = geom.copy()
+    geom_b = geom.copy()
+    ref_idx_b = geom_b.find_proximal_end_idx()
+    ref_centroid = geom_b.frames[ref_idx_b].centroid
+    rotate_geometry_around_point(geom_b, math.radians(15.0), ref_centroid)
+
+    pair = align_between_geometries(geom_a, geom_b, 30.0, 0.01, 500, verbose=False)
+
+    max_error = 0.0
+    total_error = 0.0
+    count = 0
+    for frame_a, frame_b in zip(pair.geom_a.frames, pair.geom_b.frames):
+        assert abs(frame_a.centroid[2] - frame_b.centroid[2]) < 1e-4
+        assert len(frame_a.lumen.points) == len(frame_b.lumen.points)
+        for pa, pb in zip(frame_a.lumen.points, frame_b.lumen.points):
+            ex = abs(pa.x - pb.x)
+            ey = abs(pa.y - pb.y)
+            max_error = max(max_error, ex, ey)
+            total_error += ex + ey
+            count += 2
+    assert max_error < 0.01, f"Maximum alignment error {max_error}"
+    assert total_error / count < 0.001
