@@ -35,6 +35,9 @@ from ._processing import (
     from_array_single,
     to_obj,
     read_centerline_vtp,
+    align_three_point,
+    align_manual,
+    align_combined,
 )
 from ._converters import (
     to_array,
@@ -80,4 +83,7 @@ __all__ = [
     "from_array_single",
     "to_obj",
     "read_centerline_vtp",
+    "align_three_point",
+    "align_manual",
+    "align_combined",
 ]

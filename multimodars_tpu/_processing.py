@@ -416,6 +416,118 @@ def from_array_single(
     return geom, logs_to_tuples(logs)
 
 
+def align_three_point(
+    centerline,
+    geometry,
+    main_ref_pt,
+    counterclockwise_ref_pt,
+    clockwise_ref_pt,
+    angle_step_deg: float = 1.0,
+    write: bool = False,
+    watertight: bool = True,
+    interpolation_steps: int = 0,
+    output_dir: str = "output/aligned",
+    contour_types=None,
+    case_name: str = "None",
+    align_wall_anomalous: bool = False,
+):
+    """Register a geometry (or pair) onto a centerline via three anatomical
+    landmark points.  Returns (aligned target, resampled centerline)."""
+    from .pipelines.centerline_align import align_three_point_rs
+    import math
+
+    return align_three_point_rs(
+        centerline,
+        geometry.copy(),
+        tuple(main_ref_pt),
+        tuple(counterclockwise_ref_pt),
+        tuple(clockwise_ref_pt),
+        math.radians(angle_step_deg),
+        write,
+        watertight,
+        interpolation_steps,
+        output_dir,
+        _type_names(contour_types),
+        case_name,
+        align_wall_anomalous,
+    )
+
+
+def align_manual(
+    centerline,
+    geometry,
+    rotation_angle: float,
+    ref_point,
+    write: bool = False,
+    watertight: bool = True,
+    interpolation_steps: int = 0,
+    output_dir: str = "output/aligned",
+    contour_types=None,
+    case_name: str = "None",
+    align_wall_anomalous: bool = False,
+):
+    """Register a geometry (or pair) onto a centerline with a user-supplied
+    rotation (degrees)."""
+    from .pipelines.centerline_align import align_manual_rs
+
+    return align_manual_rs(
+        centerline,
+        geometry.copy(),
+        float(rotation_angle),
+        tuple(ref_point),
+        write,
+        watertight,
+        interpolation_steps,
+        output_dir,
+        _type_names(contour_types),
+        case_name,
+        align_wall_anomalous,
+    )
+
+
+def align_combined(
+    centerline,
+    geometry,
+    main_ref_pt,
+    counterclockwise_ref_pt,
+    clockwise_ref_pt,
+    points,
+    angle_step_deg: float = 1.0,
+    angle_range_deg: float = 15.0,
+    index_range: int = 2,
+    write: bool = False,
+    watertight: bool = True,
+    interpolation_steps: int = 0,
+    output_dir: str = "output/aligned",
+    contour_types=None,
+    case_name: str = "None",
+    align_wall_anomalous: bool = False,
+):
+    """Three-point initialisation + Hausdorff refinement over a
+    (centerline-shift x angle) grid against a CCTA point cloud."""
+    from .pipelines.centerline_align import align_combined_rs
+    import math
+
+    return align_combined_rs(
+        centerline,
+        geometry.copy(),
+        tuple(main_ref_pt),
+        tuple(counterclockwise_ref_pt),
+        tuple(clockwise_ref_pt),
+        list(points),
+        math.radians(angle_step_deg),
+        math.radians(angle_range_deg),
+        int(index_range),
+        write,
+        watertight,
+        interpolation_steps,
+        output_dir,
+        _type_names(contour_types),
+        case_name,
+        align_wall_anomalous,
+    )
+
+
 def to_obj(
     geometry: PyGeometry,
     output_path: str,

@@ -1,0 +1,219 @@
+"""Centerline registration tests mirroring the reference's
+tests/test_intravascular.py (align_three_point / align_manual /
+calculate_branches)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from multimodars import (
+    PyGeometry,
+    PyGeometryPair,
+    align_manual,
+    align_three_point,
+    numpy_to_centerline,
+    numpy_to_geometry,
+)
+
+FIXTURES = Path("/root/reference/data/fixtures")
+EXAMPLES = Path("/root/reference/examples/data")
+
+AORTIC_REF_PT = (12.2605, -201.3643, 1751.0554)
+UPPER_REF_PT = (11.7567, -202.1920, 1754.7975)
+LOWER_REF_PT = (15.6605, -202.1920, 1749.9655)
+
+
+def _geom_to_points_array(geom):
+    rows = []
+    for frame in geom.frames:
+        for pt in frame.lumen.points:
+            rows.append((pt.x, pt.y, pt.z))
+    return np.array(rows, dtype=float)
+
+
+@pytest.fixture(scope="module")
+def geom_a():
+    if not FIXTURES.exists():
+        pytest.skip("fixtures not mounted")
+    raw = np.genfromtxt(FIXTURES / "idealized_geometry/diastolic_contours.csv", delimiter=",")
+    ref = np.genfromtxt(
+        FIXTURES / "idealized_geometry/diastolic_reference_points.csv", delimiter=","
+    )
+    return numpy_to_geometry(
+        lumen_arr=raw, catheter_arr=np.zeros((0, 4)), wall_arr=np.zeros((0, 4)),
+        reference_arr=ref,
+    )
+
+
+@pytest.fixture(scope="module")
+def geom_b():
+    if not FIXTURES.exists():
+        pytest.skip("fixtures not mounted")
+    raw = np.genfromtxt(FIXTURES / "idealized_geometry/systolic_contours.csv", delimiter=",")
+    ref = np.genfromtxt(
+        FIXTURES / "idealized_geometry/systolic_reference_points.csv", delimiter=","
+    )
+    return numpy_to_geometry(
+        lumen_arr=raw, catheter_arr=np.zeros((0, 4)), wall_arr=np.zeros((0, 4)),
+        reference_arr=ref,
+    )
+
+
+@pytest.fixture(scope="module")
+def geometry_pair(geom_a, geom_b):
+    return PyGeometryPair(geom_a=geom_a, geom_b=geom_b, label="test")
+
+
+@pytest.fixture(scope="module")
+def centerline():
+    if not EXAMPLES.exists():
+        pytest.skip("examples not mounted")
+    arr = np.genfromtxt(EXAMPLES / "centerline_raw.csv", delimiter=",")
+    return numpy_to_centerline(arr)
+
+
+class TestAlignThreePoint:
+    def test_pair_returns_geometry_pair(self, centerline, geometry_pair):
+        result, _ = align_three_point(
+            centerline, geometry_pair, AORTIC_REF_PT, UPPER_REF_PT, LOWER_REF_PT,
+            write=False,
+        )
+        assert isinstance(result, PyGeometryPair)
+
+    def test_single_returns_geometry(self, centerline, geom_a):
+        result, _ = align_three_point(
+            centerline, geom_a, AORTIC_REF_PT, UPPER_REF_PT, LOWER_REF_PT, write=False
+        )
+        assert isinstance(result, PyGeometry)
+
+    def test_pair_geom_a_matches_single(self, centerline, geom_a, geometry_pair):
+        result_pair, _ = align_three_point(
+            centerline, geometry_pair, AORTIC_REF_PT, UPPER_REF_PT, LOWER_REF_PT,
+            write=False,
+        )
+        result_geom, _ = align_three_point(
+            centerline, geom_a, AORTIC_REF_PT, UPPER_REF_PT, LOWER_REF_PT, write=False
+        )
+        np.testing.assert_allclose(
+            _geom_to_points_array(result_pair.geom_a),
+            _geom_to_points_array(result_geom),
+            atol=1e-10,
+        )
+
+    def test_geometry_lands_on_centerline(self, centerline, geom_a):
+        """After alignment every frame centroid sits on its centerline
+        sample (z-monotone along the vessel)."""
+        result, cl = align_three_point(
+            centerline, geom_a, AORTIC_REF_PT, UPPER_REF_PT, LOWER_REF_PT, write=False
+        )
+        cl_ref_idx = cl.find_reference_cl_point_idx(AORTIC_REF_PT)
+        for i, frame in enumerate(result.frames):
+            cp = cl.points[cl_ref_idx + i].contour_point
+            assert abs(frame.centroid[0] - cp.x) < 1e-6
+            assert abs(frame.centroid[1] - cp.y) < 1e-6
+            assert abs(frame.centroid[2] - cp.z) < 1e-6
+
+    def test_frame_count_preserved(self, centerline, geom_a):
+        n = len(geom_a.frames)
+        result, _ = align_three_point(
+            centerline, geom_a, AORTIC_REF_PT, UPPER_REF_PT, LOWER_REF_PT, write=False
+        )
+        assert len(result.frames) == n
+
+
+class TestAlignManual:
+    def test_pair_returns_geometry_pair(self, centerline, geometry_pair):
+        result, _ = align_manual(
+            centerline, geometry_pair, rotation_angle=286.0, ref_point=AORTIC_REF_PT,
+            write=False,
+        )
+        assert isinstance(result, PyGeometryPair)
+
+    def test_pair_geom_a_matches_single(self, centerline, geom_a, geometry_pair):
+        result_pair, _ = align_manual(
+            centerline, geometry_pair, rotation_angle=286.0, ref_point=AORTIC_REF_PT,
+            write=False,
+        )
+        result_geom, _ = align_manual(
+            centerline, geom_a, rotation_angle=286.0, ref_point=AORTIC_REF_PT,
+            write=False,
+        )
+        np.testing.assert_allclose(
+            _geom_to_points_array(result_pair.geom_a),
+            _geom_to_points_array(result_geom),
+            atol=1e-10,
+        )
+
+
+@pytest.fixture(scope="module")
+def rca_centerline():
+    if not EXAMPLES.exists():
+        pytest.skip("examples not mounted")
+    raw = np.genfromtxt(EXAMPLES / "centerline_rca_short.csv", delimiter=",")
+    return numpy_to_centerline(raw)
+
+
+class TestCalculateBranches:
+    def test_branch_count(self, rca_centerline):
+        cl = rca_centerline.calculate_branches(2.0)
+        assert len(cl.branch_start_indices) == 4
+
+    def test_main_branch_is_largest(self, rca_centerline):
+        cl = rca_centerline.calculate_branches(2.0)
+        counts = {}
+        for p in cl.points:
+            counts[p.branch_id] = counts.get(p.branch_id, 0) + 1
+        assert counts[0] == max(counts.values())
+
+    def test_posterolateral_in_main_branch(self, rca_centerline):
+        cl = rca_centerline.calculate_branches(2.0)
+        main_frames = {p.contour_point.frame_index for p in cl.points if p.branch_id == 0}
+        for row in range(463, 639):
+            assert row in main_frames
+
+    def test_acute_marginal_is_side_branch(self, rca_centerline):
+        cl = rca_centerline.calculate_branches(2.0)
+        for p in cl.points:
+            if p.contour_point.frame_index <= 130:
+                assert p.branch_id != 0
+
+    def test_pda_is_single_side_branch(self, rca_centerline):
+        cl = rca_centerline.calculate_branches(2.0)
+        pda_ids = {p.branch_id for p in cl.points if 639 <= p.contour_point.frame_index <= 669}
+        assert len(pda_ids) == 1
+        assert 0 not in pda_ids
+
+    def test_immutability(self, rca_centerline):
+        before = [p.branch_id for p in rca_centerline.points]
+        _ = rca_centerline.calculate_branches(2.0)
+        assert [p.branch_id for p in rca_centerline.points] == before
+
+
+class TestAlignCombined:
+    def test_combined_runs_and_refines(self, centerline, geom_a):
+        from multimodars import align_combined
+
+        # synthetic CCTA cloud: the aligned geometry's own points, so the
+        # refinement has a meaningful target
+        aligned, cl = align_three_point(
+            centerline, geom_a, AORTIC_REF_PT, UPPER_REF_PT, LOWER_REF_PT, write=False
+        )
+        cloud = _geom_to_points_array(aligned)[::5]
+        result, cl2 = align_combined(
+            centerline,
+            geom_a,
+            AORTIC_REF_PT,
+            UPPER_REF_PT,
+            LOWER_REF_PT,
+            [tuple(p) for p in cloud],
+            angle_step_deg=2.0,
+            angle_range_deg=6.0,
+            index_range=1,
+            write=False,
+        )
+        assert isinstance(result, PyGeometry)
+        assert len(result.frames) == len(geom_a.frames)
+        # refined result should land close to the three-point alignment
+        d = np.abs(_geom_to_points_array(result) - _geom_to_points_array(aligned))
+        assert float(np.median(d)) < 2.0
