@@ -155,16 +155,20 @@ def _build_contour_from_array(arr: np.ndarray, frame_id: int, contour_type: str)
     pts_arr = arr[mask]
     if pts_arr.shape[0] == 0:
         return None
-    pts = [
-        PyContourPoint(int(row[0]), i, float(row[1]), float(row[2]), float(row[3]), False)
-        for i, row in enumerate(pts_arr)
-    ]
-    centroid = (
-        float(np.mean(pts_arr[:, 1])),
-        float(np.mean(pts_arr[:, 2])),
-        float(np.mean(pts_arr[:, 3])),
+    coords = pts_arr[:, 1:4].copy()
+    centroid = tuple(coords.mean(axis=0))
+    return PyContour.from_arrays(
+        int(frame_id),
+        int(frame_id),
+        coords,
+        centroid,
+        pts_arr[:, 0].astype(np.int64),
+        None,
+        None,
+        None,
+        None,
+        contour_type,
     )
-    return PyContour(int(frame_id), int(frame_id), pts, centroid, None, None, contour_type)
 
 
 def _records_from_array(arr):

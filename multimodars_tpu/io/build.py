@@ -19,18 +19,37 @@ from ..models.record import PyRecord
 from .csv_io import InputData, process_directory
 
 
+def points_to_array(points) -> np.ndarray:
+    """(N, 6) [frame, x, y, z, point_index, aortic] from a point list or an
+    (N, >=4) array."""
+    if isinstance(points, np.ndarray):
+        arr = np.asarray(points, dtype=np.float64)
+        out = np.zeros((arr.shape[0], 6))
+        out[:, :4] = arr[:, :4]
+        if arr.shape[1] > 4:
+            out[:, 5] = arr[:, 4]
+        return out
+    out = np.empty((len(points), 6))
+    for i, p in enumerate(points):
+        out[i, 0] = p.frame_index
+        out[i, 1] = p.x
+        out[i, 2] = p.y
+        out[i, 3] = p.z
+        out[i, 4] = p.point_index
+        out[i, 5] = p.aortic
+    return out
+
+
 def build_contours_with_mapping(
-    points: List[PyContourPoint],
+    points,
     records: Optional[List[PyRecord]],
     kind: str,
     frame_mapping: Dict[int, int],
 ) -> List[PyContour]:
     """Group raw points by frame_index, map to shared sequential ids, attach
     lumen measurements.  Parity: Contour::build_contour_with_mapping
-    (contour.rs:158-211)."""
-    groups: Dict[int, List[PyContourPoint]] = {}
-    for p in points:
-        groups.setdefault(p.frame_index, []).append(p)
+    (contour.rs:158-211).  Accepts point lists or (N, >=4) arrays."""
+    arr = points_to_array(points)
 
     measurements = None
     if kind == "Lumen":
@@ -39,20 +58,31 @@ def build_contours_with_mapping(
             for r in records:
                 measurements[r.frame] = (r.measurement_1, r.measurement_2)
 
+    frames = arr[:, 0].astype(np.int64)
+    order = np.argsort(frames, kind="stable")  # preserves within-frame order
+    arr = arr[order]
+    frames = frames[order]
+    uniq, starts = np.unique(frames, return_index=True)
+    bounds = np.append(starts, len(frames))
+
     contours: List[PyContour] = []
-    for original_frame_idx in sorted(groups):
+    for k, original_frame_idx in enumerate(uniq.tolist()):
         if original_frame_idx not in frame_mapping:
             raise KeyError(f"No mapping found for original frame {original_frame_idx}")
         sequential_id = frame_mapping[original_frame_idx]
         aortic = pulmonary = None
         if measurements is not None and original_frame_idx in measurements:
             aortic, pulmonary = measurements[original_frame_idx]
+        block = arr[bounds[k] : bounds[k + 1]]
         contours.append(
-            PyContour(
+            PyContour.from_arrays(
                 sequential_id,
                 original_frame_idx,
-                groups[original_frame_idx],
+                block[:, 1:4].copy(),
                 (0.0, 0.0, 0.0),
+                block[:, 0].astype(np.int64),
+                block[:, 4].astype(np.int64),
+                block[:, 5].astype(bool),
                 aortic,
                 pulmonary,
                 kind,
@@ -80,10 +110,15 @@ def build_geometry_from_inputdata(
             raise ValueError("Either input_data or path must be provided")
         input_data = process_directory(path, None, diastole, label)
 
-    all_original_frames = {p.frame_index for p in input_data.lumen}
+    def frame_ids_of(group):
+        if isinstance(group, np.ndarray):
+            return set(group[:, 0].astype(int).tolist())
+        return {p.frame_index for p in group}
+
+    all_original_frames = frame_ids_of(input_data.lumen)
     for group in (input_data.eem, input_data.calcification, input_data.sidebranch):
         if group is not None:
-            all_original_frames.update(p.frame_index for p in group)
+            all_original_frames.update(frame_ids_of(group))
     if input_data.ref_point is not None:
         all_original_frames.add(input_data.ref_point.frame_index)
 
@@ -119,16 +154,33 @@ def build_geometry_from_inputdata(
                 frame_map[contour.id].extras[kind] = contour
 
     if n_points > 0:
-        all_points: List[PyContourPoint] = []
+        # catheter synthesis: one ring per frame at the frame's (constant) z.
+        # Parity: Frame::create_catheter_points uses the first-encountered z
+        # per original frame (frame.rs:163-204).
+        import math as _math
+
+        angles = 2.0 * _math.pi * np.arange(n_points) / n_points
+        ring_x = image_center[0] + radius * np.cos(angles)
+        ring_y = image_center[1] + radius * np.sin(angles)
+        catheter_rows = []
         for frame in frame_map.values():
-            all_points.extend(frame.lumen.points)
-        catheter_points = create_catheter_points(all_points, image_center, radius, n_points)
-        for contour in build_contours_with_mapping(
-            catheter_points, None, "Catheter", frame_mapping
-        ):
-            contour.compute_centroid()
-            if contour.id in frame_map:
-                frame_map[contour.id].extras["Catheter"] = contour
+            if frame.lumen.n_points == 0:
+                continue
+            orig = frame.lumen.original_frame
+            z = float(frame.lumen.xyz_view()[0, 2])
+            block = np.empty((n_points, 4))
+            block[:, 0] = orig
+            block[:, 1] = ring_x
+            block[:, 2] = ring_y
+            block[:, 3] = z
+            catheter_rows.append(block)
+        if catheter_rows:
+            for contour in build_contours_with_mapping(
+                np.concatenate(catheter_rows), None, "Catheter", frame_mapping
+            ):
+                contour.compute_centroid()
+                if contour.id in frame_map:
+                    frame_map[contour.id].extras["Catheter"] = contour
 
     frames = sorted(frame_map.values(), key=lambda f: f.id)
     geometry = PyGeometry(frames, label)
@@ -155,7 +207,7 @@ def _print_success_message(input_data: InputData, from_path: bool) -> None:
     print(f"\n✅ Successfully built geometry from {'path' if from_path else 'input data'}")
     check = lambda present: "✅" if present else "❌"  # noqa: E731
     print("-----------------------------------------")
-    print(f"{check(bool(input_data.lumen))} Lumen")
+    print(f"{check(len(input_data.lumen) > 0)} Lumen")
     print(f"{check(input_data.eem is not None)} Eem")
     print(f"{check(input_data.calcification is not None)} Calcification")
     print(f"{check(input_data.sidebranch is not None)} Sidebranch")

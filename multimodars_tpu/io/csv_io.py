@@ -217,18 +217,23 @@ class InputData:
 
     @staticmethod
     def from_py_input_data(py_in: PyInputData) -> "InputData":
-        """Flatten list-of-PyContour groups into raw point lists.
+        """Flatten list-of-PyContour groups into raw point arrays.
         Parity: py_input_data.rs:103-172."""
         def flatten(group):
             if group is None:
                 return None
-            out: List[PyContourPoint] = []
+            blocks = []
             for contour in group:
-                out.extend(p.copy() for p in contour.points)
-            return out
+                block = np.empty((contour.n_points, 5))
+                block[:, 0] = contour.frame_indices
+                block[:, 1:4] = contour.xyz_view()
+                block[:, 4] = contour.aortic_flags
+                blocks.append(block)
+            return np.concatenate(blocks) if blocks else np.zeros((0, 5))
 
+        lumen = flatten(py_in.lumen)
         return InputData(
-            lumen=flatten(py_in.lumen) or [],
+            lumen=lumen if lumen is not None else np.zeros((0, 5)),
             eem=flatten(py_in.eem),
             calcification=flatten(py_in.calcification),
             sidebranch=flatten(py_in.sidebranch),

@@ -53,9 +53,9 @@ def write_obj_mesh(
 
     if len(contours) < 2:
         raise ValueError("Need at least two contours to create a mesh.")
-    points_per_contour = len(contours[0].points)
+    points_per_contour = contours[0].n_points
     for contour in contours:
-        if len(contour.points) != points_per_contour:
+        if contour.n_points != points_per_contour:
             raise ValueError("All contours must have the same number of points.")
 
     lines: List[str] = []
@@ -63,8 +63,8 @@ def write_obj_mesh(
     current_offset = 1
     for contour in contours:
         vertex_offsets.append(current_offset)
-        for p in contour.points:
-            lines.append(f"v {p.x!r} {p.y!r} {p.z!r}")
+        for x, y, z in contour.xyz_view().tolist():
+            lines.append(f"v {x!r} {y!r} {z!r}")
             current_offset += 1
 
     total_vertices = current_offset - 1
@@ -81,15 +81,12 @@ def write_obj_mesh(
 
     for contour in contours:
         centroid = contour.centroid if contour.centroid is not None else (0.0, 0.0, 0.0)
-        for p in contour.points:
-            dx = p.x - centroid[0]
-            dy = p.y - centroid[1]
-            length = (dx * dx + dy * dy) ** 0.5
-            if length > 0.0:
-                nx, ny, nz = dx / length, dy / length, 0.0
-            else:
-                nx, ny, nz = 0.0, 0.0, 0.0
-            lines.append(f"vn {-nx} {-ny} {-nz}")
+        xy = contour.xyz_view()[:, :2] - np.array(centroid[:2])
+        length = np.sqrt((xy * xy).sum(-1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            normals = np.where(length[:, None] > 0.0, xy / length[:, None], 0.0)
+        for nx, ny in normals.tolist():
+            lines.append(f"vn {-nx} {-ny} {-0.0}")
 
     for c in range(len(contours) - 1):
         o1 = vertex_offsets[c]
@@ -143,7 +140,7 @@ def _close_end(
 def write_obj_mesh_without_uv(
     contours: Sequence[PyContour], filename: str, mtl_filename: str, watertight: bool
 ) -> None:
-    empty_uv = [(0.0, 0.0)] * sum(len(c.points) for c in contours)
+    empty_uv = [(0.0, 0.0)] * sum(c.n_points for c in contours)
     write_obj_mesh(contours, empty_uv, filename, mtl_filename, watertight)
 
 

@@ -3,10 +3,12 @@
 Parity: ``src/types/native/contour.rs`` (ops) and
 ``src/types/binding/py_contour.rs`` (Python surface) of the reference.
 
-The per-contour primitives here are vectorised host-side numpy in float64:
-they are O(n..n^2) on ~500-point contours, called from Python object code, and
-the reference computes them in f64.  The *batched* versions used inside the
-TPU pipelines live in :mod:`multimodars_tpu.ops.contour_ops`.
+Storage is array-backed: coordinates live in a float64 (N, 3) numpy array
+with parallel index/flag arrays, so every geometric transform is one
+vectorised op.  The ``points`` attribute materialises PyContourPoint objects
+on access — the same copy-on-get semantics as the reference's PyO3 getter
+(``#[pyo3(get)] Vec<PyContourPoint>`` clones on read), so mutating a
+returned point does not silently alias the contour.
 """
 
 from __future__ import annotations
@@ -150,7 +152,7 @@ def ccw_sort_order(xy: np.ndarray) -> np.ndarray:
 
 
 class PyContour:
-    """A closed 3-D contour of ordered contour points.
+    """A closed 3-D contour of ordered contour points (array-backed).
 
     Attributes mirror the reference binding: id, original_frame, points,
     centroid, aortic_thickness, pulmonary_thickness, kind (string).
@@ -159,53 +161,162 @@ class PyContour:
     __slots__ = (
         "id",
         "original_frame",
-        "points",
         "centroid",
         "aortic_thickness",
         "pulmonary_thickness",
         "kind",
+        "_coords",
+        "_frame_idx",
+        "_point_idx",
+        "_aortic",
     )
 
     def __init__(
         self,
         id: int,
         original_frame: int,
-        points: List[PyContourPoint],
+        points,
         centroid: Tuple[float, float, float],
         aortic_thickness: Optional[float] = None,
         pulmonary_thickness: Optional[float] = None,
         kind: str = "Lumen",
     ) -> None:
         if kind not in CONTOUR_TYPE_NAMES:
-            # accept PyContourType too
             if isinstance(kind, PyContourType):
                 kind = kind.name
             else:
                 raise ValueError(f"Unknown contour type: {kind}")
         self.id = int(id)
         self.original_frame = int(original_frame)
-        self.points = list(points)
+        self._set_points(points)
         self.centroid = tuple(float(c) for c in centroid)
         self.aortic_thickness = aortic_thickness
         self.pulmonary_thickness = pulmonary_thickness
         self.kind = kind
 
+    # -- storage -----------------------------------------------------------
+    def _set_points(self, points) -> None:
+        n = len(points)
+        coords = np.empty((n, 3), dtype=np.float64)
+        frame_idx = np.empty(n, dtype=np.int64)
+        point_idx = np.empty(n, dtype=np.int64)
+        aortic = np.empty(n, dtype=bool)
+        for i, p in enumerate(points):
+            coords[i, 0] = p.x
+            coords[i, 1] = p.y
+            coords[i, 2] = p.z
+            frame_idx[i] = p.frame_index
+            point_idx[i] = p.point_index
+            aortic[i] = p.aortic
+        self._coords = coords
+        self._frame_idx = frame_idx
+        self._point_idx = point_idx
+        self._aortic = aortic
+
+    @classmethod
+    def from_arrays(
+        cls,
+        id: int,
+        original_frame: int,
+        coords: np.ndarray,
+        centroid,
+        frame_idx=None,
+        point_idx=None,
+        aortic=None,
+        aortic_thickness: Optional[float] = None,
+        pulmonary_thickness: Optional[float] = None,
+        kind: str = "Lumen",
+    ) -> "PyContour":
+        """Zero-copy-ish constructor for the array pipelines."""
+        self = cls.__new__(cls)
+        if kind not in CONTOUR_TYPE_NAMES:
+            if isinstance(kind, PyContourType):
+                kind = kind.name
+            else:
+                raise ValueError(f"Unknown contour type: {kind}")
+        n = coords.shape[0]
+        self.id = int(id)
+        self.original_frame = int(original_frame)
+        self._coords = np.asarray(coords, dtype=np.float64).reshape(n, 3)
+        self._frame_idx = (
+            np.full(n, original_frame, dtype=np.int64)
+            if frame_idx is None
+            else np.asarray(frame_idx, dtype=np.int64)
+        )
+        self._point_idx = (
+            np.arange(n, dtype=np.int64)
+            if point_idx is None
+            else np.asarray(point_idx, dtype=np.int64)
+        )
+        self._aortic = (
+            np.zeros(n, dtype=bool) if aortic is None else np.asarray(aortic, dtype=bool)
+        )
+        self.centroid = tuple(float(c) for c in centroid)
+        self.aortic_thickness = aortic_thickness
+        self.pulmonary_thickness = pulmonary_thickness
+        self.kind = kind
+        return self
+
+    @property
+    def points(self) -> List[PyContourPoint]:
+        """Materialised point objects (copy-on-get, like the reference's
+        PyO3 getter)."""
+        coords = self._coords.tolist()
+        fidx = self._frame_idx.tolist()
+        pidx = self._point_idx.tolist()
+        aortic = self._aortic.tolist()
+        out = []
+        for i in range(len(coords)):
+            p = PyContourPoint.__new__(PyContourPoint)
+            p.frame_index = fidx[i]
+            p.point_index = pidx[i]
+            p.x, p.y, p.z = coords[i]
+            p.aortic = aortic[i]
+            out.append(p)
+        return out
+
+    @points.setter
+    def points(self, value) -> None:
+        self._set_points(value)
+
+    @property
+    def n_points(self) -> int:
+        return self._coords.shape[0]
+
+    @property
+    def frame_indices(self) -> np.ndarray:
+        return self._frame_idx
+
+    @property
+    def point_indices(self) -> np.ndarray:
+        return self._point_idx
+
+    @property
+    def aortic_flags(self) -> np.ndarray:
+        return self._aortic
+
     # -- array bridges -----------------------------------------------------
     def xyz(self) -> np.ndarray:
-        return _xyz(self.points)
+        """Copy of the (N, 3) coordinate array."""
+        return self._coords.copy()
+
+    def xyz_view(self) -> np.ndarray:
+        """The live coordinate array (mutations write through)."""
+        return self._coords
 
     def set_xyz(self, xyz: np.ndarray) -> None:
-        for p, row in zip(self.points, xyz):
-            p.x = float(row[0])
-            p.y = float(row[1])
-            p.z = float(row[2])
+        n = min(self._coords.shape[0], len(xyz))
+        self._coords[:n] = xyz[:n]
 
     def copy(self) -> "PyContour":
-        return PyContour(
+        return PyContour.from_arrays(
             self.id,
             self.original_frame,
-            [p.copy() for p in self.points],
+            self._coords.copy(),
             self.centroid,
+            self._frame_idx.copy(),
+            self._point_idx.copy(),
+            self._aortic.copy(),
             self.aortic_thickness,
             self.pulmonary_thickness,
             self.kind,
@@ -213,79 +324,82 @@ class PyContour:
 
     # -- API surface -------------------------------------------------------
     def __len__(self) -> int:
-        return len(self.points)
+        return self._coords.shape[0]
 
     def __repr__(self) -> str:
         return (
             f"Contour(id={self.id}, frame={self.original_frame}, "
-            f"points={len(self.points)}, centroid=({self.centroid[0]:.2f}, "
+            f"points={self.n_points}, centroid=({self.centroid[0]:.2f}, "
             f"{self.centroid[1]:.2f}, {self.centroid[2]:.2f}), kind={self.kind})"
         )
 
     def compute_centroid(self) -> None:
-        if not self.points:
+        if self.n_points == 0:
             self.centroid = (0.0, 0.0, 0.0)
             return
-        xyz = self.xyz()
-        self.centroid = (
-            float(xyz[:, 0].mean()),
-            float(xyz[:, 1].mean()),
-            float(xyz[:, 2].mean()),
-        )
+        m = self._coords.mean(axis=0)
+        self.centroid = (float(m[0]), float(m[1]), float(m[2]))
 
     def points_as_tuples(self) -> List[Tuple[float, float, float]]:
-        return [(p.x, p.y, p.z) for p in self.points]
+        return [tuple(row) for row in self._coords.tolist()]
+
+    def _point_at(self, i: int) -> PyContourPoint:
+        return PyContourPoint(
+            int(self._frame_idx[i]),
+            int(self._point_idx[i]),
+            float(self._coords[i, 0]),
+            float(self._coords[i, 1]),
+            float(self._coords[i, 2]),
+            bool(self._aortic[i]),
+        )
 
     def find_farthest_points(self):
-        i, j, dist = farthest_pair(self.xyz())
-        return (self.points[i].copy(), self.points[j].copy()), dist
+        i, j, dist = farthest_pair(self._coords)
+        return (self._point_at(i), self._point_at(j)), dist
 
     def find_closest_opposite(self):
         cxy = None
         if self.centroid is not None:
             cxy = (self.centroid[0], self.centroid[1])
-        i, j, dist = closest_opposite(self.xyz(), cxy)
-        return (self.points[i].copy(), self.points[j].copy()), dist
+        i, j, dist = closest_opposite(self._coords, cxy)
+        return (self._point_at(i), self._point_at(j)), dist
 
     def find_closest_opposite_3d(self):
-        i, j, dist = closest_opposite_3d(self.xyz())
-        return (self.points[i].copy(), self.points[j].copy()), dist
+        i, j, dist = closest_opposite_3d(self._coords)
+        return (self._point_at(i), self._point_at(j)), dist
 
     def get_elliptic_ratio(self) -> float:
-        return elliptic_ratio(self.xyz())
+        return elliptic_ratio(self._coords)
 
     def get_area(self) -> float:
-        return polygon_area_3d(self.xyz())
+        return polygon_area_3d(self._coords)
 
     def rotate(self, angle_deg: float) -> "PyContour":
         """Rotate around the contour's own (recomputed) centroid, degrees."""
         out = self.copy()
         out.compute_centroid()
         cx, cy, _ = out.centroid
-        angle = math.radians(angle_deg)
-        out.rotate_rad_inplace(angle, (cx, cy))
+        out.rotate_rad_inplace(math.radians(angle_deg), (cx, cy))
         return out
 
     def rotate_rad_inplace(self, angle_rad: float, center: Tuple[float, float]) -> None:
-        if angle_rad == 0.0 or not self.points:
+        if angle_rad == 0.0 or self.n_points == 0:
             return
-        xyz = self.xyz()
         cx, cy = center
         c = math.cos(angle_rad)
         s = math.sin(angle_rad)
-        x = xyz[:, 0] - cx
-        y = xyz[:, 1] - cy
-        xyz[:, 0] = x * c - y * s + cx
-        xyz[:, 1] = x * s + y * c + cy
-        self.set_xyz(xyz)
+        x = self._coords[:, 0] - cx
+        y = self._coords[:, 1] - cy
+        self._coords[:, 0] = x * c - y * s + cx
+        self._coords[:, 1] = x * s + y * c + cy
 
     def translate(self, dx: float, dy: float, dz: float) -> "PyContour":
         out = self.copy()
-        for p in out.points:
-            p.x += dx
-            p.y += dy
-            p.z += dz
+        out._coords += np.array([dx, dy, dz])
         return out
+
+    def translate_inplace(self, dx: float, dy: float, dz: float) -> None:
+        self._coords += np.array([dx, dy, dz])
 
     def sort_contour_points(self) -> "PyContour":
         out = self.copy()
@@ -293,19 +407,22 @@ class PyContour:
         return out
 
     def sort_contour_points_inplace(self) -> None:
-        if not self.points:
+        if self.n_points == 0:
             return
-        xyz = self.xyz()
-        order = ccw_sort_order(xyz[:, :2])
-        self.points = [self.points[k] for k in order]
-        for i, p in enumerate(self.points):
-            p.point_index = i
+        order = ccw_sort_order(self._coords[:, :2])
+        self.apply_order(order)
+
+    def apply_order(self, order: np.ndarray) -> None:
+        """Permute points and reassign point_index sequentially."""
+        self._coords = self._coords[order]
+        self._frame_idx = self._frame_idx[order]
+        self._aortic = self._aortic[order]
+        self._point_idx = np.arange(self.n_points, dtype=np.int64)
 
     def rotate_and_reindex(self, shift: int) -> None:
-        n = len(self.points)
+        n = self.n_points
         if n == 0 or shift == 0:
             return
         shift = shift % n
-        self.points = self.points[shift:] + self.points[:shift]
-        for i, p in enumerate(self.points):
-            p.point_index = i
+        order = np.concatenate([np.arange(shift, n), np.arange(shift)])
+        self.apply_order(order)

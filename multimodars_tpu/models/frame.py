@@ -2,13 +2,16 @@
 
 Parity: ``src/types/native/frame.rs`` and ``src/types/binding/py_frame.rs``.
 ``extras`` is keyed by contour-type *name* strings ("Eem", "Catheter", ...)
-exactly like the reference Python surface.
+exactly like the reference Python surface.  Transforms are vectorised over
+the contours' array storage.
 """
 
 from __future__ import annotations
 
 import math
 from typing import Dict, List, Optional, Tuple
+
+import numpy as np
 
 from .contour import PyContour
 from .point import PyContourPoint
@@ -40,6 +43,9 @@ class PyFrame:
             None if self.reference_point is None else self.reference_point.copy(),
         )
 
+    def all_contours(self) -> List[PyContour]:
+        return [self.lumen, *self.extras.values()]
+
     def __repr__(self) -> str:
         return (
             f"Frame(id={self.id}, centroid=({self.centroid[0]:.2f}, "
@@ -51,11 +57,9 @@ class PyFrame:
     def translate_inplace(self, dx: float, dy: float, dz: float) -> None:
         """Parity: ``Frame::translate`` (frame.rs:18-38) — recomputes contour
         centroids after moving the points."""
-        for contour in [self.lumen, *self.extras.values()]:
-            for p in contour.points:
-                p.x += dx
-                p.y += dy
-                p.z += dz
+        delta = np.array([dx, dy, dz])
+        for contour in self.all_contours():
+            contour.xyz_view()[:] += delta
             contour.compute_centroid()
         if self.reference_point is not None:
             self.reference_point.x += dx
@@ -69,7 +73,7 @@ class PyFrame:
         about ``center`` (frame.rs:40-63)."""
         if angle_rad == 0.0:
             return
-        for contour in [self.lumen, *self.extras.values()]:
+        for contour in self.all_contours():
             contour.rotate_rad_inplace(angle_rad, center)
         if self.reference_point is not None:
             self.reference_point = self.reference_point.rotate(angle_rad, center)
@@ -96,8 +100,7 @@ class PyFrame:
         return out
 
     def sort_frame_points_inplace(self) -> None:
-        self.lumen.sort_contour_points_inplace()
-        for contour in self.extras.values():
+        for contour in self.all_contours():
             contour.sort_contour_points_inplace()
 
     def set_value(
@@ -111,24 +114,20 @@ class PyFrame:
         Parity: ``Frame::set_value`` (frame.rs:69-121)."""
         if id is not None:
             self.id = int(id)
-            self.lumen.id = int(id)
-            for contour in self.extras.values():
+            for contour in self.all_contours():
                 contour.id = int(id)
         if lumen_points is not None:
-            self.lumen.points = [p.copy() for p in lumen_points]
-            for contour in self.extras.values():
-                contour.points = [p.copy() for p in lumen_points]
+            for contour in self.all_contours():
+                contour.points = lumen_points
         if centroid is not None:
             centroid = tuple(float(c) for c in centroid)
-            self.lumen.centroid = centroid
-            for contour in self.extras.values():
+            for contour in self.all_contours():
                 contour.centroid = centroid
             self.centroid = centroid
         if z_value is not None:
             z = float(z_value)
-            for contour in [self.lumen, *self.extras.values()]:
-                for p in contour.points:
-                    p.z = z
+            for contour in self.all_contours():
+                contour.xyz_view()[:, 2] = z
                 if contour.centroid is not None:
                     contour.centroid = (contour.centroid[0], contour.centroid[1], z)
             if self.reference_point is not None:
@@ -167,3 +166,30 @@ def create_catheter_points(
                 )
             )
     return out
+
+
+def create_catheter_arrays(
+    frame_ids: np.ndarray,
+    frame_zs: np.ndarray,
+    image_center: Tuple[float, float],
+    radius: float,
+    n_points: int,
+):
+    """Array form of :func:`create_catheter_points`: returns (frame_ids
+    sorted, per-frame (n_points, 3) coordinate blocks)."""
+    order = np.argsort(frame_ids, kind="stable")
+    angles = 2.0 * math.pi * np.arange(n_points) / n_points
+    ring = np.stack(
+        [
+            image_center[0] + radius * np.cos(angles),
+            image_center[1] + radius * np.sin(angles),
+            np.zeros(n_points),
+        ],
+        axis=-1,
+    )
+    blocks = []
+    for k in order:
+        block = ring.copy()
+        block[:, 2] = frame_zs[k]
+        blocks.append(block)
+    return frame_ids[order], blocks

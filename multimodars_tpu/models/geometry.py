@@ -68,8 +68,8 @@ class PyGeometry:
         orig_z_map: Dict[int, float] = {}
         for fr in self.frames:
             orig = fr.lumen.original_frame
-            if fr.lumen.points and orig not in orig_z_map:
-                orig_z_map[orig] = fr.lumen.points[0].z
+            if fr.lumen.n_points and orig not in orig_z_map:
+                orig_z_map[orig] = float(fr.lumen.xyz_view()[0, 2])
 
         frame_map: Dict[int, PyFrame] = {
             f.lumen.original_frame: f for f in self.frames
@@ -89,9 +89,8 @@ class PyGeometry:
             frame.id = new_idx
             for contour in [frame.lumen, *frame.extras.values()]:
                 contour.id = new_idx
-                for p in contour.points:
-                    p.frame_index = new_idx
-                    p.z = z_value
+                contour.frame_indices[:] = new_idx
+                contour.xyz_view()[:, 2] = z_value
                 if contour.centroid is not None:
                     contour.centroid = (contour.centroid[0], contour.centroid[1], z_value)
             if frame.reference_point is not None:
@@ -111,13 +110,12 @@ class PyGeometry:
             nxt = self.frames[i + 1] if i < n - 1 else self.frames[i]
 
             def smooth_contour(cur: PyContour, pre: PyContour, nex: PyContour) -> PyContour:
-                m = len(cur.points)
                 new = cur.copy()
-                for j in range(m):
-                    cp, pp, np_ = cur.points[j], pre.points[j], nex.points[j]
-                    q = new.points[j]
-                    q.x = (pp.x + cp.x + np_.x) / 3.0
-                    q.y = (pp.y + cp.y + np_.y) / 3.0
+                m = cur.n_points
+                avg = (
+                    pre.xyz_view()[:m, :2] + cur.xyz_view()[:m, :2] + nex.xyz_view()[:m, :2]
+                ) / 3.0
+                new.xyz_view()[:m, :2] = avg
                 new.compute_centroid()
                 return new
 
@@ -144,10 +142,9 @@ class PyGeometry:
         lands at index 0; reassign point_index.  Parity: geometry.rs:257-276."""
         if not self.frames:
             return
-        lumen_pts = self.frames[0].lumen.points
-        if not lumen_pts:
+        if self.frames[0].lumen.n_points == 0:
             return
-        zs = np.array([p.z for p in lumen_pts])
+        zs = self.frames[0].lumen.xyz_view()[:, 2]
         shift = len(zs) - 1 - int(np.argmax(zs[::-1]))  # Rust max_by: last max
         for frame in self.frames:
             frame.lumen.rotate_and_reindex(shift)
@@ -175,8 +172,7 @@ class PyGeometry:
             fr.id = new_id
             for contour in [fr.lumen, *fr.extras.values()]:
                 contour.id = new_id
-                for p in contour.points:
-                    p.frame_index = new_id
+                contour.frame_indices[:] = new_id
             if fr.reference_point is not None:
                 fr.reference_point.frame_index = new_id
 
@@ -199,8 +195,7 @@ class PyGeometry:
 
             frame.lumen.id = next_contour_id
             next_contour_id += 1
-            for p in frame.lumen.points:
-                p.z = assigned_z
+            frame.lumen.xyz_view()[:, 2] = assigned_z
             if frame.lumen.centroid is not None:
                 c = frame.lumen.centroid
                 frame.lumen.centroid = (c[0], c[1], assigned_z)
@@ -208,8 +203,7 @@ class PyGeometry:
             for contour in frame.extras.values():
                 contour.id = next_contour_id
                 next_contour_id += 1
-                for p in contour.points:
-                    p.z = assigned_z
+                contour.xyz_view()[:, 2] = assigned_z
                 if contour.centroid is not None:
                     c = contour.centroid
                     contour.centroid = (c[0], c[1], assigned_z)
@@ -340,10 +334,22 @@ class PyGeometry:
         """Evenly-strided downsample of every contour except the Catheter.
         Parity: py_geometry.rs:394-433."""
 
+        from .contour import downsample_indices
+
         def ds(contour: PyContour) -> PyContour:
-            out = contour.copy()
-            out.points = [p.copy() for p in downsample_contour_points(contour.points, n_points)]
-            return out
+            idx = downsample_indices(contour.n_points, n_points)
+            return PyContour.from_arrays(
+                contour.id,
+                contour.original_frame,
+                contour.xyz_view()[idx].copy(),
+                contour.centroid,
+                contour.frame_indices[idx].copy(),
+                contour.point_indices[idx].copy(),
+                contour.aortic_flags[idx].copy(),
+                contour.aortic_thickness,
+                contour.pulmonary_thickness,
+                contour.kind,
+            )
 
         new_frames = []
         for frame in self.frames:

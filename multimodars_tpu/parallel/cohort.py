@@ -1,0 +1,113 @@
+"""Batched multi-patient registration over a device mesh.
+
+The registration workload's parallel axes are (patients, frame pairs,
+angle candidates).  Frame pairs are independent (see align_within), so the
+natural multi-chip layout is data parallelism over the concatenated
+patients x frame-pairs axis: each chip owns a contiguous slab of pairs and
+runs the identical multi-resolution sweep; no collectives are needed in the
+hot loop (the argmin is per-pair), so ICI traffic is zero and scaling is
+linear until the per-chip pair count stops saturating the VPU.
+
+The reference's analog is ``RAYON_NUM_THREADS`` work-stealing on one CPU
+(SURVEY.md §2.5); here the mesh axis *is* the thread pool.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import config
+from ..models.geometry import PyGeometry
+from ..ops.rotation_search import multires_rotation_search
+
+
+def cohort_mesh(devices: Optional[Sequence] = None, axis: str = "pairs") -> Mesh:
+    """1-D device mesh over the pair axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def batched_pairs_from_geometries(
+    geometries: List[PyGeometry],
+    sample_size: int,
+    pad_pairs_to: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, List[int]]:
+    """Concatenate every geometry's consecutive-frame pairs into one batch:
+    (test, ref, test_mask, ref_mask, pair_counts)."""
+    import math
+
+    from ..pipelines.align_within import _pack_centered_sets
+
+    packed = []
+    pair_counts = []
+    for geometry in geometries:
+        ratio = sample_size / len(geometry.frames[0].lumen.points)
+        catheter0 = geometry.frames[0].extras.get("Catheter")
+        ssc = (
+            int(math.ceil(len(catheter0.points) * ratio)) if catheter0 is not None else None
+        )
+        pts, mask = _pack_centered_sets(geometry, sample_size, ssc)
+        packed.append((pts, mask))
+        pair_counts.append(pts.shape[0] - 1)
+
+    S = max(p.shape[1] for p, _ in packed)
+    tests, refs, tmasks, rmasks = [], [], [], []
+    for pts, mask in packed:
+        F, s = pts.shape[:2]
+        pp = np.zeros((F, S, 2))
+        pp[:, :s] = pts
+        mm = np.zeros((F, S), dtype=bool)
+        mm[:, :s] = mask
+        tests.append(pp[1:])
+        refs.append(pp[:-1])
+        tmasks.append(mm[1:])
+        rmasks.append(mm[:-1])
+
+    test = np.concatenate(tests)
+    ref = np.concatenate(refs)
+    tmask = np.concatenate(tmasks)
+    rmask = np.concatenate(rmasks)
+
+    if pad_pairs_to is not None and test.shape[0] < pad_pairs_to:
+        extra = pad_pairs_to - test.shape[0]
+        test = np.concatenate([test, np.zeros((extra,) + test.shape[1:])])
+        ref = np.concatenate([ref, np.zeros((extra,) + ref.shape[1:])])
+        tmask = np.concatenate([tmask, np.zeros((extra,) + tmask.shape[1:], dtype=bool)])
+        rmask = np.concatenate([rmask, np.zeros((extra,) + rmask.shape[1:], dtype=bool)])
+    return test, ref, tmask, rmask, pair_counts
+
+
+def cohort_relative_rotations(
+    test: np.ndarray,
+    ref: np.ndarray,
+    test_mask: np.ndarray,
+    ref_mask: np.ndarray,
+    step_deg: float,
+    range_deg: float,
+    mesh: Optional[Mesh] = None,
+    bruteforce: bool = False,
+) -> np.ndarray:
+    """Run the multi-resolution rotation sweep for a batch of frame pairs,
+    sharded over the mesh's pair axis.  The pair count must divide the mesh
+    size (pad with masked-out pairs otherwise)."""
+    if mesh is None:
+        mesh = cohort_mesh()
+    axis = mesh.axis_names[0]
+    sharding = NamedSharding(mesh, P(axis))
+    dtype = config.compute_dtype
+
+    test_d = jax.device_put(jnp.asarray(test, dtype=dtype), sharding)
+    ref_d = jax.device_put(jnp.asarray(ref, dtype=dtype), sharding)
+    tmask_d = jax.device_put(jnp.asarray(test_mask), sharding)
+    rmask_d = jax.device_put(jnp.asarray(ref_mask), sharding)
+
+    delta = multires_rotation_search(
+        test_d, ref_d, tmask_d, rmask_d, float(step_deg), float(range_deg), bool(bruteforce)
+    )
+    return np.asarray(delta)

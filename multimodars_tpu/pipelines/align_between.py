@@ -24,14 +24,16 @@ def extract_geometry_points(geometry: PyGeometry, sample_size: int) -> np.ndarra
     """Proportionally downsampled lumen points over all frames, (n, 2) xy.
     Parity: extract_geometry_points_with_frame_info (align_between.rs:154-178).
     """
-    total_points = sum(len(f.lumen.points) for f in geometry.frames)
+    from ..models.contour import downsample_indices
+
+    total_points = sum(f.lumen.n_points for f in geometry.frames)
     sample_ratio = sample_size / total_points
-    rows: List[Tuple[float, float]] = []
+    rows = []
     for frame in geometry.frames:
-        frame_n = int(np.ceil(len(frame.lumen.points) * sample_ratio))
-        for p in downsample_contour_points(frame.lumen.points, max(frame_n, 1)):
-            rows.append((p.x, p.y))
-    return np.array(rows, dtype=np.float64)
+        n = frame.lumen.n_points
+        frame_n = max(int(np.ceil(n * sample_ratio)), 1)
+        rows.append(frame.lumen.xyz_view()[downsample_indices(n, frame_n), :2])
+    return np.concatenate(rows, axis=0)
 
 
 def find_best_rotation_between(

@@ -48,16 +48,16 @@ def _frame_alignment_points(
     """Downsampled lumen (+ proportionally downsampled catheter) points of a
     frame, as (n, 2) xy.  Parity: catheter_lumen_vec_from_frames
     (align_within.rs:173-191)."""
-    pts = downsample_contour_points(frame.lumen.points, sample_size_lumen)
+    from ..models.contour import downsample_indices
+
+    lumen = frame.lumen.xyz_view()
+    parts = [lumen[downsample_indices(lumen.shape[0], sample_size_lumen), :2]]
     if sample_size_catheter is not None:
         catheter = frame.extras.get("Catheter")
         if catheter is not None:
-            pts = pts + downsample_contour_points(catheter.points, sample_size_catheter)
-    out = np.empty((len(pts), 2), dtype=np.float64)
-    for i, p in enumerate(pts):
-        out[i, 0] = p.x
-        out[i, 1] = p.y
-    return out
+            cxy = catheter.xyz_view()
+            parts.append(cxy[downsample_indices(cxy.shape[0], sample_size_catheter), :2])
+    return np.concatenate(parts, axis=0)
 
 
 def _pack_centered_sets(
@@ -143,31 +143,25 @@ def _interp_opt(a, b, t):
 
 
 def _interp_contour(c1: PyContour, c2: PyContour, t: float, id_: int, original_frame: int) -> PyContour:
-    n = min(len(c1.points), len(c2.points))
-    points = []
-    for i in range(n):
-        p1, p2 = c1.points[i], c2.points[i]
-        points.append(
-            PyContourPoint(
-                original_frame,
-                i,
-                p1.x + (p2.x - p1.x) * t,
-                p1.y + (p2.y - p1.y) * t,
-                p1.z + (p2.z - p1.z) * t,
-                p1.aortic or p2.aortic,
-            )
-        )
+    n = min(c1.n_points, c2.n_points)
+    a = c1.xyz_view()[:n]
+    b = c2.xyz_view()[:n]
+    coords = a + (b - a) * t
+    aortic = c1.aortic_flags[:n] | c2.aortic_flags[:n]
     if c1.centroid is not None and c2.centroid is not None:
         centroid = tuple(
             c1.centroid[k] + (c2.centroid[k] - c1.centroid[k]) * t for k in range(3)
         )
     else:
         centroid = c1.centroid if c1.centroid is not None else c2.centroid
-    return PyContour(
+    return PyContour.from_arrays(
         id_,
         original_frame,
-        points,
+        coords,
         centroid if centroid is not None else (0.0, 0.0, 0.0),
+        np.full(n, original_frame, dtype=np.int64),
+        np.arange(n, dtype=np.int64),
+        aortic,
         _interp_opt(c1.aortic_thickness, c2.aortic_thickness, t),
         _interp_opt(c1.pulmonary_thickness, c2.pulmonary_thickness, t),
         c1.kind,
@@ -356,12 +350,13 @@ def assign_aortic(geometry: PyGeometry) -> PyGeometry:
     Parity: align_within.rs:319-331."""
     out = geometry.copy()
     for frame in out.frames:
-        n = len(frame.lumen.points)
+        n = frame.lumen.n_points
         if n == 0:
             continue
         half = n // 2
-        for i, p in enumerate(frame.lumen.points):
-            p.aortic = i >= half
+        flags = frame.lumen.aortic_flags
+        flags[:half] = False
+        flags[half:] = True
     return out
 
 
@@ -390,14 +385,14 @@ def align_frames_in_geometries(
     for geometry in geometries:
         if not geometry.frames:
             raise ValueError("Geometry contains no frames")
-        if not geometry.frames[0].lumen.points:
+        if geometry.frames[0].lumen.n_points == 0:
             raise ValueError("Lumen contours have no points")
         if sample_size == 0:
             raise ValueError("sample_size must be > 0")
-        sample_ratio = sample_size / len(geometry.frames[0].lumen.points)
+        sample_ratio = sample_size / geometry.frames[0].lumen.n_points
         catheter0 = geometry.frames[0].extras.get("Catheter")
         ssc = (
-            int(math.ceil(len(catheter0.points) * sample_ratio))
+            int(math.ceil(catheter0.n_points * sample_ratio))
             if catheter0 is not None
             else None
         )
@@ -513,16 +508,16 @@ def align_frames_in_geometry(
     """
     if not geometry.frames:
         raise ValueError("Geometry contains no frames")
-    if not geometry.frames[0].lumen.points:
+    if geometry.frames[0].lumen.n_points == 0:
         raise ValueError("Lumen contours have no points")
     if sample_size == 0:
         raise ValueError("sample_size must be > 0")
 
     geometry = geometry.copy()
-    sample_ratio = sample_size / len(geometry.frames[0].lumen.points)
+    sample_ratio = sample_size / geometry.frames[0].lumen.n_points
     catheter0 = geometry.frames[0].extras.get("Catheter")
     sample_size_catheter = (
-        int(math.ceil(len(catheter0.points) * sample_ratio))
+        int(math.ceil(catheter0.n_points * sample_ratio))
         if catheter0 is not None
         else None
     )

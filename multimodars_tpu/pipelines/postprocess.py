@@ -85,31 +85,28 @@ def predict_z_positions(ref_z: float, start_z: float, stop_z: float, z_diff: flo
 def blend_contour(c1: PyContour, c2: PyContour, t: float) -> PyContour:
     """Pointwise lerp keeping c1's z/indices.  Parity:
     postprocessing.rs:302-340."""
-    points = [
-        PyContourPoint(
-            p1.frame_index,
-            p1.point_index,
-            p1.x + t * (p2.x - p1.x),
-            p1.y + t * (p2.y - p1.y),
-            p1.z,
-            p1.aortic,
-        )
-        for p1, p2 in zip(c1.points, c2.points)
-    ]
+    n = min(c1.n_points, c2.n_points)
+    a = c1.xyz_view()[:n]
+    b = c2.xyz_view()[:n]
+    coords = a + t * (b - a)
+    coords[:, 2] = a[:, 2]
     centroid = None
     if c1.centroid is not None and c2.centroid is not None:
         centroid = tuple(c1.centroid[k] + t * (c2.centroid[k] - c1.centroid[k]) for k in range(3))
 
-    def lerp_opt(a, b):
-        if a is not None and b is not None:
-            return a + t * (b - a)
+    def lerp_opt(x, y):
+        if x is not None and y is not None:
+            return x + t * (y - x)
         return None
 
-    return PyContour(
+    return PyContour.from_arrays(
         c1.id,
         c1.original_frame,
-        points,
+        coords,
         centroid if centroid is not None else (0.0, 0.0, 0.0),
+        c1.frame_indices[:n].copy(),
+        c1.point_indices[:n].copy(),
+        c1.aortic_flags[:n].copy(),
         lerp_opt(c1.aortic_thickness, c2.aortic_thickness),
         lerp_opt(c1.pulmonary_thickness, c2.pulmonary_thickness),
         c1.kind,
@@ -167,15 +164,13 @@ def new_frames_by_sample_rate(geometry: PyGeometry, z_coords: List[float]) -> Py
     for new_id, frame in enumerate(new_frames):
         frame.id = new_id
         frame.lumen.id = new_id
-        for pt in frame.lumen.points:
-            pt.z = frame.centroid[2]
+        frame.lumen.xyz_view()[:, 2] = frame.centroid[2]
         if frame.lumen.centroid is not None:
             c = frame.lumen.centroid
             frame.lumen.centroid = (c[0], c[1], frame.centroid[2])
         for extra in frame.extras.values():
             extra.id = new_id
-            for pt in extra.points:
-                pt.z = frame.centroid[2]
+            extra.xyz_view()[:, 2] = frame.centroid[2]
         if frame.reference_point is not None:
             frame.reference_point.z = frame.centroid[2]
     return PyGeometry(new_frames, geometry.label)

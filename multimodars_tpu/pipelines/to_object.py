@@ -49,20 +49,23 @@ def _interp_thickness(a: Optional[float], b: Optional[float], t: float) -> Optio
 
 
 def _interp_contour(start: PyContour, end: PyContour, t: float) -> PyContour:
-    if len(start.points) != len(end.points):
+    if start.n_points != end.n_points:
         raise ValueError("Contour point counts do not match between start and end")
-    points = [_interp_point(ps, pe, t) for ps, pe in zip(start.points, end.points)]
+    coords = start.xyz_view() * (1.0 - t) + end.xyz_view() * t
     if start.centroid is not None and end.centroid is not None:
         centroid = tuple(
             start.centroid[k] * (1.0 - t) + end.centroid[k] * t for k in range(3)
         )
     else:
         centroid = start.centroid if start.centroid is not None else end.centroid
-    return PyContour(
+    return PyContour.from_arrays(
         start.id,
         start.original_frame,
-        points,
+        coords,
         centroid if centroid is not None else (0.0, 0.0, 0.0),
+        start.frame_indices.copy(),
+        start.point_indices.copy(),
+        start.aortic_flags.copy(),
         _interp_thickness(start.aortic_thickness, end.aortic_thickness, t),
         _interp_thickness(start.pulmonary_thickness, end.pulmonary_thickness, t),
         start.kind,
@@ -116,16 +119,16 @@ def interpolate_contours(
 def compute_uv_coordinates(contours: Sequence[PyContour]) -> List[Tuple[float, float]]:
     """u = (point idx + .5)/P, v = (contour idx + .5)/C.
     Parity: texture.rs:6-28."""
-    if not contours or not contours[0].points:
+    if not contours or contours[0].n_points == 0:
         return []
-    points_per_contour = len(contours[0].points)
+    points_per_contour = contours[0].n_points
     num_contours = len(contours)
     uvs = []
     for ci, group in enumerate(contours):
-        if not group.points:
+        if group.n_points == 0:
             continue
         v = (ci + 0.5) / num_contours
-        for pi in range(len(group.points)):
+        for pi in range(group.n_points):
             uvs.append(((pi + 0.5) / points_per_contour, v))
     return uvs
 
@@ -206,7 +209,7 @@ def write_mtl_geometry(
                 continue
             uv_all.append(compute_uv_coordinates(contours))
             height = len(contours)
-            width = len(contours[0].points) if height > 0 else 0
+            width = contours[0].n_points if height > 0 else 0
             tex_filename = f"{type_name}_{i:03}_{case_name}.png"
             texture_path = Path(output_dir) / tex_filename
             mtl_path = Path(output_dir) / f"{type_name}_{i:03}_{case_name}.mtl"

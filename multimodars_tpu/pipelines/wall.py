@@ -1,4 +1,4 @@
-"""Vessel-wall contour synthesis.
+"""Vessel-wall contour synthesis (vectorised).
 
 Parity: ``src/intravascular/processing/wall.rs`` of the reference.
 """
@@ -25,18 +25,16 @@ def offset_contour(
     Parity: wall.rs:52-100."""
     out = contour.copy()
     out.compute_centroid()
-    cx, cy, cz = out.centroid
-    for p in out.points:
-        if point_range is not None and not (point_range[0] <= p.point_index <= point_range[1]):
-            continue
-        dx = p.x - cx
-        dy = p.y - cy
-        dz = p.z - cz
-        length = math.sqrt(dx * dx + dy * dy + dz * dz)
-        if length > np.finfo(np.float64).eps:
-            p.x += dx / length * distance
-            p.y += dy / length * distance
-            p.z += dz / length * distance
+    centroid = np.asarray(out.centroid)
+    xyz = out.xyz_view()
+    rel = xyz - centroid
+    length = np.sqrt((rel * rel).sum(-1))
+    ok = length > np.finfo(np.float64).eps
+    if point_range is not None:
+        pidx = out.point_indices
+        ok = ok & (pidx >= point_range[0]) & (pidx <= point_range[1])
+    scale = np.where(ok, distance / np.where(length > 0, length, 1.0), 0.0)
+    xyz += rel * scale[:, None]
     out.kind = "Wall"
     return out
 
@@ -45,20 +43,20 @@ def create_aortic_wall(contour: PyContour) -> PyContour:
     """Composite wall for aortic-adjacent (anomalous) vessels: offset lumen
     half on the coronary side + rectangular aortic-thickness profile.
     Parity: wall.rs:109-213."""
-    n = len(contour.points)
+    n = contour.n_points
     first_quarter = n // 4
     half = n // 2
     third_quarter = first_quarter * 3
 
-    ref_pt = contour.points[third_quarter]
+    xyz = contour.xyz_view()
     thickness = contour.aortic_thickness
     assert thickness is not None, "aortic_thickness must be present for this contour"
-    outer_x = ref_pt.x + thickness
-    z = ref_pt.z
+    outer_x = float(xyz[third_quarter, 0]) + thickness
+    z = float(xyz[third_quarter, 2])
 
-    up_mid = (contour.points[0].x, contour.points[0].y + 1.0)
+    up_mid = (float(xyz[0, 0]), float(xyz[0, 1]) + 1.0)
     up_right = (outer_x, up_mid[1])
-    low_mid = (contour.points[half].x, contour.points[half].y - 1.0)
+    low_mid = (float(xyz[half, 0]), float(xyz[half, 1]) - 1.0)
     low_right = (outer_x, low_mid[1])
 
     dist_up = abs(up_right[0] - up_mid[0])
@@ -73,42 +71,55 @@ def create_aortic_wall(contour: PyContour) -> PyContour:
     if total != half:
         n_points_low += half - total
 
-    right_points: List[Tuple[float, float]] = []
     with np.errstate(divide="ignore", invalid="ignore"):
-        for i in range(n_points_low):
-            t = np.float64(i) / np.float64(n_points_low - 1)
-            x = low_mid[0] + t * (low_right[0] - low_mid[0])
-            right_points.append((float(x), low_mid[1]))
-        for i in range(n_points_mid):
-            t = np.float64(i) / np.float64(n_points_mid - 1)
-            y = low_right[1] + t * (up_right[1] - low_right[1])
-            right_points.append((low_right[0], float(y)))
-        for i in range(n_points_up):
-            t = np.float64(i) / np.float64(max(n_points_up, 1) - 1)
-            x = up_right[0] - t * (up_right[0] - up_mid[0])
-            right_points.append((float(x), up_right[1]))
-
-    left_wall = offset_contour(contour, 1.0, (0, half)).points
-    if len(left_wall) % 2 != 0:
-        left_wall = left_wall[: half + 1]
-    else:
-        left_wall = left_wall[:half]
-    left_len = len(left_wall)
-
-    right_wall: List[PyContourPoint] = []
-    for i, (x, y) in enumerate(right_points):
-        src_index = left_len + i
-        assert src_index < n, f"Index out of bounds: {src_index} >= {n}"
-        src = contour.points[src_index]
-        right_wall.append(
-            PyContourPoint(src.frame_index, src.point_index, x, y, z, src.aortic)
+        t_low = np.arange(n_points_low) / np.float64(n_points_low - 1)
+        seg_low = np.stack(
+            [low_mid[0] + t_low * (low_right[0] - low_mid[0]), np.full(n_points_low, low_mid[1])],
+            axis=-1,
         )
+        t_mid = np.arange(n_points_mid) / np.float64(n_points_mid - 1)
+        seg_mid = np.stack(
+            [np.full(n_points_mid, low_right[0]), low_right[1] + t_mid * (up_right[1] - low_right[1])],
+            axis=-1,
+        )
+        t_up = np.arange(n_points_up) / np.float64(max(n_points_up, 1) - 1)
+        seg_up = np.stack(
+            [up_right[0] - t_up * (up_right[0] - up_mid[0]), np.full(n_points_up, up_right[1])],
+            axis=-1,
+        )
+    right_points = np.concatenate([seg_low, seg_mid, seg_up], axis=0)
 
-    return PyContour(
+    left = offset_contour(contour, 1.0, (0, half))
+    left_len = half + 1 if n % 2 != 0 else half
+
+    right_len = right_points.shape[0]
+    src_slice = slice(left_len, left_len + right_len)
+    assert left_len + right_len - 1 < n, f"Index out of bounds: {left_len + right_len - 1} >= {n}"
+
+    coords = np.empty((left_len + right_len, 3))
+    coords[:left_len] = left.xyz_view()[:left_len]
+    coords[left_len:, 0] = right_points[:, 0]
+    coords[left_len:, 1] = right_points[:, 1]
+    coords[left_len:, 2] = z
+
+    frame_idx = np.concatenate(
+        [left.frame_indices[:left_len], contour.frame_indices[src_slice]]
+    )
+    point_idx = np.concatenate(
+        [left.point_indices[:left_len], contour.point_indices[src_slice]]
+    )
+    aortic = np.concatenate(
+        [left.aortic_flags[:left_len], contour.aortic_flags[src_slice]]
+    )
+
+    return PyContour.from_arrays(
         contour.id,
         contour.original_frame,
-        left_wall + right_wall,
+        coords,
         contour.centroid,
+        frame_idx,
+        point_idx,
+        aortic,
         contour.aortic_thickness,
         contour.pulmonary_thickness,
         "Wall",
