@@ -12,7 +12,6 @@ from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
-from .ccta.mesh import Mesh
 from .models.centerline import PyCenterline
 from .models.contour import PyContour
 from .models.frame import PyFrame
@@ -426,10 +425,12 @@ def geometry_to_frames_array(geometry: PyGeometry) -> Dict[str, Dict[str, np.nda
     return {str(frame.id): _frame_to_numpy(frame) for frame in geometry.frames}
 
 
-def geometry_to_trimesh(geometry: PyGeometry, contour_type=None) -> Mesh:
+def geometry_to_trimesh(geometry: PyGeometry, contour_type=None):
     """Closed tube mesh over one contour type's stacked rings (two triangles
     per quad, outward-oriented).  Parity: _converters.py:1018-1088 but
     returning the package-native Mesh."""
+    from .ccta.mesh import Mesh
+
     if contour_type is None:
         contour_type = PyContourType.Lumen
     name = contour_type.name if isinstance(contour_type, PyContourType) else str(contour_type)

@@ -1,0 +1,838 @@
+"""CCTA mesh-fusion compute kernels.
+
+Parity: ``src/ccta/adjust_mesh/{label_coronary,scale_coronary}.rs``,
+``src/ccta/discretizing/{projecting,resampling,vessel_tree}.rs`` and the
+pyfunctions in ``src/ccta/binding/ccta_py.rs`` of the reference.
+
+TPU mapping: the reference accelerates these with rayon + R-trees; here the
+same queries are dense batched reductions — pairwise-distance min/argmin
+tiles (chunked to bound memory), a vmapped Möller–Trumbore ray-triangle
+kernel, and grid sweeps evaluated as one batch over all scaling candidates.
+Exact-identity set operations (the labeling bookkeeping) stay host-side on
+bit-pattern keys, as in the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..models.centerline import PyCenterline
+from ..models.contour import PyContour
+from ..models.frame import PyFrame
+from .mesh import fix_faces_winding
+
+Coords3 = Tuple[float, float, float]
+
+_CHUNK = 16384
+
+
+def _as_array(points) -> np.ndarray:
+    arr = np.asarray(points, dtype=np.float64)
+    if arr.size == 0:
+        return arr.reshape(0, 3)
+    return arr.reshape(-1, 3)
+
+
+# ---------------------------------------------------------------------------
+# pairwise distance primitives (device, chunked)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _min_sqdist_block(a, b):
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    return d2.min(axis=1), d2.argmin(axis=1)
+
+
+def min_sqdist(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row min squared distance (and argmin) from a (N,3) to b (M,3)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.full(len(a), np.inf), np.zeros(len(a), dtype=np.int64)
+    dtype = config.compute_dtype
+    b_d = jnp.asarray(b, dtype=dtype)
+    mins, args = [], []
+    for start in range(0, len(a), _CHUNK):
+        block = jnp.asarray(a[start : start + _CHUNK], dtype=dtype)
+        m, g = _min_sqdist_block(block, b_d)
+        mins.append(np.asarray(m, dtype=np.float64))
+        args.append(np.asarray(g, dtype=np.int64))
+    return np.concatenate(mins), np.concatenate(args)
+
+
+def count_within_radius(a: np.ndarray, b: np.ndarray, radius: float) -> np.ndarray:
+    """For each row of a, the number of rows of b with squared distance
+    <= radius^2 (inclusive, matching rstar's locate_within_distance)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros(len(a), dtype=np.int64)
+    dtype = config.compute_dtype
+    b_d = jnp.asarray(b, dtype=dtype)
+    r2 = radius * radius
+    out = []
+
+    @jax.jit
+    def block_counts(block, b_arr):
+        d2 = ((block[:, None, :] - b_arr[None, :, :]) ** 2).sum(-1)
+        return (d2 <= r2).sum(axis=1)
+
+    for start in range(0, len(a), _CHUNK):
+        block = jnp.asarray(a[start : start + _CHUNK], dtype=dtype)
+        out.append(np.asarray(block_counts(block, b_d), dtype=np.int64))
+    return np.concatenate(out)
+
+
+# ---------------------------------------------------------------------------
+# labeling kernels
+# ---------------------------------------------------------------------------
+
+def _check_centerline_sorted(centerline: PyCenterline) -> np.ndarray:
+    """Centerline positions sorted by descending z (label_coronary.rs:424-432)."""
+    pos = centerline.positions()
+    order = np.argsort(-pos[:, 2], kind="stable")
+    return pos[order]
+
+
+def find_centerline_bounded_points_simple(
+    centerline: PyCenterline, points: Sequence[Coords3], radius: float
+) -> List[Coords3]:
+    """Points within ``radius`` of any centerline point.
+    Parity: find_centerline_bounded_points (label_coronary.rs:195-225)."""
+    pts = _as_array(points)
+    cl = _check_centerline_sorted(centerline)
+    if len(pts) == 0 or len(cl) == 0:
+        return []
+    d2, _ = min_sqdist(pts, cl)
+    keep = d2 <= radius * radius
+    return [tuple(p) for i, p in enumerate(points) if keep[i]]
+
+
+def find_faces_near_points(
+    vertices: Sequence[Coords3],
+    faces: Sequence[Sequence[int]],
+    points: Sequence[Coords3],
+    tol: float = 1e-6,
+):
+    """Faces touching any vertex within ``tol`` of a query point; returned as
+    vertex-coordinate triangles.  Parity: label_coronary.rs:233-277."""
+    verts = _as_array(vertices)
+    pts = _as_array(points)
+    faces_arr = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+    if len(pts) == 0 or len(verts) == 0 or len(faces_arr) == 0:
+        return []
+    d2, _ = min_sqdist(verts, pts)
+    matched = d2 <= tol * tol
+    face_mask = matched[faces_arr].any(axis=1)
+    out = []
+    for a, b, c in faces_arr[face_mask]:
+        out.append((tuple(verts[a]), tuple(verts[b]), tuple(verts[c])))
+    return out
+
+
+@jax.jit
+def _ray_triangle_hits(origins, directions, v0, v1, v2):
+    """Batched Möller–Trumbore: t-values [R, F] (+inf where no hit).
+
+    origins/directions: [R, 3]; v0/v1/v2: [F, 3].
+    Parity: ray_triangle_intersection (label_coronary.rs:29-68).
+    """
+    eps = 1e-8
+    edge1 = v1 - v0  # [F, 3]
+    edge2 = v2 - v0
+    h = jnp.cross(directions[:, None, :], edge2[None, :, :])  # [R, F, 3]
+    a = (edge1[None] * h).sum(-1)  # [R, F]
+    parallel = jnp.abs(a) < eps
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    s = origins[:, None, :] - v0[None, :, :]
+    u = f * (s * h).sum(-1)
+    q = jnp.cross(s, edge1[None, :, :])
+    v = f * (directions[:, None, :] * q).sum(-1)
+    t = f * (edge2[None] * q).sum(-1)
+    valid = (
+        (~parallel)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > eps)
+    )
+    return jnp.where(valid, t, jnp.inf)
+
+
+def remove_occluded_points_ray_triangle(
+    centerline_coronary: PyCenterline,
+    centerline_aorta: PyCenterline,
+    range_coronary: int,
+    points: Sequence[Coords3],
+    faces,
+    step_size_mm: float,
+) -> List[Coords3]:
+    """Möller–Trumbore occlusion removal of intramural-course points.
+
+    Rays run from every aorta centerline point to strided coronary
+    centerline points; when a ray pierces >= 3 faces, the nearest face is
+    excluded and all mesh points within 0.5 mm of its vertices are removed.
+    Parity: label_coronary.rs:70-193 (rays batched as one device kernel).
+    """
+    pts = list(points)
+    if not pts or not len(faces):
+        return list(pts)
+
+    cl_cor = _check_centerline_sorted(centerline_coronary)
+    cl_ao = _check_centerline_sorted(centerline_aorta)
+    spacing = (centerline_aorta.mean_spacing() + centerline_coronary.mean_spacing()) / 2.0
+    step_cl_points = max(int(math.ceil(step_size_mm / spacing)), 1)
+
+    cor_targets = cl_cor[:range_coronary][::step_cl_points]
+    if len(cor_targets) == 0 or len(cl_ao) == 0:
+        return list(pts)
+
+    tri = np.asarray(faces, dtype=np.float64).reshape(-1, 3, 3)
+    dtype = config.compute_dtype
+
+    origins = np.repeat(cl_ao, len(cor_targets), axis=0)  # [R, 3]
+    targets = np.tile(cor_targets, (len(cl_ao), 1))
+    directions = targets - origins
+
+    v0 = jnp.asarray(tri[:, 0], dtype=dtype)
+    v1 = jnp.asarray(tri[:, 1], dtype=dtype)
+    v2 = jnp.asarray(tri[:, 2], dtype=dtype)
+    faces_to_exclude = set()
+    RAY_CHUNK = 4096
+    for rs in range(0, len(origins), RAY_CHUNK):
+        t_vals = np.asarray(
+            _ray_triangle_hits(
+                jnp.asarray(origins[rs : rs + RAY_CHUNK], dtype=dtype),
+                jnp.asarray(directions[rs : rs + RAY_CHUNK], dtype=dtype),
+                v0,
+                v1,
+                v2,
+            )
+        )
+        n_hits = np.isfinite(t_vals).sum(axis=1)
+        closest_face = np.argmin(t_vals, axis=1)
+        faces_to_exclude.update(closest_face[n_hits >= 3].tolist())
+
+    print(f"Total faces to exclude: {len(faces_to_exclude)}")
+
+    DISTANCE_THRESHOLD = 0.5  # squared semantics, like the reference
+
+    if faces_to_exclude:
+        excluded_vertices = tri[sorted(faces_to_exclude)].reshape(-1, 3)
+        d2, _ = min_sqdist(_as_array(pts), excluded_vertices)
+        remove_mask = d2 <= DISTANCE_THRESHOLD
+    else:
+        remove_mask = np.zeros(len(pts), dtype=bool)
+
+    filtered = [tuple(p) for i, p in enumerate(pts) if not remove_mask[i]]
+    print(
+        f"Excluded {len(faces_to_exclude)} faces, removed "
+        f"{int(remove_mask.sum())} points (filtered from {len(pts)} to "
+        f"{len(filtered)} points)"
+    )
+    return filtered
+
+
+def _bits_key(p: Coords3) -> Tuple[int, int, int]:
+    return (
+        np.float64(p[0]).view(np.uint64).item(),
+        np.float64(p[1]).view(np.uint64).item(),
+        np.float64(p[2]).view(np.uint64).item(),
+    )
+
+
+def _bits_keys(arr: np.ndarray) -> np.ndarray:
+    """(N,) structured view for exact-bit-pattern set operations."""
+    a = np.ascontiguousarray(arr, dtype=np.float64).view(np.uint64).reshape(-1, 3)
+    return np.ascontiguousarray(a).view([("x", np.uint64), ("y", np.uint64), ("z", np.uint64)]).reshape(-1)
+
+
+def find_aortic_points(
+    vertices: Sequence[Coords3],
+    points_a: Sequence[Coords3],
+    points_b: Sequence[Coords3],
+) -> List[Coords3]:
+    """Vertices present in neither set (exact bit-pattern difference).
+    Parity: label_coronary.rs:291-306."""
+    verts = _as_array(vertices)
+    if len(verts) == 0:
+        return []
+    excluded = set()
+    for group in (points_a, points_b):
+        arr = _as_array(group)
+        if len(arr):
+            excluded.update(_bits_keys(arr).tolist())
+    keys = _bits_keys(verts).tolist()
+    return [tuple(v) for v, k in zip(vertices, keys) if k not in excluded]
+
+
+def build_adjacency_map(faces) -> Dict[int, Set[int]]:
+    """Vertex adjacency from faces.  Parity: ccta_py.rs:502-520."""
+    adjacency: Dict[int, Set[int]] = {}
+    for face in faces:
+        v0, v1, v2 = int(face[0]), int(face[1]), int(face[2])
+        for a, b in ((v0, v1), (v1, v2), (v2, v0)):
+            adjacency.setdefault(a, set()).add(b)
+            adjacency.setdefault(b, set()).add(a)
+    return adjacency
+
+
+def smooth_mesh_labels(labels, adjacency_map, iterations: int):
+    """Unanimous-majority label smoothing.  Parity: ccta_py.rs:718-758."""
+    current = list(labels)
+    n = len(current)
+    for _ in range(iterations):
+        nxt = list(current)
+        for i in range(n):
+            neighbors = adjacency_map.get(i)
+            if not neighbors:
+                continue
+            counts: Dict[int, int] = {}
+            for nb in neighbors:
+                counts[current[nb]] = counts.get(current[nb], 0) + 1
+            majority_label, max_count = max(counts.items(), key=lambda kv: kv[1])
+            if max_count == len(neighbors) and current[i] != majority_label:
+                nxt[i] = majority_label
+        current = nxt
+    return current
+
+
+def fix_mesh_winding(faces):
+    """Parity: ccta_py.rs:545-633 (see ccta.mesh.fix_faces_winding)."""
+    return fix_faces_winding([list(f) for f in faces])
+
+
+def final_reclassification(
+    vertices: Sequence[Coords3],
+    faces,
+    rca_points: Sequence[Coords3],
+    lca_points: Sequence[Coords3],
+    rca_removed_points: Sequence[Coords3],
+    lca_removed_points: Sequence[Coords3],
+):
+    """Adjacency label smoothing: isolated coronary vertex -> aorta (Logic A);
+    removed vertex with >70% coronary neighbours restored (Logic B).
+    Parity: label_coronary.rs:328-420."""
+    n_vertices = len(vertices)
+    coord_to_idx: Dict[Tuple[int, int, int], int] = {}
+    verts = _as_array(vertices)
+    vert_keys = _bits_keys(verts).tolist() if n_vertices else []
+    for i, k in enumerate(vert_keys):
+        coord_to_idx[k] = i  # last wins, like the reference
+
+    labels = np.zeros(n_vertices, dtype=np.uint8)
+    for group, value in (
+        (rca_points, 1),
+        (lca_points, 2),
+        (rca_removed_points, 3),
+        (lca_removed_points, 4),
+    ):
+        arr = _as_array(group)
+        if len(arr) == 0:
+            continue
+        for k in _bits_keys(arr).tolist():
+            idx = coord_to_idx.get(k)
+            if idx is not None:
+                labels[idx] = value
+
+    adjacency = build_adjacency_map(faces)
+    new_labels = labels.copy()
+    for i in range(n_vertices):
+        neighbors = adjacency.get(i)
+        if not neighbors:
+            continue
+        current = labels[i]
+        neighbor_labels = [labels[nb] for nb in neighbors]
+        if current == 1 and 1 not in neighbor_labels:
+            new_labels[i] = 0
+        elif current == 2 and 2 not in neighbor_labels:
+            new_labels[i] = 0
+        elif current == 3:
+            if sum(1 for l in neighbor_labels if l == 1) > len(neighbors) * 0.7:
+                new_labels[i] = 1
+        elif current == 4:
+            if sum(1 for l in neighbor_labels if l == 2) > len(neighbors) * 0.7:
+                new_labels[i] = 2
+
+    buckets: List[List[Coords3]] = [[], [], [], [], []]
+    for i, label in enumerate(new_labels):
+        buckets[label].append(tuple(verts[i]))
+    return tuple(buckets)
+
+
+def clean_outlier_points(
+    points_to_cleanup: Sequence[Coords3],
+    reference_points: Sequence[Coords3],
+    neighborhood_radius: float,
+    min_neigbor_ratio: float,
+):
+    """Density-based outlier absorption into the reference set.
+    Parity: clean_up_non_section_points (scale_coronary.rs:341-404)."""
+    cleanup = list(points_to_cleanup)
+    reassigned = [tuple(p) for p in reference_points]
+    cleaned: List[Coords3] = []
+    if not cleanup:
+        return cleaned, reassigned
+
+    cleanup_arr = _as_array(cleanup)
+    ref_arr = _as_array(reference_points)
+    ref_counts = count_within_radius(cleanup_arr, ref_arr, neighborhood_radius)
+    self_counts = np.maximum(
+        count_within_radius(cleanup_arr, cleanup_arr, neighborhood_radius) - 1, 0
+    )
+    total = ref_counts + self_counts
+    for i, point in enumerate(cleanup):
+        if total[i] > 0:
+            if ref_counts[i] / total[i] >= min_neigbor_ratio:
+                reassigned.append(tuple(point))
+            else:
+                cleaned.append(tuple(point))
+        else:
+            cleaned.append(tuple(point))
+    return cleaned, reassigned
+
+
+def find_points_by_cl_region(
+    centerline: PyCenterline,
+    frames: Sequence[PyFrame],
+    points: Sequence[Coords3],
+):
+    """Partition mesh points into proximal / distal / between regions
+    relative to the frames' extent along the centerline.
+    Parity: find_points_by_cl_region_rs (scale_coronary.rs:263-312)."""
+    centroids = np.array([f.centroid for f in frames], dtype=np.float64)
+    zdiffs = np.abs(np.diff(centroids[:, 2]))
+    cumulative = float(zdiffs.sum() / (len(frames) - 1)) if len(frames) > 1 else 0.0
+
+    cl_pos = centerline.positions()
+    cl_frame_idx = np.array(
+        [p.contour_point.frame_index for p in centerline.points], dtype=np.int64
+    )
+
+    # centerline indices within range of any frame centroid
+    d2, _ = min_sqdist(cl_pos, centroids)
+    in_range_frame_indices = set(cl_frame_idx[d2 <= cumulative * cumulative].tolist())
+
+    pts = _as_array(points)
+    _, nearest_cl = min_sqdist(pts, cl_pos)
+    nearest_frame_idx = cl_frame_idx[nearest_cl]
+
+    dist_ref = centroids[-1]
+    proximal: List[Coords3] = []
+    distal: List[Coords3] = []
+    between: List[Coords3] = []
+    for i, point in enumerate(points):
+        if int(nearest_frame_idx[i]) in in_range_frame_indices:
+            between.append(tuple(point))
+        elif point[0] > dist_ref[0] and point[1] > dist_ref[1] and point[2] > dist_ref[2]:
+            proximal.append(tuple(point))
+        else:
+            distal.append(tuple(point))
+
+    proximal, between = clean_outlier_points(proximal, between, 1.0, 0.6)
+    distal, between = clean_outlier_points(distal, between, 1.0, 0.6)
+    return proximal, distal, between
+
+
+# ---------------------------------------------------------------------------
+# morphing / scaling kernels
+# ---------------------------------------------------------------------------
+
+def adjust_diameter_centerline_morphing_simple(
+    centerline: PyCenterline,
+    points: Sequence[Coords3],
+    diameter_adjustment_mm: float,
+) -> List[Coords3]:
+    """Move each point along its nearest-centerline radial direction.
+    Parity: centerline_based_diameter_morphing (scale_coronary.rs:218-243)."""
+    pts = _as_array(points)
+    if len(pts) == 0:
+        return []
+    cl_pos = centerline.positions()
+    moved = _morph_points(pts, cl_pos, diameter_adjustment_mm)
+    return [tuple(p) for p in moved]
+
+
+def _morph_points(pts: np.ndarray, cl_pos: np.ndarray, adjustment: float) -> np.ndarray:
+    _, nearest = min_sqdist(pts, cl_pos)
+    rel = pts - cl_pos[nearest]
+    norms = np.linalg.norm(rel, axis=1)
+    ok = norms > 0.0
+    scale = np.where(ok, adjustment / np.where(ok, norms, 1.0), 0.0)
+    return pts + rel * scale[:, None]
+
+
+def _symmetric_nn_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """RMS of symmetric mean nearest-neighbour squared distances.
+    Parity: scale_coronary.rs:188-216."""
+    if len(a) == 0 or len(b) == 0:
+        return float("inf")
+    d_ab, _ = min_sqdist(a, b)
+    d_ba, _ = min_sqdist(b, a)
+    return float(math.sqrt((d_ab.mean() + d_ba.mean()) / 2.0))
+
+
+def _grid_sweep_scaling(points: np.ndarray, reference: np.ndarray, cl_pos: np.ndarray) -> float:
+    """Sweep x in [-2, 2] step 0.1 of the morphing and keep the x minimising
+    the symmetric NN distance (strictly-less, first wins).
+    Parity: scale_coronary.rs:65-130 — all candidates evaluated as a batch of
+    morphs against a shared nearest-centerline lookup."""
+    start, end, step = -2.0, 2.0, 0.1
+    steps = int(round((end - start) / step))
+    # the nearest-centerline direction is scaling-invariant: precompute once
+    _, nearest = min_sqdist(points, cl_pos) if len(points) else (None, None)
+    best_x = float("inf")
+    min_dist = float("inf")
+    if len(points):
+        rel = points - cl_pos[nearest]
+        norms = np.linalg.norm(rel, axis=1)
+        ok = norms > 0.0
+        unit = np.where(ok[:, None], rel / np.where(ok, norms, 1.0)[:, None], 0.0)
+    if len(points) == 0:
+        return best_x
+    for i in range(steps + 1):
+        x = start + i * step
+        moved = points + unit * x
+        dist = _symmetric_nn_distance(reference, moved)
+        if dist < min_dist:
+            min_dist = dist
+            best_x = x
+    return best_x
+
+
+def find_proximal_distal_scaling(
+    anomalous_points: Sequence[Coords3],
+    n_proximal: int,
+    n_distal: int,
+    centerline: PyCenterline,
+    proximal_reference: Sequence[Coords3],
+    distal_reference: Sequence[Coords3],
+) -> Tuple[float, float]:
+    """Optimal morphing scalings for the proximal/distal anomalous-segment
+    ends.  Parity: centerline_based_diameter_optimization
+    (scale_coronary.rs:90-131)."""
+    anomalous = _as_array(anomalous_points)
+    prox_ref = _as_array(proximal_reference)
+    dist_ref = _as_array(distal_reference)
+    cl_pos = centerline.positions()
+
+    prox_pts, remaining = _find_region_points(anomalous, prox_ref, n_proximal)
+    dist_pts, _ = _find_region_points(remaining, dist_ref, n_distal)
+
+    return (
+        _grid_sweep_scaling(prox_pts, prox_ref, cl_pos),
+        _grid_sweep_scaling(dist_pts, dist_ref, cl_pos),
+    )
+
+
+def _find_region_points(anomalous: np.ndarray, reference: np.ndarray, n_points: int):
+    """n closest anomalous points to the reference set (stable ordering).
+    Parity: find_region_points (scale_coronary.rs:133-183)."""
+    if len(anomalous) == 0 or len(reference) == 0 or n_points == 0:
+        return np.zeros((0, 3)), anomalous
+    d2, _ = min_sqdist(anomalous, reference)
+    order = np.lexsort((np.arange(len(d2)), d2))  # distance, then index
+    take = min(n_points, len(anomalous))
+    selected = order[:take]
+    mask = np.zeros(len(anomalous), dtype=bool)
+    mask[selected] = True
+    return anomalous[selected], anomalous[~mask]
+
+
+def find_aortic_scaling(
+    intramural_points: Sequence[Coords3],
+    reference_points: Sequence[Coords3],
+    centerline: PyCenterline,
+) -> float:
+    """Grid sweep of the aortic morphing.  Parity:
+    centerline_based_aortic_diameter_optimization (scale_coronary.rs:65-88)."""
+    return _grid_sweep_scaling(
+        _as_array(intramural_points), _as_array(reference_points), centerline.positions()
+    )
+
+
+def find_aortic_wall_scaling(
+    centerline: PyCenterline,
+    ref_pt_coronary: Coords3,
+    aortic_pts: Sequence[Coords3],
+) -> float:
+    """Closed-form projection of (ref - closest aortic point) onto the
+    cl->ref unit direction, clamped at 0.
+    Parity: centerline_based_wall_diameter_optimization
+    (scale_coronary.rs:8-63)."""
+    cl_pos = centerline.positions()
+    aortic = _as_array(aortic_pts)
+    if len(cl_pos) == 0 or len(aortic) == 0:
+        return 0.0
+    ref = np.asarray(ref_pt_coronary, dtype=np.float64)
+    closest_cl = cl_pos[int(np.argmin(((cl_pos - ref) ** 2).sum(-1)))]
+    closest_aortic = aortic[int(np.argmin(((aortic - ref) ** 2).sum(-1)))]
+    vector = ref - closest_cl
+    norm = float(np.linalg.norm(vector))
+    if norm == 0.0:
+        return 0.0
+    unit = vector / norm
+    t = float(np.dot(ref - closest_aortic, unit))
+    return max(t, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# discretization
+# ---------------------------------------------------------------------------
+
+def _branch_data(centerline: PyCenterline, branch_id: int):
+    idx = np.nonzero(centerline.branch_ids() == branch_id)[0]
+    pos = centerline.positions()[idx]
+    tangents = centerline.tangents()[idx]
+    radii = centerline.radii()[idx]
+    return pos, tangents, radii
+
+
+def walk_centerline_slices(
+    centerline: PyCenterline,
+    points: Sequence[Coords3],
+    branch_id: int,
+    step_size: float,
+) -> List[PyContour]:
+    """Uniform arc-length anchors -> Voronoi point assignment -> plane
+    projection.  Parity: projecting.rs:13-117 (Voronoi assignment is a single
+    batched argmin over anchors)."""
+    pos, tangents, radii = _branch_data(centerline, branch_id)
+    if len(pos) == 0:
+        return []
+
+    seg = np.sqrt(((pos[1:] - pos[:-1]) ** 2).sum(-1))
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = float(cum[-1])
+
+    sample_positions = []
+    s = 0.0
+    while s <= total + 1e-9:
+        sample_positions.append(s)
+        s += step_size
+    if sample_positions and sample_positions[-1] > total + 1e-6:
+        sample_positions[-1] = total
+
+    anchors_pos = []
+    anchors_tan = []
+    for k, target in enumerate(sample_positions):
+        segi = int(np.searchsorted(cum, target, side="right")) - 1
+        segi = max(segi, 0)
+        if segi >= len(pos) - 1:
+            anchors_pos.append(pos[-1])
+            anchors_tan.append(tangents[-1])
+            continue
+        s0, s1 = cum[segi], cum[segi + 1]
+        t = 0.0 if abs(s1 - s0) < 1e-12 else (target - s0) / (s1 - s0)
+        anchors_pos.append(pos[segi] + t * (pos[segi + 1] - pos[segi]))
+        tangent = tangents[segi] * (1.0 - t) + tangents[segi + 1] * t
+        tn = float(np.linalg.norm(tangent))
+        anchors_tan.append(tangent / tn if tn > 1e-12 else tangent)
+    anchors_pos = np.array(anchors_pos)
+    anchors_tan = np.array(anchors_tan)
+
+    pts = _as_array(points)
+    contours: List[PyContour] = []
+    if len(pts):
+        _, assignment = min_sqdist(pts, anchors_pos)
+        rel = pts - anchors_pos[assignment]
+        n = anchors_tan[assignment]
+        proj = pts - n * (rel * n).sum(-1)[:, None]
+    for k in range(len(anchors_pos)):
+        if len(pts):
+            sel = proj[assignment == k]
+        else:
+            sel = np.zeros((0, 3))
+        contours.append(
+            PyContour.from_arrays(
+                k,
+                k,
+                sel,
+                tuple(anchors_pos[k]),
+                np.full(len(sel), k, dtype=np.int64),
+                np.arange(len(sel), dtype=np.int64),
+                None,
+                None,
+                None,
+                "Lumen",
+            )
+        )
+    return contours
+
+
+def _local_basis(pts: np.ndarray, centroid: np.ndarray):
+    """Parity: resampling.rs:188-212."""
+    rel = pts - centroid
+    norms = np.linalg.norm(rel, axis=1)
+    candidates = np.nonzero(norms > 1e-10)[0]
+    if len(candidates) == 0:
+        return None
+    axis_u = rel[candidates[0]] / norms[candidates[0]]
+    cross = np.cross(axis_u, rel)
+    cross_norms = np.linalg.norm(cross, axis=1)
+    second = np.nonzero(cross_norms > 1e-10)[0]
+    if len(second) == 0:
+        return None
+    normal = cross[second[0]] / cross_norms[second[0]]
+    axis_v = np.cross(normal, axis_u)
+    axis_v /= np.linalg.norm(axis_v)
+    return axis_u, axis_v
+
+
+def _has_full_angular_coverage(contour: PyContour) -> bool:
+    """Parity: resampling.rs:38-65."""
+    pts = contour.xyz_view()
+    if len(pts) < 4 or contour.centroid is None:
+        return False
+    centroid = np.asarray(contour.centroid)
+    basis = _local_basis(pts, centroid)
+    if basis is None:
+        return False
+    axis_u, axis_v = basis
+    rel = pts - centroid
+    pu = rel @ axis_u
+    pv = rel @ axis_v
+    quadrants = {
+        (bool(u >= 0.0), bool(v >= 0.0)) for u, v in zip(pu >= 0.0, pv >= 0.0)
+    }
+    return len(quadrants) == 4
+
+
+def _resample_spline(contour: PyContour, n_points: int) -> Optional[PyContour]:
+    """Closed Catmull-Rom refit to n evenly spaced points (vectorised).
+    Parity: resampling.rs:68-185."""
+    if n_points < 2 or contour.n_points < 3 or contour.centroid is None:
+        return None
+    pts = contour.xyz_view()
+    centroid = np.asarray(contour.centroid)
+    basis = _local_basis(pts, centroid)
+    if basis is None:
+        return None
+    axis_u, axis_v = basis
+    rel = pts - centroid
+    angles = np.arctan2(rel @ axis_v, rel @ axis_u)
+    ctrl = pts[np.argsort(angles, kind="stable")]
+
+    SAMPLES_PER_SEG = 32
+    m = len(ctrl)
+    prev = np.roll(ctrl, 1, axis=0)
+    curr = ctrl
+    nxt = np.roll(ctrl, -1, axis=0)
+    after = np.roll(ctrl, -2, axis=0)
+    t = (np.arange(SAMPLES_PER_SEG) / SAMPLES_PER_SEG)[None, :, None]
+    t2 = t * t
+    t3 = t2 * t
+    curve = 0.5 * (
+        2.0 * curr[:, None, :]
+        + (nxt - prev)[:, None, :] * t
+        + (2.0 * prev - 5.0 * curr + 4.0 * nxt - after)[:, None, :] * t2
+        + (-prev + 3.0 * curr - 3.0 * nxt + after)[:, None, :] * t3
+    ).reshape(m * SAMPLES_PER_SEG, 3)
+    curve = np.concatenate([curve, curve[:1]], axis=0)
+
+    seglen = np.linalg.norm(curve[1:] - curve[:-1], axis=1)
+    arc = np.concatenate([[0.0], np.cumsum(seglen)])
+    total = float(arc[-1])
+    if total < 1e-10:
+        return None
+
+    step = total / n_points
+    targets = np.arange(n_points) * step
+    # Rust partition_point(|s| s < target) = first idx with arc >= target
+    seg = np.clip(np.searchsorted(arc, targets, side="left") - 1, 0, len(curve) - 2)
+    s0 = arc[seg]
+    s1 = arc[seg + 1]
+    denom = s1 - s0
+    frac = np.where(np.abs(denom) < 1e-12, 0.0, (targets - s0) / np.where(denom == 0, 1, denom))
+    resampled = curve[seg] * (1.0 - frac)[:, None] + curve[seg + 1] * frac[:, None]
+
+    return PyContour.from_arrays(
+        contour.id,
+        contour.original_frame,
+        resampled,
+        contour.centroid,
+        np.full(n_points, contour.id, dtype=np.int64),
+        np.arange(n_points, dtype=np.int64),
+        None,
+        None,
+        None,
+        contour.kind,
+    )
+
+
+def create_uniform_contours(contours: List[PyContour], n_points: int) -> List[PyContour]:
+    """Parity: resampling.rs:11-35."""
+    non_empty = [c for c in contours if c.n_points > 0]
+    coverage = [_has_full_angular_coverage(c) for c in non_empty]
+    start = next((i for i, ok in enumerate(coverage) if ok), 0)
+    end = next((i + 1 for i in range(len(coverage) - 1, -1, -1) if coverage[i]), len(non_empty))
+    out = []
+    for c in non_empty[start:end]:
+        resampled = _resample_spline(c, n_points)
+        if resampled is not None:
+            out.append(resampled)
+    return out
+
+
+def discretize_vessel(
+    centerline: PyCenterline,
+    points: Sequence[Coords3],
+    branch_id: int = 0,
+    step_size: float = 0.5,
+    n_points: int = 20,
+) -> List[PyContour]:
+    """Walk + Voronoi + coverage filter + Catmull-Rom resample.
+    Parity: discretize_vessel_rs (ccta_py.rs:669-686)."""
+    slices = walk_centerline_slices(centerline, points, branch_id, step_size)
+    return create_uniform_contours(slices, n_points)
+
+
+def discretize_vessel_tree(
+    ao_cl: PyCenterline,
+    rca_cl: PyCenterline,
+    lca_cl: PyCenterline,
+    points_ao,
+    points_rca_main,
+    points_lca_main,
+    side_branches_rca,
+    side_branches_lca,
+    branch_id_rca: int = 0,
+    branch_id_lca: int = 0,
+    step_size: float = 1.0,
+    n_points: int = 100,
+    calculate_ref_pts: bool = True,
+):
+    """Smooth the three centerlines (sigma = 2.5), discretize mains + side
+    branches, compute reference triplets.
+    Parity: vessel_tree.rs:18-99 + ccta_py.rs discretize_vessel_tree."""
+    from ..models.centerline import smooth_centerline
+    from ..models.vessel_tree import PyDiscretizedVesselTree
+
+    ao = smooth_centerline(ao_cl, 2.5)
+    rca = smooth_centerline(rca_cl, 2.5)
+    lca = smooth_centerline(lca_cl, 2.5)
+
+    tree = PyDiscretizedVesselTree(
+        discretized_aorta=discretize_vessel(ao, points_ao, 0, step_size, n_points),
+        discretized_rca_main=discretize_vessel(
+            rca, points_rca_main, branch_id_rca, step_size, n_points
+        ),
+        discretized_lca_main=discretize_vessel(
+            lca, points_lca_main, branch_id_lca, step_size, n_points
+        ),
+        spacing=step_size,
+        rca_branches=[
+            discretize_vessel(rca, pts, i + 1, step_size, n_points)
+            for i, pts in enumerate(side_branches_rca)
+        ],
+        lca_branches=[
+            discretize_vessel(lca, pts, i + 1, step_size, n_points)
+            for i, pts in enumerate(side_branches_lca)
+        ],
+    )
+    if calculate_ref_pts:
+        tree = tree.calculate_ref_pts()
+    return tree

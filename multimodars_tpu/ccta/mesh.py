@@ -228,6 +228,38 @@ class Mesh:
         self.faces = self.faces[np.asarray(mask)]
         self._invalidate()
 
+    def unique_faces(self) -> np.ndarray:
+        """Boolean mask keeping the first occurrence of each (unordered)
+        face (trimesh.Trimesh.unique_faces analog)."""
+        key = np.sort(self.faces, axis=1)
+        _, first = np.unique(key, axis=0, return_index=True)
+        mask = np.zeros(len(self.faces), dtype=bool)
+        mask[first] = True
+        return mask
+
+    def nondegenerate_faces(self) -> np.ndarray:
+        f = self.faces
+        return (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+
+    @property
+    def edges_unique_length(self) -> np.ndarray:
+        uniq = np.unique(self.edges_sorted, axis=0)
+        return np.linalg.norm(
+            self.vertices[uniq[:, 0]] - self.vertices[uniq[:, 1]], axis=1
+        )
+
+    def volume(self) -> float:
+        """Signed volume via the divergence theorem."""
+        t = self.triangles
+        return float(np.einsum("ij,ij->i", t[:, 0], np.cross(t[:, 1], t[:, 2])).sum() / 6.0)
+
+    def fix_inversion(self) -> None:
+        """Flip all faces if the signed volume is negative
+        (trimesh.repair.fix_inversion analog, multibody=False)."""
+        if len(self.faces) and self.volume() < 0.0:
+            self.faces = self.faces[:, ::-1]
+            self._invalidate()
+
     # -- repair -------------------------------------------------------------
     def fix_winding(self) -> None:
         """BFS winding-consistency repair (same algorithm as
@@ -237,16 +269,10 @@ class Mesh:
         self._invalidate()
 
     def fix_normals(self) -> None:
-        """Make winding consistent and orient outward (majority of normals
-        pointing away from the centroid)."""
+        """Make winding consistent and orient outward (positive signed
+        volume) — the trimesh fix_normals recipe."""
         self.fix_winding()
-        if len(self.faces) == 0:
-            return
-        center = self.vertices.mean(axis=0)
-        outward = ((self.triangles_center - center) * self.face_normals).sum(axis=1)
-        if (outward < 0).sum() > len(outward) / 2:
-            self.faces = self.faces[:, ::-1]
-        self._invalidate()
+        self.fix_inversion()
 
     def fill_holes(self) -> bool:
         """Fan-fill every boundary loop; returns True if watertight after."""

@@ -1,0 +1,474 @@
+"""CCTA module tests mirroring the reference tests/test_ccta.py (tiny
+hand-built meshes per kernel) plus an end-to-end tube fusion smoke."""
+
+import math
+
+import numpy as np
+import pytest
+
+from multimodars import (
+    PyContourPoint,
+    build_adjacency_map,
+    clean_outlier_points,
+    discretize_vessel,
+    find_aortic_points,
+    find_centerline_bounded_points_simple,
+    find_faces_near_points,
+    final_reclassification,
+    fix_mesh_winding,
+    numpy_to_centerline,
+    numpy_to_geometry,
+    geometry_to_trimesh,
+    smooth_mesh_labels,
+)
+from multimodars_tpu.ccta.fixing_functions import manual_hole_fill, postprocess_stitched_mesh
+from multimodars_tpu.ccta.labeling import _keep_largest_connected_component
+from multimodars_tpu.ccta.manipulating import (
+    _clamp_to_plane,
+    _fast_fix_normals,
+    _fix_ring_direction_by_distance,
+    _rotate_to_nearest_iv,
+    _stitch_boundary_ring,
+    keep_labeled_points_from_mesh,
+    order_points_list,
+    remove_labeled_points_from_mesh,
+    scale_region_centerline_morphing,
+    sync_results_to_mesh,
+)
+from multimodars_tpu.ccta.mesh import Mesh
+
+
+def _make_grid_mesh() -> Mesh:
+    verts = np.array(
+        [
+            [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [2.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0], [1.0, 1.0, 0.0], [2.0, 1.0, 0.0],
+            [0.0, 2.0, 0.0], [1.0, 2.0, 0.0], [2.0, 2.0, 0.0],
+        ]
+    )
+    faces = np.array(
+        [[0, 1, 3], [1, 4, 3], [1, 2, 4], [2, 5, 4],
+         [3, 4, 6], [4, 7, 6], [4, 5, 7], [5, 8, 7]]
+    )
+    return Mesh(verts, faces)
+
+
+def _make_hex_fan_mesh() -> Mesh:
+    angles = np.linspace(0, 2 * np.pi, 6, endpoint=False)
+    outer = np.column_stack([np.cos(angles), np.sin(angles), np.zeros(6)])
+    verts = np.vstack([outer, [[0.0, 0.0, 0.0]]])
+    faces = np.array([[i, (i + 1) % 6, 6] for i in range(6)])
+    return Mesh(verts, faces)
+
+
+def _make_iv_pts(coords):
+    return [
+        PyContourPoint(0, i, x, y, z, False) for i, (x, y, z) in enumerate(coords)
+    ]
+
+
+@pytest.fixture
+def grid_mesh():
+    return _make_grid_mesh()
+
+
+@pytest.fixture
+def hex_fan_mesh():
+    return _make_hex_fan_mesh()
+
+
+@pytest.fixture
+def grid_results(grid_mesh):
+    verts = [tuple(v) for v in grid_mesh.vertices]
+    return {
+        "mesh": grid_mesh,
+        "aorta_points": verts[6:9],
+        "rca_points": verts[0:3],
+        "lca_points": verts[3:6],
+        "rca_removed_points": [],
+        "lca_removed_points": [],
+    }
+
+
+class TestFindAorticPoints:
+    def test_basic_set_difference(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        out = find_aortic_points(verts, verts[0:3], verts[3:6])
+        assert sorted(out) == sorted(verts[6:9])
+
+    def test_empty_rca_lca_returns_all(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        assert sorted(find_aortic_points(verts, [], [])) == sorted(verts)
+
+    def test_all_labelled_returns_empty(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        assert find_aortic_points(verts, verts[:5], verts[5:]) == []
+
+
+class TestFindFacesNearPoints:
+    def test_corner_vertex_finds_its_face(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        faces = find_faces_near_points(verts, grid_mesh.faces.tolist(), [verts[0]], 1e-6)
+        assert len(faces) == 1  # corner 0 touches only face [0,1,3]
+
+    def test_centre_vertex_touches_many_faces(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        faces = find_faces_near_points(verts, grid_mesh.faces.tolist(), [verts[4]], 1e-6)
+        assert len(faces) == 6
+
+    def test_empty_points_returns_empty(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        assert find_faces_near_points(verts, grid_mesh.faces.tolist(), [], 1e-6) == []
+
+    def test_no_vertex_within_tol(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        out = find_faces_near_points(verts, grid_mesh.faces.tolist(), [(50.0, 50.0, 50.0)], 1e-6)
+        assert out == []
+
+
+class TestFinalReclassification:
+    def test_isolated_rca_becomes_aorta(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        aorta, rca, lca, rca_rm, lca_rm = final_reclassification(
+            verts, grid_mesh.faces.tolist(), [verts[0]], [], [], []
+        )
+        assert verts[0] in aorta
+        assert rca == []
+
+    def test_non_isolated_rca_stays(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        aorta, rca, lca, _, _ = final_reclassification(
+            verts, grid_mesh.faces.tolist(), [verts[0], verts[1]], [], [], []
+        )
+        assert verts[0] in rca and verts[1] in rca
+
+    def test_removed_rca_restored_when_majority_rca(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        # vertex 0's neighbours are 1 and 3; label both RCA -> 100% > 70%
+        aorta, rca, lca, rca_rm, _ = final_reclassification(
+            verts, grid_mesh.faces.tolist(), [verts[1], verts[3]], [], [verts[0]], []
+        )
+        assert verts[0] in rca
+        assert rca_rm == []
+
+    def test_vertex_count_conserved(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        buckets = final_reclassification(
+            verts, grid_mesh.faces.tolist(), verts[0:3], verts[3:6], [], []
+        )
+        assert sum(len(b) for b in buckets) == len(verts)
+
+
+class TestKeepLargestConnectedComponent:
+    def test_drops_isolated_point(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        # vertices 0,1,3 are mutually connected; 8 is far from them
+        kept = _keep_largest_connected_component(grid_mesh, [verts[0], verts[1], verts[3], verts[8]])
+        assert sorted(kept) == sorted([verts[0], verts[1], verts[3]])
+
+    def test_fully_connected_set_unchanged(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        kept = _keep_largest_connected_component(grid_mesh, verts[0:3])
+        assert sorted(kept) == sorted(verts[0:3])
+
+    def test_single_point_returns_unchanged(self, grid_mesh):
+        verts = [tuple(v) for v in grid_mesh.vertices]
+        assert _keep_largest_connected_component(grid_mesh, [verts[0]]) == [verts[0]]
+
+
+class TestFixNormalsAndWinding:
+    def test_fix_winding_makes_consistent(self):
+        mesh = _make_grid_mesh()
+        faces = mesh.faces.copy()
+        faces[1] = faces[1][::-1]  # flip one face
+        fixed = np.array(fix_mesh_winding(faces.tolist()))
+        m2 = Mesh(mesh.vertices, fixed)
+        normals = m2.face_normals[:, 2]
+        assert (normals > 0).all() or (normals < 0).all()
+
+    def test_flips_inverted_tube_outward(self):
+        rows = []
+        for f in range(4):
+            for i in range(12):
+                th = 2 * math.pi * i / 12
+                rows.append([f, math.cos(th), math.sin(th), float(f)])
+        mesh = geometry_to_trimesh(numpy_to_geometry(np.array(rows)))
+        mesh.fill_holes()
+        mesh.faces = mesh.faces[:, ::-1]  # invert
+        mesh._invalidate()
+        assert mesh.volume() < 0
+        _fast_fix_normals(mesh)
+        assert mesh.volume() > 0
+
+
+class TestManualHoleFill:
+    def test_adds_faces_to_open_mesh(self, hex_fan_mesh):
+        before = len(hex_fan_mesh.faces)
+        filled = manual_hole_fill(hex_fan_mesh)
+        assert len(filled.faces) > before
+
+    def test_watertight_tube_preserved(self):
+        rows = []
+        for f in range(4):
+            for i in range(12):
+                th = 2 * math.pi * i / 12
+                rows.append([f, math.cos(th), math.sin(th), float(f)])
+        mesh = geometry_to_trimesh(numpy_to_geometry(np.array(rows)))
+        filled = manual_hole_fill(mesh)
+        assert filled.is_watertight
+
+    def test_passthrough_when_postprocessing_disabled(self, grid_mesh):
+        assert postprocess_stitched_mesh(grid_mesh, postprocessing=False) is grid_mesh
+
+
+class TestRemoveLabeledPoints:
+    def test_removes_vertices_from_mesh(self, grid_results):
+        out = remove_labeled_points_from_mesh(grid_results, "rca_points")
+        assert len(out["mesh"].vertices) == 6
+        assert out["rca_points"] == []
+
+    def test_boundary_points_populated(self, grid_results):
+        out = remove_labeled_points_from_mesh(grid_results, "rca_points")
+        assert out["boundary_points"]
+
+    def test_empty_region_is_noop(self, grid_results):
+        out = remove_labeled_points_from_mesh(grid_results, "rca_removed_points")
+        assert out is grid_results
+
+    def test_remaining_lists_consistent_with_new_mesh(self, grid_results):
+        out = remove_labeled_points_from_mesh(grid_results, "rca_points")
+        mesh_coords = {tuple(v) for v in out["mesh"].vertices}
+        for key in ("aorta_points", "lca_points"):
+            for p in out[key]:
+                assert tuple(p) in mesh_coords
+
+
+class TestKeepLabeledPoints:
+    def test_mesh_vertex_count_reduced(self, grid_results):
+        out = keep_labeled_points_from_mesh(grid_results, "aorta_points")
+        assert len(out["mesh"].vertices) < 9
+
+    def test_kept_vertices_all_in_region(self, grid_results):
+        out = keep_labeled_points_from_mesh(grid_results, "aorta_points")
+        region = set(grid_results["aorta_points"])
+        for v in out["mesh"].vertices:
+            assert tuple(v) in region
+
+
+class TestSyncResultsToMesh:
+    def test_coordinate_lists_updated(self, grid_results, grid_mesh):
+        new_mesh = grid_mesh.copy()
+        new_mesh.vertices = new_mesh.vertices + np.array([0.0, 0.0, 5.0])
+        out = sync_results_to_mesh(grid_results, grid_mesh, new_mesh)
+        assert out["mesh"] is new_mesh
+        for p in out["rca_points"]:
+            assert p[2] == 5.0
+        assert len(out["rca_points"]) == len(grid_results["rca_points"])
+
+
+class TestOrderPointsList:
+    def test_returns_all_outer_vertices(self, hex_fan_mesh):
+        outer = [tuple(v) for v in hex_fan_mesh.vertices[:6]]
+        scrambled = [outer[i] for i in (3, 0, 5, 2, 4, 1)]
+        ordered = order_points_list(hex_fan_mesh, scrambled)
+        assert sorted(ordered) == sorted(outer)
+
+    def test_consecutive_points_are_adjacent(self, hex_fan_mesh):
+        outer = [tuple(v) for v in hex_fan_mesh.vertices[:6]]
+        ordered = order_points_list(hex_fan_mesh, outer)
+        coord_to_idx = {tuple(v): i for i, v in enumerate(hex_fan_mesh.vertices)}
+        adj = build_adjacency_map(hex_fan_mesh.faces.tolist())
+        for a, b in zip(ordered, ordered[1:]):
+            assert coord_to_idx[b] in adj[coord_to_idx[a]]
+
+    def test_single_point_returns_same(self, hex_fan_mesh):
+        pts = [tuple(hex_fan_mesh.vertices[0])]
+        assert order_points_list(hex_fan_mesh, pts) == pts
+
+
+class TestScaleRegionCenterlineMorphing:
+    def test_no_matching_vertices_returns_copy(self, grid_mesh, capsys):
+        cl = numpy_to_centerline(np.array([[0.0, 0.0, z] for z in range(3)]))
+        out = scale_region_centerline_morphing(grid_mesh, [(9.0, 9.0, 9.0)], cl, 1.0)
+        assert np.allclose(out.vertices, grid_mesh.vertices)
+        assert "Warning" in capsys.readouterr().out
+
+    def test_expands_radius(self):
+        rows = []
+        for f in range(4):
+            for i in range(12):
+                th = 2 * math.pi * i / 12
+                rows.append([f, 2 * math.cos(th), 2 * math.sin(th), float(f)])
+        mesh = geometry_to_trimesh(numpy_to_geometry(np.array(rows)))
+        cl = numpy_to_centerline(np.array([[0.0, 0.0, z] for z in np.linspace(0, 3, 10)]))
+        region = [tuple(v) for v in mesh.vertices]
+        out = scale_region_centerline_morphing(mesh, region, cl, 0.5)
+        r_before = np.linalg.norm(mesh.vertices[:, :2], axis=1).mean()
+        r_after = np.linalg.norm(out.vertices[:, :2], axis=1).mean()
+        assert abs(r_after - (r_before + 0.5)) < 0.05
+
+
+class TestRotateToNearestIv:
+    def test_rotates_to_nearest_iv_point(self):
+        ring = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (-1.0, 0.0, 0.0), (0.0, -1.0, 0.0)]
+        iv_pt = PyContourPoint(0, 0, -1.1, 0.0, 0.0, False)
+        rotated = _rotate_to_nearest_iv(ring, iv_pt)
+        assert rotated[0] == (-1.0, 0.0, 0.0)
+
+    def test_length_and_set_preserved(self):
+        ring = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (-1.0, 0.0, 0.0)]
+        iv_pt = PyContourPoint(0, 0, 0.0, 1.0, 0.0, False)
+        rotated = _rotate_to_nearest_iv(ring, iv_pt)
+        assert sorted(rotated) == sorted(ring)
+
+
+class TestFixRingDirectionByDistance:
+    def _ring(self, n=8, r=1.0):
+        return [
+            (r * math.cos(2 * math.pi * i / n), r * math.sin(2 * math.pi * i / n), 0.0)
+            for i in range(n)
+        ]
+
+    def test_correct_direction_unchanged(self):
+        ring = self._ring()
+        iv = _make_iv_pts(self._ring(r=1.1))
+        assert _fix_ring_direction_by_distance(ring, iv, 1) == ring
+
+    def test_reversed_direction_gets_corrected(self):
+        ring = self._ring()
+        reversed_ring = [ring[0]] + list(reversed(ring[1:]))
+        iv = _make_iv_pts(self._ring(r=1.1))
+        fixed = _fix_ring_direction_by_distance(reversed_ring, iv, 1)
+        assert fixed == ring
+
+
+class TestStitchBoundaryRing:
+    def _boundary(self, n=4, r=2.0, z=0.0):
+        return [
+            (r * math.cos(2 * math.pi * i / n), r * math.sin(2 * math.pi * i / n), z)
+            for i in range(n)
+        ]
+
+    def test_creates_mesh_with_faces(self):
+        boundary = self._boundary()
+        iv = _make_iv_pts(self._boundary(n=8, r=1.0, z=1.0))
+        patch = _stitch_boundary_ring(boundary, iv, 2)
+        assert isinstance(patch, Mesh)
+        assert len(patch.vertices) == 4 + 8
+        assert len(patch.faces) > 0
+        assert not np.isnan(patch.vertices).any()
+
+    def test_outward_direction_orients_patch(self):
+        boundary = self._boundary()
+        iv = _make_iv_pts(self._boundary(n=8, r=1.0, z=1.0))
+        up = np.array([0.0, 0.0, 1.0])
+        patch_up = _stitch_boundary_ring(boundary, iv, 2, up)
+        avg_n = patch_up.face_normals.mean(axis=0)
+        assert np.dot(avg_n, up) > 0
+
+
+class TestClampToPlane:
+    ORIGIN = np.zeros(3)
+    NORMAL = np.array([0.0, 0.0, 1.0])
+
+    def test_wrong_side_point_projected_onto_plane(self):
+        pts = [(0.0, 0.0, 1.0), (1.0, 0.0, 2.0), (2.0, 0.0, -0.5)]
+        out = _clamp_to_plane(pts, self.ORIGIN, self.NORMAL)
+        assert out[2][2] == 0.0
+        assert out[0][2] == 1.0
+
+    def test_overshoot_enforces_gap(self):
+        pts = [(0.0, 0.0, 1.0), (1.0, 0.0, 0.05), (2.0, 0.0, -0.5)]
+        out = _clamp_to_plane(pts, self.ORIGIN, self.NORMAL, overshoot=0.3)
+        for p in out:
+            assert p[2] >= 0.3 - 1e-12
+
+
+class TestSupportKernels:
+    def test_find_centerline_bounded(self):
+        cl = numpy_to_centerline(np.array([[0.0, 0.0, z] for z in range(5)]))
+        pts = [(0.5, 0.0, 2.0), (10.0, 0.0, 2.0)]
+        out = find_centerline_bounded_points_simple(cl, pts, 1.0)
+        assert out == [(0.5, 0.0, 2.0)]
+
+    def test_clean_outlier_points(self):
+        cleanup = [(0.0, 0.0, 0.0), (10.0, 0.0, 0.0)]
+        reference = [(0.1, 0.0, 0.0), (0.2, 0.0, 0.0), (0.0, 0.1, 0.0)]
+        cleaned, reassigned = clean_outlier_points(cleanup, reference, 1.0, 0.6)
+        assert (0.0, 0.0, 0.0) in reassigned  # surrounded by reference
+        assert (10.0, 0.0, 0.0) in cleaned  # no neighbors
+
+    def test_smooth_mesh_labels_unanimous(self):
+        faces = [[0, 1, 2], [1, 2, 3]]
+        adj = build_adjacency_map(faces)
+        labels = [0, 1, 1, 1]
+        out = smooth_mesh_labels(labels, adj, 3)
+        assert out[0] == 1  # all of 0's neighbours agree on 1
+
+    def test_discretize_vessel_round_contours(self):
+        rng = np.random.default_rng(3)
+        pts = []
+        for z in np.linspace(0, 5, 60):
+            for th in np.linspace(0, 2 * math.pi, 24, endpoint=False):
+                r = 2.0 + 0.05 * rng.standard_normal()
+                pts.append((r * math.cos(th), r * math.sin(th), z))
+        cl = numpy_to_centerline(np.array([[0.0, 0.0, z] for z in np.linspace(0, 5, 30)]))
+        contours = discretize_vessel(cl, pts, 0, 1.0, 32)
+        assert len(contours) >= 4
+        for c in contours:
+            assert c.n_points == 32
+            radii = np.linalg.norm(c.xyz_view()[:, :2], axis=1)
+            assert abs(float(radii.mean()) - 2.0) < 0.2
+
+
+class TestVesselTreePipeline:
+    """End-to-end: label a synthetic two-tube mesh, prepare centerlines,
+    discretize the tree, compute reference triplets."""
+
+    def _tube_points(self, axis_fn, n_slices, n_ring, r):
+        pts = []
+        for s in np.linspace(0.0, 1.0, n_slices):
+            cx, cy, cz = axis_fn(s)
+            for th in np.linspace(0, 2 * math.pi, n_ring, endpoint=False):
+                pts.append((cx + r * math.cos(th), cy + r * math.sin(th), cz))
+        return pts
+
+    def test_label_and_discretize(self):
+        from multimodars import label_geometry, prepare_centerlines, discretize_vessel_tree
+
+        # aorta: big vertical tube; rca/lca: thin tubes leaving sideways
+        aorta_pts = self._tube_points(lambda s: (0.0, 0.0, 20.0 * s), 30, 24, 8.0)
+        rca_pts = self._tube_points(lambda s: (9.0 + 14.0 * s, 0.0, 10.0), 30, 12, 1.5)
+        lca_pts = self._tube_points(lambda s: (-9.0 - 14.0 * s, 0.0, 10.0), 30, 12, 1.5)
+
+        all_pts = np.array(aorta_pts + rca_pts + lca_pts)
+        # build a dummy triangulation (content irrelevant for labeling math,
+        # needed for the adjacency steps): chain strips
+        n = len(all_pts)
+        faces = np.array([[i, i + 1, i + 2] for i in range(0, n - 2, 1)])
+        mesh = Mesh(all_pts, faces)
+
+        cl_ao = np.array([[0.0, 0.0, z] for z in np.linspace(0, 20, 40)])
+        cl_rca = np.array([[x, 0.0, 10.0] for x in np.linspace(9, 23, 40)])
+        cl_lca = np.array([[-x, 0.0, 10.0] for x in np.linspace(9, 23, 40)])
+
+        results, (rca_cl, lca_cl, ao_cl) = label_geometry(
+            mesh, cl_ao, cl_rca, cl_lca, control_plot=False
+        )
+        assert len(results["rca_points"]) > 100
+        assert len(results["lca_points"]) > 100
+        assert len(results["aorta_points"]) > 100
+
+        rca_cl2, lca_cl2, results = prepare_centerlines(rca_cl, lca_cl, results)
+        assert "rca_points_main" in results and "lca_points_main" in results
+
+        tree = discretize_vessel_tree(
+            ao_cl, rca_cl2, lca_cl2, results, step_size=2.0, n_points=24
+        )
+        assert tree.discretized_aorta
+        assert tree.discretized_rca_main
+        assert tree.discretized_lca_main
+        # reference triplets: ostium entry exists for both vessels
+        assert tree.rca_references
+        assert tree.lca_references
+        assert np.linalg.norm(np.array(tree.ao_rca)) > 0
