@@ -147,6 +147,36 @@ def _to_numeric_array(arr, name: str) -> np.ndarray:
     return arr
 
 
+def _group_contours_by_frame(arr: np.ndarray, contour_type: str):
+    """{frame_id: PyContour} grouped in one argsort pass (within-frame
+    order preserved)."""
+    out = {}
+    if arr.size == 0:
+        return out
+    frames = arr[:, 0].astype(np.int64)
+    order = np.argsort(frames, kind="stable")
+    sorted_arr = arr[order]
+    sorted_frames = frames[order]
+    uniq, starts = np.unique(sorted_frames, return_index=True)
+    bounds = np.append(starts, len(sorted_frames))
+    for k, frame_id in enumerate(uniq.tolist()):
+        block = sorted_arr[bounds[k]:bounds[k + 1]]
+        coords = block[:, 1:4].copy()
+        out[int(frame_id)] = PyContour.from_arrays(
+            int(frame_id),
+            int(frame_id),
+            coords,
+            tuple(coords.mean(axis=0)),
+            block[:, 0].astype(np.int64),
+            None,
+            None,
+            None,
+            None,
+            contour_type,
+        )
+    return out
+
+
 def _build_contour_from_array(arr: np.ndarray, frame_id: int, contour_type: str):
     if arr.size == 0:
         return None
@@ -240,20 +270,21 @@ def numpy_to_inputdata(
     if lumen_arr.size == 0:
         raise ValueError("lumen_arr cannot be empty")
 
+    lumen_groups = _group_contours_by_frame(lumen_arr, "Lumen")
+    eem_groups = _group_contours_by_frame(eem_arr, "Eem")
+    calc_groups = _group_contours_by_frame(calc_arr, "Calcification")
+    side_groups = _group_contours_by_frame(side_arr, "Sidebranch")
+
     lumen_list, eem_list, calc_list, side_list = [], [], [], []
-    for frame_id in sorted(set(lumen_arr[:, 0].astype(int))):
-        lumen_contour = _build_contour_from_array(lumen_arr, frame_id, "Lumen")
-        if lumen_contour is None:
-            continue
-        lumen_list.append(lumen_contour)
-        for arr, kind, out in (
-            (eem_arr, "Eem", eem_list),
-            (calc_arr, "Calcification", calc_list),
-            (side_arr, "Sidebranch", side_list),
+    for frame_id in sorted(lumen_groups):
+        lumen_list.append(lumen_groups[frame_id])
+        for groups, out in (
+            (eem_groups, eem_list),
+            (calc_groups, calc_list),
+            (side_groups, side_list),
         ):
-            contour = _build_contour_from_array(arr, frame_id, kind)
-            if contour is not None:
-                out.append(contour)
+            if frame_id in groups:
+                out.append(groups[frame_id])
 
     return PyInputData(
         lumen=lumen_list,
@@ -298,16 +329,24 @@ def numpy_to_geometry(
         if arr.size > 0:
             all_frames.update(arr[:, 0].astype(int))
 
+    lumen_groups = _group_contours_by_frame(lumen_arr, "Lumen")
+    eem_groups = _group_contours_by_frame(eem_arr, "Eem")
+    catheter_groups = _group_contours_by_frame(catheter_arr, "Catheter")
+    wall_groups = _group_contours_by_frame(wall_arr, "Wall")
+
     frames = []
     for frame_id in sorted(all_frames):
-        lumen_contour = _build_contour_from_array(lumen_arr, frame_id, "Lumen")
+        lumen_contour = lumen_groups.get(int(frame_id))
         if lumen_contour is None:
             continue
         extras = {}
-        for arr, kind in ((eem_arr, "Eem"), (catheter_arr, "Catheter"), (wall_arr, "Wall")):
-            contour = _build_contour_from_array(arr, frame_id, kind)
-            if contour is not None:
-                extras[kind] = contour
+        for groups, kind in (
+            (eem_groups, "Eem"),
+            (catheter_groups, "Catheter"),
+            (wall_groups, "Wall"),
+        ):
+            if int(frame_id) in groups:
+                extras[kind] = groups[int(frame_id)]
         frames.append(
             PyFrame(frame_id, lumen_contour.centroid, lumen_contour, extras, global_reference)
         )

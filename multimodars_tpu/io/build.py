@@ -261,7 +261,7 @@ def _check_frame_ids_consecutive(geometry: PyGeometry) -> None:
 
 def _check_centroids_match(geometry: PyGeometry) -> None:
     for frame_index, frame in enumerate(geometry.frames):
-        pts = frame.lumen.xyz()
+        pts = frame.lumen.xyz_view()
         computed = tuple(pts.mean(axis=0)) if len(pts) else (0.0, 0.0, 0.0)
         lumen_centroid = frame.lumen.centroid if frame.lumen.centroid is not None else computed
         if not _approx_equal(frame.centroid, lumen_centroid):
@@ -280,7 +280,7 @@ def _check_centroids_match(geometry: PyGeometry) -> None:
 
 def _check_lumen_presence(geometry: PyGeometry) -> None:
     for frame_index, frame in enumerate(geometry.frames):
-        if not frame.lumen.points:
+        if frame.lumen.n_points == 0:
             raise ValueError(
                 f"Lumen contour has no points in frame {frame_index} (ID {frame.id})"
             )
@@ -301,7 +301,7 @@ def _check_contour_point_counts(geometry: PyGeometry) -> None:
     expected: Dict[str, int] = {}
     for frame_index, frame in enumerate(geometry.frames):
         for kind, contour in [("Lumen", frame.lumen)] + list(frame.extras.items()):
-            count = len(contour.points)
+            count = contour.n_points
             if kind in expected:
                 if count != expected[kind]:
                     raise ValueError(

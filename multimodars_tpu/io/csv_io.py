@@ -39,6 +39,21 @@ def _detect_delimiter(path) -> str:
     return "\t" if first_line.count("\t") > first_line.count(",") else ","
 
 
+def read_contour_array(path):
+    """(N, 5) [frame, x, y, z, aortic] array via the native CSV parser,
+    falling back to the Python reader."""
+    from .native import read_contour_csv_native
+
+    arr = read_contour_csv_native(path)
+    if arr is not None:
+        return arr
+    pts = read_contour_data(path)
+    out = np.empty((len(pts), 5))
+    for i, p in enumerate(pts):
+        out[i] = (p.frame_index, p.x, p.y, p.z, p.aortic)
+    return out
+
+
 def read_contour_data(path) -> List[PyContourPoint]:
     """Headerless ``frame, x, y, z`` rows; skips malformed rows.
     Parity: input.rs:172-194."""
@@ -104,7 +119,7 @@ def _read_optional_contour_file(directory: Path, prefix: str, phase: str, label:
     if not p.exists():
         print(f"{label} file not found, skipping: {p}", file=sys.stderr)
         return None
-    return read_contour_data(p)
+    return read_contour_array(p)
 
 
 def _read_optional_records(path: Path):
@@ -138,7 +153,7 @@ def process_directory(
     contours_path = path / f"{phase}_contours.csv"
     if not contours_path.exists():
         raise FileNotFoundError(f"required contours file missing: {contours_path}")
-    lumen_points = read_contour_data(contours_path)
+    lumen_points = read_contour_array(contours_path)
 
     ref_path = path / f"{phase}_reference_points.csv"
     if not ref_path.exists():

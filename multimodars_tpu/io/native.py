@@ -1,0 +1,139 @@
+"""ctypes bindings for the native I/O library (native/mmio.cpp).
+
+The library is built on demand with the in-tree Makefile; every entry point
+degrades gracefully to the pure-Python implementation when the shared
+object is missing or the toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libmmio.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _build_library() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s"],
+            cwd=_NATIVE_DIR,
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def get_library() -> Optional[ctypes.CDLL]:
+    """The loaded mmio library, building it on first use; None when
+    unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not _LIB_PATH.exists() and not _build_library():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.mm_read_contour_csv.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.mm_read_contour_csv.restype = ctypes.c_int
+            lib.mm_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
+            lib.mm_free.restype = None
+            lib.mm_write_obj_mesh.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int,
+            ]
+            lib.mm_write_obj_mesh.restype = ctypes.c_int
+            _lib = lib
+        except OSError:
+            _load_failed = True
+    return _lib
+
+
+def read_contour_csv_native(path) -> Optional[np.ndarray]:
+    """(N, 5) [frame, x, y, z, aortic] rows, or None when the native lib is
+    unavailable / errors (caller falls back to Python)."""
+    lib = get_library()
+    if lib is None:
+        return None
+    data_ptr = ctypes.POINTER(ctypes.c_double)()
+    n_rows = ctypes.c_int64()
+    skipped = ctypes.c_int64()
+    rc = lib.mm_read_contour_csv(
+        str(path).encode(), ctypes.byref(data_ptr), ctypes.byref(n_rows), ctypes.byref(skipped)
+    )
+    if rc != 0:
+        return None
+    try:
+        n = n_rows.value
+        if n == 0:
+            return np.zeros((0, 5))
+        arr = np.ctypeslib.as_array(data_ptr, shape=(n, 5)).copy()
+    finally:
+        lib.mm_free(data_ptr)
+    if skipped.value:
+        import sys
+
+        print(f"Skipping {skipped.value} invalid record(s)", file=sys.stderr)
+    return arr
+
+
+def write_obj_mesh_native(
+    path,
+    mtl_filename: str,
+    vertices: np.ndarray,  # (C, P, 3)
+    uvs: np.ndarray,  # (C, P, 2)
+    normals: np.ndarray,  # (C, P, 3)
+    centroids: np.ndarray,  # (C, 3)
+    watertight: bool,
+) -> bool:
+    """Write a quad-strip OBJ via the native library; False -> caller falls
+    back to the Python writer."""
+    lib = get_library()
+    if lib is None:
+        return False
+    vertices = np.ascontiguousarray(vertices, dtype=np.float64)
+    uvs = np.ascontiguousarray(uvs, dtype=np.float64)
+    normals = np.ascontiguousarray(normals, dtype=np.float64)
+    centroids = np.ascontiguousarray(centroids, dtype=np.float64)
+    c, p = vertices.shape[0], vertices.shape[1]
+    rc = lib.mm_write_obj_mesh(
+        str(path).encode(),
+        mtl_filename.encode(),
+        vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        uvs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        normals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        centroids.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        c,
+        p,
+        1 if watertight else 0,
+    )
+    return rc == 0

@@ -58,6 +58,31 @@ def write_obj_mesh(
         if contour.n_points != points_per_contour:
             raise ValueError("All contours must have the same number of points.")
 
+    total_vertices = len(contours) * points_per_contour
+    if len(uv_coords) != total_vertices:
+        raise ValueError(
+            f"UV coordinates must match the number of vertices. Expected "
+            f"{total_vertices}, got {len(uv_coords)}."
+        )
+
+    # native fast path: assemble flat buffers and let libmmio write the file
+    from .native import write_obj_mesh_native
+
+    verts = np.stack([c.xyz_view() for c in contours])  # (C, P, 3)
+    cents = np.array(
+        [c.centroid if c.centroid is not None else (0.0, 0.0, 0.0) for c in contours]
+    )
+    xy = verts[..., :2] - cents[:, None, :2]
+    length = np.sqrt((xy * xy).sum(-1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        nxy = np.where(length[..., None] > 0.0, xy / length[..., None], 0.0)
+    norms = np.concatenate([-nxy, np.zeros((*nxy.shape[:2], 1))], axis=-1)
+    uvs = np.asarray(uv_coords, dtype=np.float64).reshape(len(contours), points_per_contour, 2)
+    if write_obj_mesh_native(
+        filename, mtl_filename, verts, uvs, norms, cents, watertight
+    ):
+        return
+
     lines: List[str] = []
     vertex_offsets: List[int] = []
     current_offset = 1

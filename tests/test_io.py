@@ -29,7 +29,7 @@ needs_examples = pytest.mark.skipif(
 @needs_fixtures
 def test_process_directory_idealized():
     input_data = process_directory(FIXTURES / "idealized_geometry", None, True, "")
-    assert input_data.lumen
+    assert len(input_data.lumen) > 0
     assert input_data.eem is not None
     assert input_data.calcification is not None
     assert input_data.record is None
