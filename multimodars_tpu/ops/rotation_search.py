@@ -39,6 +39,27 @@ def _normalize_angle(a):
     return jnp.mod(a + math.pi, TWO_PI) - math.pi
 
 
+def _pallas_default() -> bool:
+    """Whether to use the fused Pallas sweep.
+
+    Opt-in via MMTPU_USE_PALLAS=1: the kernel is validated (interpret-mode
+    parity tests), but Mosaic compilation through the tunneled axon backend
+    in this environment stalls, so the XLA path stays the default until a
+    native TPU runtime is available."""
+    import os
+
+    if os.environ.get("MMTPU_USE_PALLAS", "0") != "1":
+        return False
+    try:
+        import jax as _jax
+
+        from .pallas_kernels import PALLAS_AVAILABLE
+
+        return PALLAS_AVAILABLE and _jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def rotation_cost_table(test, ref, test_mask, ref_mask, angles, angles_valid):
     """Squared-Hausdorff cost of rotating each frame's centered test set by
     each candidate angle against its centered reference set.
@@ -102,6 +123,7 @@ def search_range_batched(
     range_deg: float,
     centers,
     limes_deg: float,
+    use_pallas: bool = False,
 ):
     """One ``search_range`` stage vmapped over the frame axis.
 
@@ -112,7 +134,12 @@ def search_range_batched(
     if step_deg <= 0.0:
         return centers
     angles, valid = candidate_angles(centers, step_deg, range_deg, limes_deg)
-    costs = rotation_cost_table(test, ref, test_mask, ref_mask, angles, valid)
+    if use_pallas:
+        from .pallas_kernels import rotation_cost_table_pallas
+
+        costs = rotation_cost_table_pallas(test, ref, test_mask, ref_mask, angles, valid)
+    else:
+        costs = rotation_cost_table(test, ref, test_mask, ref_mask, angles, valid)
     best_k = jnp.argmin(costs, axis=1)  # first occurrence wins, like the
     # sequential reduce with a strictly-less comparison
     best = jnp.take_along_axis(angles, best_k[:, None], axis=1)[:, 0]
@@ -144,28 +171,26 @@ def ladder_stages(step_deg: float, range_deg: float):
     ]
 
 
-@partial(jax.jit, static_argnames=("step_deg", "range_deg", "bruteforce"))
-def multires_rotation_search(
+@partial(
+    jax.jit, static_argnames=("step_deg", "range_deg", "bruteforce", "use_pallas")
+)
+def _multires_rotation_search_impl(
     test,
     ref,
     test_mask,
     ref_mask,
     step_deg: float,
     range_deg: float,
-    bruteforce: bool = False,
+    bruteforce: bool,
+    use_pallas: bool,
 ):
-    """Best rotation per frame pair: full ladder (or single brute-force
-    sweep), all stages batched over the frame axis.
-
-    test/ref: [F, N|M, 2] centered point sets; masks [F, N|M].
-    Returns [F] best angles in radians.
-    """
     dtype = test.dtype
     F = test.shape[0]
     centers = jnp.zeros((F,), dtype=dtype)
     if bruteforce:
         return search_range_batched(
-            test, ref, test_mask, ref_mask, step_deg, range_deg, centers, range_deg
+            test, ref, test_mask, ref_mask, step_deg, range_deg, centers,
+            range_deg, use_pallas,
         )
     best = centers
     for stage_step, stage_range, centered in ladder_stages(step_deg, range_deg):
@@ -179,5 +204,31 @@ def multires_rotation_search(
             stage_range,
             stage_centers,
             range_deg,
+            use_pallas,
         )
     return best
+
+
+def multires_rotation_search(
+    test,
+    ref,
+    test_mask,
+    ref_mask,
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool = False,
+    use_pallas=None,
+):
+    """Best rotation per frame pair: full ladder (or single brute-force
+    sweep), all stages batched over the frame axis.
+
+    test/ref: [F, N|M, 2] centered point sets; masks [F, N|M].
+    Returns [F] best angles in radians.  ``use_pallas=None`` auto-selects
+    the fused VMEM-resident sweep on TPU backends.
+    """
+    if use_pallas is None:
+        use_pallas = _pallas_default()
+    return _multires_rotation_search_impl(
+        test, ref, test_mask, ref_mask, float(step_deg), float(range_deg),
+        bool(bruteforce), bool(use_pallas),
+    )
