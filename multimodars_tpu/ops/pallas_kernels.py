@@ -6,15 +6,20 @@ Rotations are rigid, so the squared distance decomposes as
 
     d2(R(th) t_i, r_j) = C_ij - 2 (cos(th) A_ij + sin(th) B_ij)
 
-with A = <t_i, r_j>, B = <t_i^perp, r_j>, C = |t_i|^2 + |r_j|^2 — all
-angle-independent.  The kernel computes A/B/C once per frame pair, keeps
-them resident in VMEM, and sweeps the whole angle grid with two fused
-multiply-adds plus min/max reductions per element — HBM traffic is one read
-of the point sets per frame instead of one [N, M] tile per angle.
+with A = <t_i, r_j>, B = <t_i^perp, r_j>, C = |t_i|^2 + |r_j|^2 -- all
+angle-independent.
 
-Masking uses +inf folded into C for invalid reference columns and -inf/+inf
-guard vectors so padded slots can never win a reduction (matching
-ops.hausdorff.hausdorff_sq_masked).
+Grid layout: (frame pair, angle block, test-row chunk), row chunks
+innermost.  Each program builds the A/B/C slabs for its 128-row chunk once
+and combines them with its block of KB angles as two fused multiply-adds,
+updating forward-max / backward-min accumulators held in VMEM scratch
+(scratch persists across the sequential TPU grid).  The first row chunk
+initialises the accumulators; the last one reduces them and writes the
+cost row.
+
+All chunking is expressed through BlockSpecs (Mosaic on this backend
+rejects dynamically-offset lane access), stores are full vectors, and
+masking uses selects so +/-inf sentinels never meet and produce NaNs.
 """
 
 from __future__ import annotations
@@ -34,99 +39,112 @@ try:
 except Exception:  # pragma: no cover
     PALLAS_AVAILABLE = False
 
+ANGLE_BLOCK = 32  # angles per program
+ROW_CHUNK = 128  # test rows per program
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
 def _sweep_kernel(
-    tx_ref, ty_ref, rx_ref, ry_ref,
-    row_guard_ref, col_inf_ref, col_guard_ref,
-    angles_ref, penalty_ref,
+    tx_ref, ty_ref, row_valid_ref,
+    rx_ref, ry_ref, col_valid_ref,
+    cos_ref, sin_ref, penalty_ref,
     out_ref,
-    a_scr, b_scr, c_scr,
+    fwd_scr, bwd_scr,
 ):
-    tx = tx_ref[0, 0, :]
-    ty = ty_ref[0, 0, :]
-    rx = rx_ref[0, 0, :]
-    ry = ry_ref[0, 0, :]
-    row_guard = row_guard_ref[0, 0, :]  # 0 valid / -inf invalid rows
-    col_inf = col_inf_ref[0, 0, :]  # 0 valid / +inf invalid cols
-    col_guard = col_guard_ref[0, 0, :]  # 0 valid / -inf invalid cols
+    ci = pl.program_id(2)
+    n_chunks = pl.num_programs(2)
 
-    # angle-independent decomposition, resident in VMEM for the whole sweep
-    a_scr[:, :] = tx[:, None] * rx[None, :] + ty[:, None] * ry[None, :]
-    b_scr[:, :] = tx[:, None] * ry[None, :] - ty[:, None] * rx[None, :]
-    c_scr[:, :] = (
-        (tx * tx + ty * ty)[:, None]
-        + (rx * rx + ry * ry)[None, :]
-        + col_inf[None, :]
+    rx = rx_ref[0, 0, 0, :]  # [M]
+    ry = ry_ref[0, 0, 0, :]
+    col_valid_f = col_valid_ref[0, 0, 0, :]
+
+    dtype = out_ref.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    neg_inf = -inf
+
+    @pl.when(ci == 0)
+    def _():
+        fwd_scr[:, :] = jnp.full(fwd_scr.shape, neg_inf, dtype)
+        bwd_scr[:, :] = jnp.full(bwd_scr.shape, inf, dtype)
+
+    txc = tx_ref[0, 0, 0, :]  # [RC]
+    tyc = ty_ref[0, 0, 0, :]
+    row_valid_f = row_valid_ref[0, 0, 0, :]
+
+    a_c = txc[:, None] * rx[None, :] + tyc[:, None] * ry[None, :]  # [RC, M]
+    b_c = txc[:, None] * ry[None, :] - tyc[:, None] * rx[None, :]
+    # fold the column mask into the constant term
+    c_c = (txc * txc + tyc * tyc)[:, None] + jnp.where(
+        col_valid_f > 0.5, rx * rx + ry * ry, inf
+    )[None, :]
+
+    cos_t = 2.0 * cos_ref[0, 0, 0, :]  # [KB]
+    sin_t = 2.0 * sin_ref[0, 0, 0, :]
+
+    # [KB, RC, M]
+    d2 = (
+        c_c[None, :, :]
+        - cos_t[:, None, None] * a_c[None, :, :]
+        - sin_t[:, None, None] * b_c[None, :, :]
     )
-    row_inf = -row_guard  # 0 valid / +inf invalid rows
 
-    n_angles = out_ref.shape[2]
-    lane_ids = lax.broadcasted_iota(jnp.int32, (1, 1, n_angles), 2)
-    penalty = penalty_ref[0, :, :]
+    # forward: min over columns, masked max over this chunk's rows
+    min_j = jnp.min(d2, axis=2)  # [KB, RC]
+    min_j = jnp.where(row_valid_f[None, :] > 0.5, min_j, neg_inf)
+    chunk_fwd = jnp.max(min_j, axis=1)  # [KB]
+    fwd_scr[0, :] = jnp.maximum(fwd_scr[0, :], chunk_fwd)
 
-    neg_inf = jnp.asarray(-jnp.inf, out_ref.dtype)
+    # backward: running min over rows (invalid rows excluded via select)
+    d2_rows = jnp.where(row_valid_f[None, :, None] > 0.5, d2, inf)
+    bwd_scr[:, :] = jnp.minimum(bwd_scr[:, :], jnp.min(d2_rows, axis=1))
 
-    def body(k, _):
-        theta = angles_ref[0, 0, k]
-        cos_t = 2.0 * jnp.cos(theta)
-        sin_t = 2.0 * jnp.sin(theta)
-        d2 = c_scr[:, :] - cos_t * a_scr[:, :] - sin_t * b_scr[:, :]
-        # forward: max over valid i of (min over valid j); selects (not
-        # additive guards) so inf + -inf can never produce NaN
-        fwd = jnp.max(jnp.where(row_guard == 0.0, jnp.min(d2, axis=1), neg_inf))
-        # backward: max over valid j of (min over valid i)
-        bwd = jnp.max(
-            jnp.where(
-                col_guard == 0.0,
-                jnp.min(d2 + row_inf[:, None], axis=0),
-                neg_inf,
-            )
-        )
-        cost = jnp.maximum(fwd, bwd)
-        # scalar stores to VMEM are unsupported: masked lane store instead
-        pltpu.store(
-            out_ref,
-            jnp.full((1, 1, n_angles), cost, out_ref.dtype) + penalty[None],
-            mask=lane_ids == k,
-        )
-        return 0
-
-    lax.fori_loop(0, n_angles, body, 0)
+    @pl.when(ci == n_chunks - 1)
+    def _():
+        bwd_cost = jnp.max(
+            jnp.where(col_valid_f[None, :] > 0.5, bwd_scr[:, :], neg_inf), axis=1
+        )  # [KB]
+        cost = jnp.maximum(fwd_scr[0, :], bwd_cost) + penalty_ref[0, 0, 0, :]
+        out_ref[0, 0, 0, :] = cost
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _sweep_call(tx, ty, rx, ry, row_guard, col_inf, col_guard, angles, penalty,
+def _sweep_call(tx, ty, row_valid, rx, ry, col_valid, cos_t, sin_t, penalty,
                 interpret=False):
-    F = tx.shape[0]
-    N = tx.shape[2]
-    M = rx.shape[2]
-    K = angles.shape[2]
+    F, NC, _, RC = tx.shape
+    M = rx.shape[3]
+    n_kb = cos_t.shape[1]
+    KB = cos_t.shape[3]
     dtype = tx.dtype
 
-    def spec(last):
-        return pl.BlockSpec((1, 1, last), lambda f: (f, 0, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec(
+        (1, 1, 1, RC), lambda f, kb, ci: (f, ci, 0, 0), memory_space=pltpu.VMEM
+    )
+    ref_spec = pl.BlockSpec(
+        (1, 1, 1, M), lambda f, kb, ci: (f, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    angle_spec = pl.BlockSpec(
+        (1, 1, 1, KB), lambda f, kb, ci: (f, kb, 0, 0), memory_space=pltpu.VMEM
+    )
 
     return pl.pallas_call(
         _sweep_kernel,
-        grid=(F,),
+        grid=(F, n_kb, NC),
         in_specs=[
-            spec(N), spec(N), spec(M), spec(M),
-            spec(N), spec(M), spec(M),
-            spec(K), spec(K),
+            row_spec, row_spec, row_spec,
+            ref_spec, ref_spec, ref_spec,
+            angle_spec, angle_spec, angle_spec,
         ],
-        out_specs=spec(K),
-        out_shape=jax.ShapeDtypeStruct((F, 1, K), dtype),
+        out_specs=angle_spec,
+        out_shape=jax.ShapeDtypeStruct((F, n_kb, 1, KB), dtype),
         scratch_shapes=[
-            pltpu.VMEM((N, M), dtype),
-            pltpu.VMEM((N, M), dtype),
-            pltpu.VMEM((N, M), dtype),
+            pltpu.VMEM((8, KB), dtype),  # fwd accumulator (row 0 used)
+            pltpu.VMEM((KB, M), dtype),  # bwd accumulator
         ],
         interpret=interpret,
-    )(tx, ty, rx, ry, row_guard, col_inf, col_guard, angles, penalty)
+    )(tx, ty, row_valid, rx, ry, col_valid, cos_t, sin_t, penalty)
 
 
 def rotation_cost_table_pallas(test, ref, test_mask, ref_mask, angles, angles_valid,
@@ -135,36 +153,44 @@ def rotation_cost_table_pallas(test, ref, test_mask, ref_mask, angles, angles_va
 
     test: [F, N, 2], ref: [F, M, 2] (centered), masks [F, N]/[F, M],
     angles/valid [F, K].  Returns squared-Hausdorff costs [F, K] (+inf at
-    invalid slots).
-    """
+    invalid slots)."""
     F, N, _ = test.shape
     M = ref.shape[1]
     K = angles.shape[1]
     dtype = test.dtype
-    inf = jnp.asarray(jnp.inf, dtype)
 
-    n_pad = _round_up(max(N, 128), 128)
+    n_pad = _round_up(max(N, ROW_CHUNK), ROW_CHUNK)
     m_pad = _round_up(max(M, 128), 128)
-    k_pad = _round_up(max(K, 128), 128)
+    k_pad = _round_up(max(K, ANGLE_BLOCK), ANGLE_BLOCK)
+    nc = n_pad // ROW_CHUNK
+    n_kb = k_pad // ANGLE_BLOCK
 
-    def pad(x, target, value=0.0):
-        return jnp.pad(
-            x, ((0, 0), (0, target - x.shape[1])), constant_values=value
-        )[:, None, :]
+    def pad_rows(x, value=0.0):
+        out = jnp.pad(x, ((0, 0), (0, n_pad - x.shape[1])), constant_values=value)
+        return out.reshape(F, nc, 1, ROW_CHUNK)
 
-    tx = pad(test[..., 0], n_pad)
-    ty = pad(test[..., 1], n_pad)
-    rx = pad(ref[..., 0], m_pad)
-    ry = pad(ref[..., 1], m_pad)
+    def pad_cols(x, value=0.0):
+        out = jnp.pad(x, ((0, 0), (0, m_pad - x.shape[1])), constant_values=value)
+        return out.reshape(F, 1, 1, m_pad)
 
-    row_guard = pad(jnp.where(test_mask, 0.0, -jnp.inf).astype(dtype), n_pad, -np.inf)
-    col_inf = pad(jnp.where(ref_mask, 0.0, jnp.inf).astype(dtype), m_pad, np.inf)
-    col_guard = pad(jnp.where(ref_mask, 0.0, -jnp.inf).astype(dtype), m_pad, -np.inf)
-    angles_p = pad(angles.astype(dtype), k_pad)
-    penalty = pad(jnp.where(angles_valid, 0.0, jnp.inf).astype(dtype), k_pad, np.inf)
+    def pad_angles(x, value=0.0):
+        out = jnp.pad(x, ((0, 0), (0, k_pad - x.shape[1])), constant_values=value)
+        return out.reshape(F, n_kb, 1, ANGLE_BLOCK)
+
+    tx = pad_rows(test[..., 0])
+    ty = pad_rows(test[..., 1])
+    row_valid = pad_rows(test_mask.astype(dtype))
+    rx = pad_cols(ref[..., 0])
+    ry = pad_cols(ref[..., 1])
+    col_valid = pad_cols(ref_mask.astype(dtype))
+    cos_t = pad_angles(jnp.cos(angles).astype(dtype), 1.0)
+    sin_t = pad_angles(jnp.sin(angles).astype(dtype))
+    penalty = pad_angles(
+        jnp.where(angles_valid, 0.0, jnp.inf).astype(dtype), np.inf
+    )
 
     costs = _sweep_call(
-        tx, ty, rx, ry, row_guard, col_inf, col_guard, angles_p, penalty,
+        tx, ty, row_valid, rx, ry, col_valid, cos_t, sin_t, penalty,
         interpret=interpret,
     )
-    return costs[:, 0, :K]
+    return costs.reshape(F, k_pad)[:, :K]

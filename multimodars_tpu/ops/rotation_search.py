@@ -43,9 +43,10 @@ def _pallas_default() -> bool:
     """Whether to use the fused Pallas sweep.
 
     Opt-in via MMTPU_USE_PALLAS=1: the kernel is validated (interpret-mode
-    parity tests), but Mosaic compilation through the tunneled axon backend
-    in this environment stalls, so the XLA path stays the default until a
-    native TPU runtime is available."""
+    parity tests) and lowers to Mosaic cleanly, but this environment's
+    remote AOT compile helper cannot initialise libtpu for Mosaic custom
+    calls (chipless helper reports no accelerator type), so the XLA path
+    stays the default.  On a standard TPU VM flip the env var on."""
     import os
 
     if os.environ.get("MMTPU_USE_PALLAS", "0") != "1":

@@ -1,0 +1,73 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh, plus the
+driver entry points (__graft_entry__)."""
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+cpu_devices = jax.devices("cpu")
+needs_mesh = pytest.mark.skipif(
+    len(cpu_devices) < 8, reason="needs 8 virtual CPU devices"
+)
+
+
+@needs_mesh
+def test_cohort_relative_rotations_sharded(dummy_geom):
+    from multimodars_tpu.parallel import (
+        batched_pairs_from_geometries,
+        cohort_mesh,
+        cohort_relative_rotations,
+    )
+
+    geometries = [dummy_geom.copy() for _ in range(4)]
+    test, ref, tmask, rmask, counts = batched_pairs_from_geometries(
+        geometries, sample_size=6, pad_pairs_to=8
+    )
+    assert test.shape[0] == 8  # 4 geoms x 2 pairs, padded to the mesh size
+    mesh = cohort_mesh(cpu_devices[:8])
+    delta = cohort_relative_rotations(test, ref, tmask, rmask, 1.0, 30.0, mesh)
+    assert delta.shape == (8,)
+    # every real pair recovers the baked-in -15 deg relative rotation
+    real = np.concatenate(
+        [delta[2 * g : 2 * g + counts[g]] for g in range(4)]
+    )
+    np.testing.assert_allclose(np.degrees(real), -15.0, atol=1.0)
+
+
+@needs_mesh
+def test_cohort_matches_single_device(dummy_geom):
+    from multimodars_tpu.parallel import (
+        batched_pairs_from_geometries,
+        cohort_mesh,
+        cohort_relative_rotations,
+    )
+    from multimodars_tpu.pipelines.align_within import relative_rotations
+
+    test, ref, tmask, rmask, _ = batched_pairs_from_geometries(
+        [dummy_geom], sample_size=6, pad_pairs_to=8
+    )
+    mesh = cohort_mesh(cpu_devices[:8])
+    sharded = cohort_relative_rotations(test, ref, tmask, rmask, 0.1, 30.0, mesh)
+    single = relative_rotations(dummy_geom, 0.1, 30.0, False, 6, None)
+    np.testing.assert_allclose(sharded[:2], single, atol=1e-9)
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as graft
+
+    fn, example_args = graft.entry()
+    out = jax.jit(fn)(*example_args)
+    out.block_until_ready()
+    assert out.shape == (example_args[0].shape[0],)
+
+
+@needs_mesh
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
