@@ -1,0 +1,170 @@
+"""Benchmark 1: bruteforce vs. optimized (multi-resolution) alignment at
+varying angular step sizes — TPU replication of the reference protocol
+(reference: benchmarks/benchmark_bruteforce_stepsize.py,
+docs/benchmark.rst:30-45).
+
+Runs ``from_file_full`` on the IVUS rest/stress example pullbacks with
+step_rotation_deg in {5.0, 2.5, 1.0, 0.5, 0.25, 0.1, 0.05} degrees and
+range ±90°, optimized vs bruteforce.  write_obj / smooth / postprocessing
+are disabled so only the alignment algorithm is timed (same isolation as
+the reference).  3 repetitions, median wall time.
+
+Data: the reference's bundled example CSVs are read in place from
+/root/reference/examples/data when present; otherwise a synthetic
+two-phase pullback of the same size is generated.
+
+Output: benchmarks/results/bruteforce_stepsize.json (+ .png when
+matplotlib is importable).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+
+import multimodars as mm  # noqa: E402
+
+REF_DATA = Path("/root/reference/examples/data")
+RESULTS_DIR = Path(__file__).resolve().parent / "results"
+
+STEP_SIZES = [5.0, 2.5, 1.0, 0.5, 0.25, 0.1, 0.05]
+RANGE_DEG = 90.0
+REPEATS = 3
+
+# reference medians on Xeon Gold 6234 (16 cores), docs/benchmark.rst:30-45
+REFERENCE_SECONDS = {
+    "optimized": {0.1: 5.9, 0.05: 6.25},
+    "bruteforce": {0.1: 32.4, 0.05: 64.4},
+}
+
+
+def _synthetic_dir(tmp: Path, n_frames: int, seed: int) -> str:
+    """Write a synthetic rest-like pullback in the reference CSV layout."""
+    rng = np.random.default_rng(seed)
+    tmp.mkdir(parents=True, exist_ok=True)
+    rows = []
+    theta = np.linspace(0, 2 * np.pi, 120, endpoint=False)
+    for f in range(n_frames):
+        r = 1.6 + 0.35 * np.abs(rng.standard_normal(theta.shape))
+        phi = theta + rng.uniform(-np.pi, np.pi)
+        x = 4.5 + r * np.cos(phi)
+        y = 4.5 + r * np.sin(phi)
+        z = np.full_like(x, f * 0.2)
+        rows.append(np.column_stack([np.full_like(x, f), x, y, z]))
+    arr = np.concatenate(rows)
+    np.savetxt(tmp / "diastolic_contours.csv", arr, delimiter="\t")
+    ref = arr[arr[:, 0] == 0][:1].copy()
+    np.savetxt(tmp / "diastolic_reference_points.csv", ref, delimiter="\t")
+    sys_arr = arr.copy()
+    sys_arr[:, 1:3] += rng.uniform(-0.1, 0.1, (len(arr), 2))
+    np.savetxt(tmp / "systolic_contours.csv", sys_arr, delimiter="\t")
+    np.savetxt(tmp / "systolic_reference_points.csv", ref, delimiter="\t")
+    return str(tmp)
+
+
+def _input_dirs() -> tuple[str, str]:
+    rest = REF_DATA / "ivus_rest"
+    stress = REF_DATA / "ivus_stress"
+    if rest.is_dir() and stress.is_dir():
+        return str(rest), str(stress)
+    base = _ROOT / "benchmarks" / "_synthetic_data"
+    return (
+        _synthetic_dir(base / "rest", 28, seed=0),
+        _synthetic_dir(base / "stress", 28, seed=1),
+    )
+
+
+def _run_once(input_ab: str, input_cd: str, step: float, bruteforce: bool) -> float:
+    t0 = time.perf_counter()
+    mm.from_file_full(
+        input_path_ab=input_ab,
+        input_path_cd=input_cd,
+        step_rotation_deg=step,
+        range_rotation_deg=RANGE_DEG,
+        write_obj=False,
+        smooth=False,
+        postprocessing=False,
+        bruteforce=bruteforce,
+        interpolation_steps=0,
+    )
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    input_ab, input_cd = _input_dirs()
+    print(f"data: {input_ab} / {input_cd}")
+    RESULTS_DIR.mkdir(parents=True, exist_ok=True)
+
+    # warm the compile caches at the largest grid so per-step timings are
+    # steady-state (XLA compiles once per static (step, range) signature)
+    _run_once(input_ab, input_cd, STEP_SIZES[0], False)
+
+    results: dict[str, dict[float, float]] = {"optimized": {}, "bruteforce": {}}
+    for bruteforce in (False, True):
+        mode = "bruteforce" if bruteforce else "optimized"
+        for step in STEP_SIZES:
+            _run_once(input_ab, input_cd, step, bruteforce)  # compile warmup
+            times = [
+                _run_once(input_ab, input_cd, step, bruteforce)
+                for _ in range(REPEATS)
+            ]
+            med = statistics.median(times)
+            results[mode][step] = med
+            ref = REFERENCE_SECONDS.get(mode, {}).get(step)
+            extra = f"  (reference CPU: {ref:.2f}s, {ref / med:.1f}x)" if ref else ""
+            print(f"{mode:10s} step={step:<5g} median {med:.3f}s{extra}")
+
+    payload = {
+        "protocol": {
+            "fn": "from_file_full",
+            "range_deg": RANGE_DEG,
+            "repeats": REPEATS,
+            "flags": {"write_obj": False, "smooth": False, "postprocessing": False},
+        },
+        "seconds": {m: {str(k): v for k, v in d.items()} for m, d in results.items()},
+        "speedup_optimized_vs_bruteforce": {
+            str(s): results["bruteforce"][s] / results["optimized"][s]
+            for s in STEP_SIZES
+        },
+        "reference_seconds_xeon6234": REFERENCE_SECONDS,
+    }
+    out = RESULTS_DIR / "bruteforce_stepsize.json"
+    out.write_text(json.dumps(payload, indent=2))
+    print(f"wrote {out}")
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        for mode, marker in (("optimized", "o"), ("bruteforce", "s")):
+            xs = STEP_SIZES
+            ys = [results[mode][s] for s in xs]
+            ax.plot(xs, ys, marker=marker, label=f"{mode} (TPU v5e)")
+        ax.set_xscale("log")
+        ax.set_yscale("log")
+        ax.invert_xaxis()
+        ax.set_xlabel("step size (deg)")
+        ax.set_ylabel("median wall time (s)")
+        ax.set_title("from_file_full: optimized vs bruteforce")
+        ax.grid(True, which="both", alpha=0.3)
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(RESULTS_DIR / "bruteforce_stepsize.png", dpi=120)
+        print(f"wrote {RESULTS_DIR / 'bruteforce_stepsize.png'}")
+    except Exception as exc:  # pragma: no cover
+        print(f"plot skipped: {exc}")
+
+
+if __name__ == "__main__":
+    main()

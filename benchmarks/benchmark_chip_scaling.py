@@ -1,0 +1,168 @@
+"""Benchmark 2: scaling study — TPU replication of the reference's CPU-core
+scaling protocol (reference: benchmarks/benchmark_cpu_scaling.py,
+docs/benchmark.rst:47-112).
+
+The reference scales one pullback's frame-chain across rayon threads
+(2 → 16 cores).  On TPU the analogous axes are:
+
+1. **Single-chip end-to-end** — ``from_array_single`` on the 280-frame OCT
+   pullback (step 0.01°, range ±6°), the reference's headline config.  The
+   rotation-invariance reformulation makes all 279 relative searches one
+   batched sweep, so a single chip already replaces the whole thread pool.
+2. **Cohort scaling** — registering N pullbacks at once by concatenating
+   their pair batches (multimodars_tpu.parallel.cohort).  Reported as
+   pullbacks/second vs N: this is the production-serving axis, where the
+   batch dimension keeps the VPU/MXU saturated.
+3. **Mesh scaling (virtual)** — the same cohort sharded over an 8-device
+   mesh (data parallel over the pairs axis, zero hot-loop collectives).
+   On this host the mesh is virtual (CPU devices), so only *relative*
+   scaling shape is meaningful; real multi-chip numbers require a pod
+   slice.
+
+Output: benchmarks/results/chip_scaling.json (+ .png).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+
+RESULTS_DIR = Path(__file__).resolve().parent / "results"
+
+REPEATS = 3
+COHORT_SIZES = [1, 2, 4, 8, 16]
+
+# reference medians, optimized search (docs/benchmark.rst:63-86)
+REFERENCE_CPU_SECONDS = {2: 10.08, 4: 5.56, 8: 3.49, 12: 2.64, 16: 2.40}
+
+
+def _median_time(fn, repeats=REPEATS):
+    fn()  # warmup / compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def main() -> None:
+    import contextlib
+    import io
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import RUST_BASELINE_S, synthetic_oct_pullback
+    from multimodars import from_array_single, numpy_to_inputdata
+    from multimodars_tpu.ops.rotation_search import multires_rotation_search
+    from multimodars_tpu.parallel import cohort_mesh, cohort_relative_rotations
+
+    RESULTS_DIR.mkdir(parents=True, exist_ok=True)
+    payload: dict = {"platform": jax.default_backend()}
+
+    # 1. single-chip end-to-end (the bench.py headline, re-measured here)
+    lumen, ref = synthetic_oct_pullback()
+    input_data = numpy_to_inputdata(lumen, ref, True, label="bench_oct")
+
+    def run_e2e():
+        with contextlib.redirect_stdout(io.StringIO()):
+            from_array_single(
+                input_data, step_rotation_deg=0.01, range_rotation_deg=6.0,
+                sample_size=500, write_obj=False, smooth=False,
+            )
+
+    e2e = _median_time(run_e2e)
+    payload["single_chip_e2e_s"] = e2e
+    payload["vs_rust_16core"] = RUST_BASELINE_S / e2e
+    payload["reference_cpu_seconds"] = REFERENCE_CPU_SECONDS
+    print(f"single-chip e2e: {e2e:.3f}s  ({RUST_BASELINE_S / e2e:.1f}x vs Rust 16-core)")
+
+    # 2. cohort scaling: batched pair sweeps, N pullbacks at once.
+    # Each pullback contributes 279 pairs of 500-pt contours; the cohort is
+    # one [N*279, ...] batch through the identical search ladder.
+    rng = np.random.default_rng(3)
+    n_pairs_per = 279
+    n_pts = 500
+    cohort_rows = []
+    for size in COHORT_SIZES:
+        F = size * n_pairs_per
+        test = jnp.asarray(rng.standard_normal((F, n_pts, 2)), jnp.float32)
+        refp = jnp.asarray(rng.standard_normal((F, n_pts, 2)), jnp.float32)
+        mask = jnp.ones((F, n_pts), bool)
+
+        def run_cohort(test=test, refp=refp, mask=mask):
+            multires_rotation_search(
+                test, refp, mask, mask, 0.01, 6.0
+            ).block_until_ready()
+
+        sec = _median_time(run_cohort)
+        throughput = size / sec
+        cohort_rows.append({"pullbacks": size, "seconds": sec,
+                            "pullbacks_per_s": throughput})
+        print(f"cohort n={size:<3d} search {sec:.3f}s  {throughput:.2f} pullbacks/s")
+    payload["cohort_scaling"] = cohort_rows
+
+    # 3. virtual mesh scaling (shape only — CPU devices)
+    mesh_rows = []
+    try:
+        cpu = jax.devices("cpu")
+        for nd in (1, 2, 4, 8):
+            if len(cpu) < nd:
+                break
+            F = 8 * n_pairs_per
+            test = jnp.asarray(rng.standard_normal((F, 64, 2)), jnp.float32)
+            refp = jnp.asarray(rng.standard_normal((F, 64, 2)), jnp.float32)
+            mask = jnp.ones((F, 64), bool)
+            mesh = cohort_mesh(cpu[:nd])
+
+            def run_mesh(test=test, refp=refp, mask=mask, mesh=mesh):
+                np.asarray(
+                    cohort_relative_rotations(test, refp, mask, mask, 1.0, 6.0, mesh)
+                )
+
+            sec = _median_time(run_mesh)
+            mesh_rows.append({"devices": nd, "seconds": sec})
+            print(f"mesh d={nd}  {sec:.3f}s")
+    except Exception as exc:  # pragma: no cover
+        print(f"mesh scaling skipped: {exc}")
+    payload["virtual_mesh_scaling"] = mesh_rows
+
+    out = RESULTS_DIR / "chip_scaling.json"
+    out.write_text(json.dumps(payload, indent=2))
+    print(f"wrote {out}")
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        xs = [r["pullbacks"] for r in cohort_rows]
+        ys = [r["pullbacks_per_s"] for r in cohort_rows]
+        ax.plot(xs, ys, marker="o", label="cohort throughput (this chip)")
+        ax.axhline(1.0 / RUST_BASELINE_S, color="gray", ls="--",
+                   label="Rust 16-core (1 pullback at a time)")
+        ax.set_xlabel("pullbacks per batch")
+        ax.set_ylabel("pullbacks / second (search)")
+        ax.set_title("cohort scaling: batched rotation search")
+        ax.grid(True, alpha=0.3)
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(RESULTS_DIR / "chip_scaling.png", dpi=120)
+        print(f"wrote {RESULTS_DIR / 'chip_scaling.png'}")
+    except Exception as exc:  # pragma: no cover
+        print(f"plot skipped: {exc}")
+
+
+if __name__ == "__main__":
+    main()
