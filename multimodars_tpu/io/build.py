@@ -188,8 +188,9 @@ def build_geometry_from_inputdata(
     if input_data.record is not None:
         geometry.reorder_frames(input_data.record, diastole)
 
-    for frame in geometry.frames:
-        frame.sort_frame_points_inplace()
+    from ..models.batched import ccw_sort_frames
+
+    ccw_sort_frames(geometry.frames)
 
     geometry.ensure_proximal_at_position_zero()
 

@@ -129,13 +129,16 @@ class PyGeometry:
         return PyGeometry(out_frames, self.label)
 
     def rotate_geometry(self, angle_rad: float) -> None:
-        """Rotate every frame about its own centroid and re-sort points CCW.
-        Parity: geometry.rs:241-250."""
+        """Rotate every frame about its own centroid and re-sort points CCW,
+        batched over frames.  Parity: geometry.rs:241-250."""
         if angle_rad == 0.0:
             return
-        for frame in self.frames:
-            frame.rotate_inplace(angle_rad, (frame.centroid[0], frame.centroid[1]))
-            frame.sort_frame_points_inplace()
+        from .batched import ccw_sort_frames, rotate_frames_about_centroids
+
+        rotate_frames_about_centroids(
+            self.frames, np.full(len(self.frames), float(angle_rad))
+        )
+        ccw_sort_frames(self.frames)
 
     def sort_frame_points_by_z(self) -> None:
         """Roll every contour's point list so frame 0's highest-z lumen point

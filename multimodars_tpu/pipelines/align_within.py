@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import config
+from ..models.batched import rotate_frames_about_centroids, translate_frames
 from ..models.contour import PyContour, downsample_contour_points
 from ..models.frame import PyFrame
 from ..models.geometry import PyGeometry
@@ -449,22 +450,25 @@ def _finish_alignment(
     ref_idx = geometry.ref_or_proximal_idx()
     logs: List[AlignLog] = []
     if len(geometry.frames) > 1:
+        # batched equivalent of the per-frame rotate-about-centroid +
+        # recenter-to-frame-0 chain (see models.batched for the semantics)
         cumulative = np.cumsum(delta)
         c0 = geometry.frames[0].centroid
-        for i in range(1, len(geometry.frames)):
-            frame = geometry.frames[i]
-            ci = frame.centroid
-            frame.rotate_inplace(float(cumulative[i - 1]), (ci[0], ci[1]))
-            tx = c0[0] - ci[0]
-            ty = c0[1] - ci[1]
-            frame.translate_inplace(tx, ty, 0.0)
+        tail = geometry.frames[1:]
+        centers = np.array([f.centroid for f in tail], dtype=np.float64)
+        txy = np.column_stack(
+            [c0[0] - centers[:, 0], c0[1] - centers[:, 1], np.zeros(len(tail))]
+        )
+        rotate_frames_about_centroids(tail, cumulative)
+        translate_frames(tail, txy)
+        for i, frame in enumerate(tail):
             logs.append(
                 AlignLog(
                     contour_id=frame.id,
-                    matched_to=geometry.frames[i - 1].id,
-                    rot_deg=math.degrees(float(delta[i - 1])),
-                    tx=tx,
-                    ty=ty,
+                    matched_to=geometry.frames[i].id,
+                    rot_deg=math.degrees(float(delta[i])),
+                    tx=float(txy[i, 0]),
+                    ty=float(txy[i, 1]),
                     centroid=(frame.centroid[0], frame.centroid[1]),
                 )
             )

@@ -132,18 +132,57 @@ def _create_wall_contour_aortic_only(contour: PyContour) -> PyContour:
     return create_aortic_wall(contour)
 
 
+def _offset_contours_batched(contours: List[PyContour], distance: float) -> List[PyContour]:
+    """offset_contour without point_range, vectorised over same-size
+    contours (the non-aortic fast path of wall synthesis)."""
+    groups = {}
+    for i, c in enumerate(contours):
+        groups.setdefault(c.n_points, []).append(i)
+    walls: List[Optional[PyContour]] = [None] * len(contours)
+    for n, idxs in groups.items():
+        stack = np.stack([contours[i].xyz_view() for i in idxs])  # [K, N, 3]
+        centroids = stack.mean(axis=1)
+        rel = stack - centroids[:, None, :]
+        length = np.sqrt((rel * rel).sum(-1))
+        ok = length > np.finfo(np.float64).eps
+        scale = np.where(ok, distance / np.where(length > 0, length, 1.0), 0.0)
+        offset = stack + rel * scale[:, :, None]
+        for j, i in enumerate(idxs):
+            src = contours[i]
+            walls[i] = PyContour.from_arrays(
+                src.id,
+                src.original_frame,
+                offset[j].copy(),
+                tuple(float(v) for v in centroids[j]),
+                src.frame_indices.copy(),
+                src.point_indices.copy(),
+                src.aortic_flags.copy(),
+                src.aortic_thickness,
+                src.pulmonary_thickness,
+                "Wall",
+            )
+    return walls
+
+
 def create_wall_frames(
     frames: List[PyFrame], anomalous: bool, with_pulmonary: bool = False
 ) -> List[PyFrame]:
-    """Add a Wall contour to every frame.  Parity: wall.rs:7-34."""
+    """Add a Wall contour to every frame; the plain radial-offset walls are
+    built in one batched pass.  Parity: wall.rs:7-34."""
     if with_pulmonary:
         raise NotImplementedError("pulmonary wall synthesis not yet implemented")
+    sources = [
+        frame.lumen if (anomalous or "Eem" not in frame.extras) else frame.extras["Eem"]
+        for frame in frames
+    ]
+    plain = [i for i, c in enumerate(sources) if c.aortic_thickness is None]
+    walls: List[Optional[PyContour]] = [None] * len(frames)
+    if plain:
+        for i, wall in zip(plain, _offset_contours_batched([sources[i] for i in plain], 1.0)):
+            walls[i] = wall
     out: List[PyFrame] = []
-    for frame in frames:
-        if anomalous or "Eem" not in frame.extras:
-            wall = _create_wall_contour_aortic_only(frame.lumen)
-        else:
-            wall = _create_wall_contour_aortic_only(frame.extras["Eem"])
+    for i, frame in enumerate(frames):
+        wall = walls[i] if walls[i] is not None else create_aortic_wall(sources[i])
         new_frame = frame.copy()
         new_frame.extras["Wall"] = wall
         out.append(new_frame)
