@@ -71,13 +71,19 @@ def farthest_pair(xyz: np.ndarray) -> Tuple[int, int, float]:
     strictly-greater comparison, matching contour.rs:227-242.
     """
     n = xyz.shape[0]
-    d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
-    iu = np.triu_indices(n, k=1)
-    vals = d2[iu]
-    if vals.size == 0:
+    if n < 2:
         return 0, 0, 0.0
-    k = int(np.argmax(vals))
-    return int(iu[0][k]), int(iu[1][k]), float(math.sqrt(vals[k]))
+    # gram-matrix form: one [n, n] matmul instead of an [n, n, 3] broadcast
+    sq = (xyz * xyz).sum(axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (xyz @ xyz.T)
+    # row-major argmax over the strict upper triangle == the reference's
+    # i-outer / j-inner strictly-greater scan (first max wins)
+    d2[np.tril_indices(n)] = -1.0
+    k = int(np.argmax(d2))
+    i, j = divmod(k, n)
+    # recompute exactly (the gram form carries cancellation error)
+    dist2 = float(((xyz[i] - xyz[j]) ** 2).sum())
+    return i, j, math.sqrt(max(dist2, 0.0))
 
 
 def closest_opposite(xyz: np.ndarray, centroid_xy: Optional[Tuple[float, float]] = None):

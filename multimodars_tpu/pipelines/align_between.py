@@ -90,6 +90,82 @@ def rotate_geometry_around_point(
             frame.reference_point.y = ry
 
 
+def find_best_rotations_between_batch(
+    clouds: List[Tuple[np.ndarray, np.ndarray]],
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool = False,
+) -> np.ndarray:
+    """Batched find_best_rotation_between: each (reference_xy, target_xy)
+    cloud pair becomes one slot of a padded+masked batch through a single
+    device search — the TPU analog of the reference's concurrent
+    align-between threads (entry.rs:206-277)."""
+    dtype = config.compute_dtype
+    F = len(clouds)
+    M = max(r.shape[0] for r, _ in clouds)
+    N = max(t.shape[0] for _, t in clouds)
+    ref = np.zeros((F, M, 2))
+    test = np.zeros((F, N, 2))
+    rmask = np.zeros((F, M), dtype=bool)
+    tmask = np.zeros((F, N), dtype=bool)
+    for k, (reference_xy, target_xy) in enumerate(clouds):
+        pivot = reference_xy.mean(axis=0)
+        m, n = reference_xy.shape[0], target_xy.shape[0]
+        ref[k, :m] = reference_xy - pivot
+        test[k, :n] = target_xy - pivot
+        rmask[k, :m] = True
+        tmask[k, :n] = True
+    best = multires_rotation_search(
+        jnp.asarray(test, dtype=dtype),
+        jnp.asarray(ref, dtype=dtype),
+        jnp.asarray(tmask),
+        jnp.asarray(rmask),
+        float(step_deg),
+        float(range_deg),
+        bool(bruteforce),
+    )
+    return np.asarray(best, dtype=np.float64)
+
+
+def align_between_geometries_batch(
+    pairs: List[Tuple[PyGeometry, PyGeometry]],
+    rot_deg: float,
+    step_rot_deg: float,
+    sample_size: int,
+    verbose: bool = True,
+) -> List[PyGeometryPair]:
+    """Align several independent (A, B) pairs with one batched rotation
+    search.  Each pair follows align_between.rs:11-92 semantics exactly;
+    only the searches are fused."""
+    preps = []
+    for geom_a, geom_b in pairs:
+        ref_a_centroid = geom_a.frames[geom_a.ref_or_proximal_idx()].centroid
+        ref_b_centroid = geom_b.frames[geom_b.ref_or_proximal_idx()].centroid
+        initial_translation = tuple(
+            ref_a_centroid[k] - ref_b_centroid[k] for k in range(3)
+        )
+        geom_b.translate_geometry(initial_translation)
+        test_a = extract_geometry_points(geom_a, max(sample_size, 500))
+        test_b = extract_geometry_points(geom_b, max(sample_size, 500))
+        preps.append((ref_a_centroid, initial_translation, test_a, test_b))
+
+    rotations = find_best_rotations_between_batch(
+        [(ta, tb) for _, _, ta, tb in preps], step_rot_deg, rot_deg
+    )
+
+    out = []
+    for (geom_a, geom_b), (ref_a_centroid, initial_translation, _, _), rot in zip(
+        pairs, preps, rotations
+    ):
+        out.append(
+            _finish_between(
+                geom_a, geom_b, float(rot), ref_a_centroid, initial_translation,
+                rot_deg, step_rot_deg, verbose,
+            )
+        )
+    return out
+
+
 def align_between_geometries(
     geom_a: PyGeometry,
     geom_b: PyGeometry,
@@ -102,20 +178,21 @@ def align_between_geometries(
     apply it about A's reference centroid, then re-translate exactly.
     Parity: align_between.rs:11-92.  Mutates geom_b in place like the
     reference; the returned pair holds copies."""
-    ref_idx_a = geom_a.ref_or_proximal_idx()
-    ref_idx_b = geom_b.ref_or_proximal_idx()
+    return align_between_geometries_batch(
+        [(geom_a, geom_b)], rot_deg, step_rot_deg, sample_size, verbose
+    )[0]
 
-    ref_a_centroid = geom_a.frames[ref_idx_a].centroid
-    ref_b_centroid = geom_b.frames[ref_idx_b].centroid
 
-    initial_translation = tuple(ref_a_centroid[k] - ref_b_centroid[k] for k in range(3))
-    geom_b.translate_geometry(initial_translation)
-
-    test_a = extract_geometry_points(geom_a, max(sample_size, 500))
-    test_b = extract_geometry_points(geom_b, max(sample_size, 500))
-
-    best_rotation = find_best_rotation_between(test_a, test_b, step_rot_deg, rot_deg)
-
+def _finish_between(
+    geom_a: PyGeometry,
+    geom_b: PyGeometry,
+    best_rotation: float,
+    ref_a_centroid,
+    initial_translation,
+    rot_deg: float,
+    step_rot_deg: float,
+    verbose: bool,
+) -> PyGeometryPair:
     rotate_geometry_around_point(geom_b, best_rotation, ref_a_centroid)
 
     ref_idx_a = geom_a.ref_or_proximal_idx()

@@ -19,7 +19,7 @@ from ..io.csv_io import InputData
 from ..models.geometry import PyGeometry, PyGeometryPair
 from ..utils.logs import AlignLog
 from . import to_object
-from .align_between import align_between_geometries
+from .align_between import align_between_geometries, align_between_geometries_batch
 from .align_within import align_frames_in_geometries, align_frames_in_geometry
 from .postprocess import postprocess_geom_pair
 
@@ -186,17 +186,15 @@ def full_processing(
         bool_d,
     ) = aligned
 
-    pair_ab = align_between_geometries(
-        geom_a, geom_b, range_deg, step_deg, sample_size, verbose=verbose
+    # AB ‖ CD then AC ‖ BD: the reference's two concurrent scoped-thread
+    # stages (entry.rs:206-277) become two batched device searches
+    pair_ab, pair_cd = align_between_geometries_batch(
+        [(geom_a, geom_b), (geom_c, geom_d)],
+        range_deg, step_deg, sample_size, verbose=verbose,
     )
-    pair_cd = align_between_geometries(
-        geom_c, geom_d, range_deg, step_deg, sample_size, verbose=verbose
-    )
-    pair_ac = align_between_geometries(
-        geom_a, geom_c, range_deg, step_deg, sample_size, verbose=verbose
-    )
-    pair_bd = align_between_geometries(
-        geom_b, geom_d, range_deg, step_deg, sample_size, verbose=verbose
+    pair_ac, pair_bd = align_between_geometries_batch(
+        [(geom_a, geom_c), (geom_b, geom_d)],
+        range_deg, step_deg, sample_size, verbose=verbose,
     )
 
     anomalous = bool_a or bool_b or bool_c or bool_d
@@ -263,11 +261,9 @@ def double_pair_processing(
         bool_d,
     ) = aligned
 
-    pair_ab = align_between_geometries(
-        geom_a, geom_b, range_deg, step_deg, sample_size, verbose=verbose
-    )
-    pair_cd = align_between_geometries(
-        geom_c, geom_d, range_deg, step_deg, sample_size, verbose=verbose
+    pair_ab, pair_cd = align_between_geometries_batch(
+        [(geom_a, geom_b), (geom_c, geom_d)],
+        range_deg, step_deg, sample_size, verbose=verbose,
     )
 
     anomalous = bool_a or bool_b or bool_c or bool_d

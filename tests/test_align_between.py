@@ -68,3 +68,37 @@ def test_align_between_idealized():
             count += 2
     assert max_error < 0.01, f"Maximum alignment error {max_error}"
     assert total_error / count < 0.001
+
+
+def test_batched_matches_single(dummy_geom_aligned_long):
+    """align_between_geometries_batch on two independent pairs gives the
+    same result as two sequential single-pair calls."""
+    from multimodars_tpu.pipelines.align_between import (
+        align_between_geometries_batch,
+    )
+
+    base = dummy_geom_aligned_long
+
+    def make_pair(angle_deg):
+        a = base.copy()
+        b = base.copy()
+        b.rotate_geometry(math.radians(angle_deg))
+        return a, b
+
+    singles = []
+    for angle in (15.0, -11.0):
+        a, b = make_pair(angle)
+        singles.append(align_between_geometries(a, b, 30.0, 0.1, 6, verbose=False))
+
+    pairs = [make_pair(15.0), make_pair(-11.0)]
+    batched = align_between_geometries_batch(pairs, 30.0, 0.1, 6, verbose=False)
+
+    for single, batch in zip(singles, batched):
+        for fs, fb in zip(single.geom_b.frames, batch.geom_b.frames):
+            assert abs(fs.centroid[0] - fb.centroid[0]) < 1e-12
+            assert abs(fs.centroid[1] - fb.centroid[1]) < 1e-12
+            import numpy as np
+
+            np.testing.assert_allclose(
+                fs.lumen.xyz_view(), fb.lumen.xyz_view(), atol=1e-12
+            )
