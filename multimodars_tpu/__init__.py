@@ -32,6 +32,7 @@ from ._processing import (
     from_array_doublepair,
     from_array_singlepair,
     from_array_single,
+    from_array_cohort,
     align_three_point,
     align_manual,
     align_combined,
@@ -123,6 +124,7 @@ __all__ = [
     "from_array_full",
     "from_array_doublepair",
     "from_array_singlepair",
+    "from_array_cohort",
     "from_array_single",
     "align_three_point",
     "align_manual",

@@ -601,3 +601,39 @@ def discretize_vessel(centerline, points, branch_id=0, step_size=0.5, n_points=2
     from .ccta.kernels import discretize_vessel as _f
 
     return _f(centerline, points, branch_id, step_size, n_points)
+
+
+def from_array_cohort(
+    input_data_list,
+    step_rotation_deg: float = 0.5,
+    range_rotation_deg: float = 90.0,
+    sample_size: int = 500,
+    image_center: Tuple[float, float] = (4.5, 4.5),
+    radius: float = 0.5,
+    n_points: int = 20,
+    labels=None,
+    bruteforce: bool = False,
+    smooth: bool = True,
+    verbose: bool = False,
+):
+    """Register N independent pullbacks with ONE batched rotation search.
+
+    TPU-native extension beyond the reference API: all cases' frame pairs
+    share the device batch, so throughput scales with cohort size instead
+    of paying one dispatch per case (see
+    benchmarks/benchmark_chip_scaling.py).  Returns a list of
+    (PyGeometry, logs, anomalous) triples in input order.
+    """
+    return _entry.cohort_processing(
+        [_to_inputdata(d) for d in input_data_list],
+        labels=labels,
+        image_center=image_center,
+        radius=radius,
+        n_points=n_points,
+        step_deg=step_rotation_deg,
+        range_deg=range_rotation_deg,
+        smooth=smooth,
+        bruteforce=bruteforce,
+        sample_size=sample_size,
+        verbose=verbose,
+    )

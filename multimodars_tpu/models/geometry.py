@@ -101,31 +101,67 @@ class PyGeometry:
 
     def smooth_frames(self) -> "PyGeometry":
         """Three-frame moving average of x/y per point index on lumen, Eem and
-        Wall contours (mirror boundary).  Parity: geometry.rs:165-239."""
-        out_frames: List[PyFrame] = []
-        n = len(self.frames)
-        for i in range(n):
-            current = self.frames[i].copy()
-            prev = self.frames[i - 1] if i > 0 else self.frames[i]
-            nxt = self.frames[i + 1] if i < n - 1 else self.frames[i]
+        Wall contours (mirror boundary), batched over the frame axis.
+        Parity: geometry.rs:165-239."""
+        out_frames: List[PyFrame] = [f.copy() for f in self.frames]
+        n = len(out_frames)
+        if n == 0:
+            return PyGeometry(out_frames, self.label)
 
-            def smooth_contour(cur: PyContour, pre: PyContour, nex: PyContour) -> PyContour:
-                new = cur.copy()
-                m = cur.n_points
-                avg = (
-                    pre.xyz_view()[:m, :2] + cur.xyz_view()[:m, :2] + nex.xyz_view()[:m, :2]
-                ) / 3.0
-                new.xyz_view()[:m, :2] = avg
-                new.compute_centroid()
-                return new
+        def smooth_kind(get):
+            contours = [get(f) for f in out_frames]
+            if any(c is None for c in contours):
+                return
+            counts = {c.n_points for c in contours}
+            if len(counts) != 1:
+                # ragged counts: per-frame truncated averaging (rare path)
+                srcs = [get(f) for f in self.frames]
+                for i, cur in enumerate(contours):
+                    pre = srcs[i - 1] if i > 0 else srcs[i]
+                    nex = srcs[i + 1] if i < n - 1 else srcs[i]
+                    m = min(cur.n_points, pre.n_points, nex.n_points)
+                    cur.xyz_view()[:m, :2] = (
+                        pre.xyz_view()[:m, :2]
+                        + srcs[i].xyz_view()[:m, :2]
+                        + nex.xyz_view()[:m, :2]
+                    ) / 3.0
+                    cur.compute_centroid()
+                return
+            stack = np.stack([get(f).xyz_view() for f in self.frames])  # [F,N,3]
+            prev_i = np.maximum(np.arange(n) - 1, 0)
+            next_i = np.minimum(np.arange(n) + 1, n - 1)
+            avg = (stack[prev_i, :, :2] + stack[:, :, :2] + stack[next_i, :, :2]) / 3.0
+            means_z = stack[:, :, 2].mean(axis=1)
+            means_xy = avg.mean(axis=1)
+            for i, c in enumerate(contours):
+                c.xyz_view()[:, :2] = avg[i]
+                c.centroid = (
+                    float(means_xy[i, 0]), float(means_xy[i, 1]), float(means_z[i])
+                )
 
-            current.lumen = smooth_contour(current.lumen, prev.lumen, nxt.lumen)
-            for kind in ("Eem", "Wall"):
-                if kind in current.extras and kind in prev.extras and kind in nxt.extras:
-                    current.extras[kind] = smooth_contour(
-                        current.extras[kind], prev.extras[kind], nxt.extras[kind]
-                    )
-            out_frames.append(current)
+        smooth_kind(lambda f: f.lumen)
+        for kind in ("Eem", "Wall"):
+            if all(kind in f.extras for f in self.frames):
+                smooth_kind(lambda f, k=kind: f.extras.get(k))
+            elif any(kind in f.extras for f in self.frames):
+                # mixed presence: frame i smoothed only when i-1, i, i+1 all
+                # carry the kind (original per-frame rule)
+                for i, current in enumerate(out_frames):
+                    prev = self.frames[i - 1] if i > 0 else self.frames[i]
+                    nxt = self.frames[i + 1] if i < n - 1 else self.frames[i]
+                    if (
+                        kind in current.extras
+                        and kind in prev.extras
+                        and kind in nxt.extras
+                    ):
+                        cur = current.extras[kind]
+                        m = cur.n_points
+                        cur.xyz_view()[:m, :2] = (
+                            prev.extras[kind].xyz_view()[:m, :2]
+                            + self.frames[i].extras[kind].xyz_view()[:m, :2]
+                            + nxt.extras[kind].xyz_view()[:m, :2]
+                        ) / 3.0
+                        cur.compute_centroid()
         return PyGeometry(out_frames, self.label)
 
     def rotate_geometry(self, angle_rad: float) -> None:

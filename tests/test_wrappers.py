@@ -96,3 +96,48 @@ def test_to_obj(tmp_path):
     text = (tmp_path / "lumen.obj").read_text()
     n_v = sum(1 for line in text.splitlines() if line.startswith("v "))
     assert n_v == len(geom.frames) * len(geom.frames[0].lumen.points) + 2
+
+
+def test_from_array_cohort_matches_singles(tmp_path):
+    """from_array_cohort registers N cases in one batched search and matches
+    per-case from_array_single output exactly."""
+    import numpy as np
+
+    from multimodars import from_array_cohort, from_array_single, numpy_to_inputdata
+
+    def make_case(seed):
+        rng = np.random.default_rng(seed)
+        theta = np.linspace(0, 2 * np.pi, 40, endpoint=False)
+        rows = []
+        for f in range(6):
+            r = 1.5 + 0.3 * np.abs(rng.standard_normal(theta.shape))
+            phi = theta + rng.uniform(-0.3, 0.3)
+            rows.append(
+                np.column_stack(
+                    [
+                        np.full(40, f),
+                        4.5 + r * np.cos(phi),
+                        4.5 + r * np.sin(phi),
+                        np.full(40, f * 0.2),
+                    ]
+                )
+            )
+        ref = np.array([0, 7.0, 4.5, 0.0])
+        return numpy_to_inputdata(np.concatenate(rows), ref, True, label=f"case{seed}")
+
+    cases = [make_case(s) for s in (1, 2, 3)]
+    cohort = from_array_cohort(
+        cases, step_rotation_deg=1.0, range_rotation_deg=10.0,
+        sample_size=40, smooth=False, verbose=False,
+    )
+    assert len(cohort) == 3
+    for case, (geom, logs, _) in zip(cases, cohort):
+        single, slogs = from_array_single(
+            case, step_rotation_deg=1.0, range_rotation_deg=10.0,
+            sample_size=40, smooth=False, write_obj=False,
+        )
+        assert len(logs) == len(slogs)
+        for fg, fs in zip(geom.frames, single.frames):
+            np.testing.assert_allclose(
+                fg.lumen.xyz_view(), fs.lumen.xyz_view(), atol=1e-12
+            )
