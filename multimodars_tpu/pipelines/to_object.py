@@ -123,14 +123,14 @@ def compute_uv_coordinates(contours: Sequence[PyContour]) -> List[Tuple[float, f
         return []
     points_per_contour = contours[0].n_points
     num_contours = len(contours)
-    uvs = []
-    for ci, group in enumerate(contours):
-        if group.n_points == 0:
-            continue
-        v = (ci + 0.5) / num_contours
-        for pi in range(group.n_points):
-            uvs.append(((pi + 0.5) / points_per_contour, v))
-    return uvs
+    counts = [c.n_points for c in contours]
+    us = np.concatenate(
+        [(np.arange(n) + 0.5) / points_per_contour for n in counts if n]
+    )
+    vs = np.concatenate(
+        [np.full(n, (ci + 0.5) / num_contours) for ci, n in enumerate(counts) if n]
+    )
+    return list(zip(us.tolist(), vs.tolist()))
 
 
 def compute_displacements(mesh: PyGeometry, reference: PyGeometry) -> np.ndarray:
@@ -149,12 +149,18 @@ def create_displacement_texture(displacements, width, height, max_disp, filename
     from PIL import Image
 
     img = np.zeros((height, width, 3), dtype=np.uint8)
-    disp = np.asarray(displacements)
-    for i in range(min(disp.size, width * height)):
+    disp = np.asarray(displacements, dtype=np.float64).ravel()[: width * height]
+    if disp.size:
+        if max_disp > 0:
+            normalized = np.clip(disp / max_disp, 0.0, 1.0)
+        else:
+            normalized = np.zeros_like(disp)
+        i = np.arange(disp.size)
         x = i % width
         y = (height - 1) - (i // width)
-        normalized = float(np.clip(disp[i] / max_disp, 0.0, 1.0)) if max_disp > 0 else 0.0
-        img[y, x] = (int(normalized * 255.0), 0, int((1.0 - normalized) * 255.0))
+        # int() truncation parity with the per-pixel loop
+        img[y, x, 0] = (normalized * 255.0).astype(np.uint8)
+        img[y, x, 2] = ((1.0 - normalized) * 255.0).astype(np.uint8)
     Image.fromarray(img, "RGB").save(filename)
 
 

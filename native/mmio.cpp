@@ -13,6 +13,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o libmmio.so mmio.cpp
 
 #include <cctype>
+#include <charconv>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -119,10 +120,16 @@ int mm_read_contour_csv(const char* path, double** out_data, int64_t* out_rows,
 void mm_free(double* ptr) { std::free(ptr); }
 
 static void write_double(std::string& out, double v) {
+  // std::to_chars emits the shortest f64 round-trip form (Ryu) and is
+  // several times faster than snprintf("%.17g")
   char tmp[32];
-  // %.17g is the shortest representation guaranteeing f64 round-trip
-  int len = std::snprintf(tmp, sizeof(tmp), "%.17g", v);
-  out.append(tmp, static_cast<size_t>(len));
+  auto res = std::to_chars(tmp, tmp + sizeof(tmp), v);
+  if (res.ec == std::errc()) {
+    out.append(tmp, static_cast<size_t>(res.ptr - tmp));
+  } else {
+    int len = std::snprintf(tmp, sizeof(tmp), "%.17g", v);
+    out.append(tmp, static_cast<size_t>(len));
+  }
 }
 
 // Write a quad-strip OBJ shell (output.rs:10-147).
