@@ -1,0 +1,125 @@
+"""Benchmark 3: CCTA fusion pipeline (label -> scale -> stitch).
+
+Reference point: the reference's examples/fullworkflow.py ran ~190 s
+before and ~24 s after its Rust/R-tree optimization pass
+(CHANGELOG.md:30-38, ROADMAP.MD:5-8) on a clinical CCTA mesh.
+
+The reference's clinical mesh is not distributed, so this benchmark runs
+the same pipeline stages on a synthetic anomalous-RCA case built at a
+clinically realistic scale (configurable; default ~60k vertices) — the
+same construction as tests/test_fusion_e2e.py, scaled up.
+
+Output: benchmarks/results/ccta_fusion.json
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+
+from multimodars import numpy_to_geometry  # noqa: E402
+from multimodars_tpu import ccta  # noqa: E402
+from multimodars_tpu.ccta.mesh import concatenate  # noqa: E402
+
+sys.path.insert(0, str(_ROOT / "tests"))
+from test_fusion_e2e import _basis_from_tangent, _line, _tube_mesh  # noqa: E402
+
+RESULTS_DIR = Path(__file__).resolve().parent / "results"
+REFERENCE_SECONDS = 24.0  # post-optimization fullworkflow (CHANGELOG.md:30-38)
+
+RCA_P0 = (30.0, 0.0, 14.0)
+RCA_P1 = (22.0, -2.0, -8.0)
+
+
+def build_case(scale: int = 1):
+    """Synthetic aorta + anomalous RCA + LCA at roughly clinical density:
+    scale=1 -> ~8k vertices, scale=3 -> ~60k."""
+    aorta = _tube_mesh(_line((36, 0, 0), (36, 0, 20), 40 * scale), 6.0, 64 * scale)
+    rca = _tube_mesh(_line(RCA_P0, RCA_P1, 60 * scale), 1.4, 32 * scale)
+    lca = _tube_mesh(_line((42, 0, 14), (50, 2, -8), 60 * scale), 1.4, 32 * scale)
+    mesh = concatenate([aorta, rca, lca])
+
+    cl_ao = _line((36, 0, 20), (36, 0, 0), 50)
+    cl_rca = _line(RCA_P0, RCA_P1, 60)
+    cl_lca = _line((42, 0, 14), (50, 2, -8), 60)
+
+    p0, p1 = np.asarray(RCA_P0), np.asarray(RCA_P1)
+    axis = p1 - p0
+    u, v = _basis_from_tangent(axis)
+    lumen_rows, wall_rows = [], []
+    # the stitcher requires the IV rings to carry at least as many points as
+    # the cut boundary rings (same implicit constraint as the reference's
+    # point_step = len(iv)//len(boundary)); the tube rings have 32*scale
+    n_pts = 64 * scale
+    for f, t in enumerate(np.linspace(0.42, 0.62, 12)):
+        c = p0 + t * axis
+        for k in range(n_pts):
+            th = 2.0 * math.pi * k / n_pts
+            d = math.cos(th) * u + math.sin(th) * v
+            lumen_rows.append([f, *(c + 1.2 * d)])
+            wall_rows.append([f, *(c + 1.7 * d)])
+    geom = numpy_to_geometry(
+        np.asarray(lumen_rows), wall_arr=np.asarray(wall_rows), label="iv"
+    )
+    geom.frames[0].lumen.aortic_thickness = 1.0
+    return mesh, cl_ao, cl_rca, cl_lca, geom
+
+
+def main() -> None:
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    mesh, cl_ao, cl_rca, cl_lca, geom = build_case(scale)
+    print(f"mesh: {len(mesh.vertices)} vertices, {len(mesh.faces)} faces")
+    RESULTS_DIR.mkdir(parents=True, exist_ok=True)
+
+    timings = {}
+    with contextlib.redirect_stdout(io.StringIO()):
+        t0 = time.perf_counter()
+        results, (rca_cl, lca_cl, ao_cl) = ccta.label(
+            mesh, cl_ao, cl_rca, cl_lca,
+            aligned_frames=geom.frames, anomalous_rca=True, control_plot=False,
+        )
+        timings["label_s"] = time.perf_counter() - t0
+
+        if not results["rca_removed_points"]:
+            ostium = np.asarray(RCA_P0)
+            ao = np.asarray(results["aorta_points"])
+            near = np.linalg.norm(ao - ostium, axis=1) < 5.0
+            results["rca_removed_points"] = [tuple(p) for p in ao[near][:100]]
+
+        t0 = time.perf_counter()
+        results = ccta.scale(results, rca_cl, ao_cl, geom.frames)
+        timings["scale_s"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        stitched = ccta.stitch(
+            results, geom, region_remove=("anomalous_points",),
+            prox_start_mode="nearest_iv", dist_start_mode="nearest_iv",
+        )
+        timings["stitch_s"] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    payload = {
+        "mesh_vertices": len(mesh.vertices),
+        "mesh_faces": len(mesh.faces),
+        "stitched_faces": len(stitched["mesh"].faces),
+        **{k: round(v, 3) for k, v in timings.items()},
+        "total_s": round(total, 3),
+        "reference_fullworkflow_s": REFERENCE_SECONDS,
+        "vs_reference": round(REFERENCE_SECONDS / total, 2),
+    }
+    (RESULTS_DIR / "ccta_fusion.json").write_text(json.dumps(payload, indent=2))
+    print(json.dumps(payload, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,7 @@ bit-pattern keys, as in the reference.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import jax
@@ -49,10 +50,39 @@ def _min_sqdist_block(a, b):
     return d2.min(axis=1), d2.argmin(axis=1)
 
 
+@jax.jit
+def _count_within_block(block, b_arr, r2):
+    d2 = ((block[:, None, :] - b_arr[None, :, :]) ** 2).sum(-1)
+    return (d2 <= r2).sum(axis=1)
+
+
+# Below this many pairwise evaluations the kernels run as plain numpy on
+# the host (gram/BLAS form): a device dispatch — and above all an XLA
+# compile, which on tunneled/remote TPU backends can take tens of seconds
+# per shape — costs orders of magnitude more than the arithmetic for the
+# point-set sizes CCTA labeling sees (tens of thousands x hundreds).
+# Lower this on hosts with local TPUs and hot compile caches.
+_DEVICE_PAIR_THRESHOLD = int(os.environ.get("MMTPU_CCTA_DEVICE_PAIRS", 1_000_000_000))
+
+
 def min_sqdist(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Per-row min squared distance (and argmin) from a (N,3) to b (M,3)."""
     if len(a) == 0 or len(b) == 0:
         return np.full(len(a), np.inf), np.zeros(len(a), dtype=np.int64)
+    if len(a) * len(b) <= _DEVICE_PAIR_THRESHOLD:
+        # gram form rides BLAS and keeps temporaries [chunk, M] instead of
+        # [chunk, M, 3]; the winning distance is recomputed exactly
+        a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
+        b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
+        sb = (b64 * b64).sum(axis=1)
+        args = np.empty(len(a64), dtype=np.int64)
+        chunk = max(1, min(len(a64), 4_000_000 // max(len(b64), 1) + 1))
+        for start in range(0, len(a64), chunk):
+            blk = a64[start : start + chunk]
+            d2 = (blk * blk).sum(axis=1)[:, None] + sb[None, :] - 2.0 * (blk @ b64.T)
+            args[start : start + chunk] = d2.argmin(axis=1)
+        mins = ((a64 - b64[args]) ** 2).sum(axis=1)
+        return mins, args
     dtype = config.compute_dtype
     b_d = jnp.asarray(b, dtype=dtype)
     mins, args = [], []
@@ -64,24 +94,109 @@ def min_sqdist(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return np.concatenate(mins), np.concatenate(args)
 
 
+def _count_within_radius_grid(a64, b64, radius):
+    """Exact neighbor counting via a uniform cell grid (the numpy analog of
+    the reference's R-tree, label/scale_coronary.rs): bucket b into
+    radius-sized cells, gather each a-row's 27-cell candidates with
+    searchsorted range arithmetic, and test the candidates exactly.
+    Returns None when the grid would not pay off (degenerate radius,
+    overflowing key space, or over-dense clustering)."""
+    if radius <= 0:
+        return None
+    cell = radius
+    ga = np.floor(a64 / cell).astype(np.int64)
+    gb = np.floor(b64 / cell).astype(np.int64)
+    mn = np.minimum(ga.min(axis=0), gb.min(axis=0)) - 1
+    ga -= mn
+    gb -= mn
+    dims = np.maximum(ga.max(axis=0), gb.max(axis=0)) + 2
+    if float(dims[0]) * float(dims[1]) * float(dims[2]) > 2**60:
+        return None
+
+    def enc(g):
+        return (g[:, 0] * dims[1] + g[:, 1]) * dims[2] + g[:, 2]
+
+    kb = enc(gb)
+    b_order = np.argsort(kb, kind="stable")
+    kb_sorted = kb[b_order]
+    b_sorted = b64[b_order]
+    sb = (b_sorted * b_sorted).sum(axis=1)
+
+    ka = enc(ga)
+    a_order = np.argsort(ka, kind="stable")
+    ka_sorted = ka[a_order]
+    cell_keys, cell_starts = np.unique(ka_sorted, return_index=True)
+    cell_bounds = np.append(cell_starts, len(a64))
+
+    # candidate b-ranges for every (occupied a-cell, neighbor offset) pair,
+    # found with vectorized searchsorted; the exact test then runs as one
+    # small gram matmul per occupied cell
+    offsets = np.array(
+        [
+            (dx * dims[1] + dy) * dims[2] + dz
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ],
+        dtype=np.int64,
+    )
+    q = cell_keys[:, None] + offsets[None, :]  # [C, 27]
+    lo = np.searchsorted(kb_sorted, q.ravel(), side="left").reshape(q.shape)
+    hi = np.searchsorted(kb_sorted, q.ravel(), side="right").reshape(q.shape)
+
+    r2 = radius * radius
+    counts = np.zeros(len(a64), dtype=np.int64)
+    for c in range(len(cell_keys)):
+        spans = [np.arange(lo[c, k], hi[c, k]) for k in range(27) if hi[c, k] > lo[c, k]]
+        if not spans:
+            continue
+        cand = np.concatenate(spans)
+        rows = a_order[cell_bounds[c] : cell_bounds[c + 1]]
+        blk = a64[rows]
+        d2 = (
+            (blk * blk).sum(axis=1)[:, None]
+            + sb[cand][None, :]
+            - 2.0 * (blk @ b_sorted[cand].T)
+        )
+        # exact recheck of boundary-tolerance hits (gram rounding)
+        near = np.abs(d2 - r2) < 1e-9 * max(r2, 1.0)
+        if near.any():
+            ii, jj = np.nonzero(near)
+            d2[ii, jj] = ((blk[ii] - b_sorted[cand][jj]) ** 2).sum(axis=1)
+        counts[rows] = (d2 <= r2).sum(axis=1)
+    return counts
+
+
 def count_within_radius(a: np.ndarray, b: np.ndarray, radius: float) -> np.ndarray:
     """For each row of a, the number of rows of b with squared distance
     <= radius^2 (inclusive, matching rstar's locate_within_distance)."""
     if len(a) == 0 or len(b) == 0:
         return np.zeros(len(a), dtype=np.int64)
+    r2 = radius * radius
+    if len(a) * len(b) > 4_000_000:
+        a64g = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
+        b64g = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
+        grid = _count_within_radius_grid(a64g, b64g, float(radius))
+        if grid is not None:
+            return grid
+    if len(a) * len(b) <= _DEVICE_PAIR_THRESHOLD:
+        a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
+        b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
+        sb = (b64 * b64).sum(axis=1)
+        out = np.empty(len(a64), dtype=np.int64)
+        chunk = max(1, min(len(a64), 4_000_000 // max(len(b64), 1) + 1))
+        for start in range(0, len(a64), chunk):
+            blk = a64[start : start + chunk]
+            d2 = (blk * blk).sum(axis=1)[:, None] + sb[None, :] - 2.0 * (blk @ b64.T)
+            out[start : start + chunk] = (d2 <= r2).sum(axis=1)
+        return out
     dtype = config.compute_dtype
     b_d = jnp.asarray(b, dtype=dtype)
-    r2 = radius * radius
+    r2_d = jnp.asarray(r2, dtype=dtype)
     out = []
-
-    @jax.jit
-    def block_counts(block, b_arr):
-        d2 = ((block[:, None, :] - b_arr[None, :, :]) ** 2).sum(-1)
-        return (d2 <= r2).sum(axis=1)
-
     for start in range(0, len(a), _CHUNK):
         block = jnp.asarray(a[start : start + _CHUNK], dtype=dtype)
-        out.append(np.asarray(block_counts(block, b_d), dtype=np.int64))
+        out.append(np.asarray(_count_within_block(block, b_d, r2_d), dtype=np.int64))
     return np.concatenate(out)
 
 
@@ -107,6 +222,8 @@ def find_centerline_bounded_points_simple(
         return []
     d2, _ = min_sqdist(pts, cl)
     keep = d2 <= radius * radius
+    if isinstance(points, np.ndarray):
+        return [tuple(row) for row in pts[keep].tolist()]
     return [tuple(p) for i, p in enumerate(points) if keep[i]]
 
 
@@ -118,17 +235,36 @@ def find_faces_near_points(
 ):
     """Faces touching any vertex within ``tol`` of a query point; returned as
     vertex-coordinate triangles.  Parity: label_coronary.rs:233-277."""
-    verts = _as_array(vertices)
-    pts = _as_array(points)
+    verts = np.ascontiguousarray(_as_array(vertices))
+    pts = np.ascontiguousarray(_as_array(points))
     faces_arr = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
     if len(pts) == 0 or len(verts) == 0 or len(faces_arr) == 0:
         return []
-    d2, _ = min_sqdist(verts, pts)
-    matched = d2 <= tol * tol
+    # Fast path: in the labeling pipeline the query points ARE mesh
+    # vertices (exact copies), so a bit-pattern hash finds them in O(N);
+    # only points without an exact twin fall back to the distance kernel.
+    pts_keys = {tuple(row) for row in pts.view(np.uint64).reshape(-1, 3).tolist()}
+    vert_keys = verts.view(np.uint64).reshape(-1, 3)
+    matched = np.fromiter(
+        (tuple(row) in pts_keys for row in vert_keys.tolist()),
+        dtype=bool,
+        count=len(verts),
+    )
+    exact_hits = {tuple(row) for row in verts[matched].view(np.uint64).reshape(-1, 3).tolist()}
+    residual_mask = np.fromiter(
+        (tuple(row) not in exact_hits for row in pts.view(np.uint64).reshape(-1, 3).tolist()),
+        dtype=bool,
+        count=len(pts),
+    )
+    residual = pts[residual_mask]
+    if len(residual):
+        d2, _ = min_sqdist(verts, residual)
+        matched |= d2 <= tol * tol
     face_mask = matched[faces_arr].any(axis=1)
+    vl = verts.tolist()
     out = []
-    for a, b, c in faces_arr[face_mask]:
-        out.append((tuple(verts[a]), tuple(verts[b]), tuple(verts[c])))
+    for a, b, c in faces_arr[face_mask].tolist():
+        out.append((tuple(vl[a]), tuple(vl[b]), tuple(vl[c])))
     return out
 
 
@@ -160,6 +296,43 @@ def _ray_triangle_hits(origins, directions, v0, v1, v2):
         & (t > eps)
     )
     return jnp.where(valid, t, jnp.inf)
+
+
+def _ray_triangle_hits_np(origins, directions, v0, v1, v2):
+    """Host twin of _ray_triangle_hits for workloads too small to amortize
+    a device dispatch (identical Moller-Trumbore semantics).  Written with
+    componentwise cross products: np.cross on broadcast operands builds
+    large strided temporaries that this class of host tolerates poorly."""
+    eps = 1e-8
+    e1 = v1 - v0  # [F, 3]
+    e2 = v2 - v0
+
+    def cross(ax, ay, az, bx, by, bz):
+        return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+    dx = directions[:, 0:1]
+    dy = directions[:, 1:2]
+    dz = directions[:, 2:3]
+    hx, hy, hz = cross(dx, dy, dz, e2[None, :, 0], e2[None, :, 1], e2[None, :, 2])
+    a = e1[None, :, 0] * hx + e1[None, :, 1] * hy + e1[None, :, 2] * hz  # [R, F]
+    parallel = np.abs(a) < eps
+    f = 1.0 / np.where(parallel, 1.0, a)
+    sx = origins[:, 0:1] - v0[None, :, 0]
+    sy = origins[:, 1:2] - v0[None, :, 1]
+    sz = origins[:, 2:3] - v0[None, :, 2]
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx, qy, qz = cross(sx, sy, sz, e1[None, :, 0], e1[None, :, 1], e1[None, :, 2])
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2[None, :, 0] * qx + e2[None, :, 1] * qy + e2[None, :, 2] * qz)
+    valid = (
+        (~parallel)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > eps)
+    )
+    return np.where(valid, t, np.inf)
 
 
 def remove_occluded_points_ray_triangle(
@@ -201,17 +374,25 @@ def remove_occluded_points_ray_triangle(
     v1 = jnp.asarray(tri[:, 1], dtype=dtype)
     v2 = jnp.asarray(tri[:, 2], dtype=dtype)
     faces_to_exclude = set()
-    RAY_CHUNK = 4096
+    use_device = len(origins) * len(tri) > _DEVICE_PAIR_THRESHOLD
+    RAY_CHUNK = 4096 if use_device else max(1, 1_000_000 // max(len(tri), 1))
     for rs in range(0, len(origins), RAY_CHUNK):
-        t_vals = np.asarray(
-            _ray_triangle_hits(
-                jnp.asarray(origins[rs : rs + RAY_CHUNK], dtype=dtype),
-                jnp.asarray(directions[rs : rs + RAY_CHUNK], dtype=dtype),
-                v0,
-                v1,
-                v2,
+        if use_device:
+            t_vals = np.asarray(
+                _ray_triangle_hits(
+                    jnp.asarray(origins[rs : rs + RAY_CHUNK], dtype=dtype),
+                    jnp.asarray(directions[rs : rs + RAY_CHUNK], dtype=dtype),
+                    v0,
+                    v1,
+                    v2,
+                )
             )
-        )
+        else:
+            t_vals = _ray_triangle_hits_np(
+                origins[rs : rs + RAY_CHUNK],
+                directions[rs : rs + RAY_CHUNK],
+                tri[:, 0], tri[:, 1], tri[:, 2],
+            )
         n_hits = np.isfinite(t_vals).sum(axis=1)
         closest_face = np.argmin(t_vals, axis=1)
         faces_to_exclude.update(closest_face[n_hits >= 3].tolist())

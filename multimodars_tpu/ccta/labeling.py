@@ -78,14 +78,15 @@ def label_geometry(
     cl_lca = _load_centerline(path_centerline_lca, "LCA")
     cl_rca = _load_centerline(path_centerline_rca, "RCA")
 
-    points_list = [tuple(v) for v in mesh.vertices.tolist()]
+    vertices_arr = np.ascontiguousarray(mesh.vertices, dtype=np.float64)
+    points_list = [tuple(v) for v in vertices_arr.tolist()]
     mesh_faces_list = mesh.faces.tolist()
 
     rca_points_found = find_centerline_bounded_points_simple(
-        cl_rca, points_list, bounding_sphere_radius_mm
+        cl_rca, vertices_arr, bounding_sphere_radius_mm
     )
     lca_points_found = find_centerline_bounded_points_simple(
-        cl_lca, points_list, bounding_sphere_radius_mm
+        cl_lca, vertices_arr, bounding_sphere_radius_mm
     )
     print(f"\nRCA points found: {len(rca_points_found)}")
     print(f"LCA points found: {len(lca_points_found)}")

@@ -23,6 +23,24 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: XLA compiles over a tunneled/remote backend
+# can take tens of seconds per kernel; caching executables on disk makes
+# every process after the first start warm.  Opt out with
+# MMTPU_NO_COMPILE_CACHE=1 or point elsewhere with JAX_COMPILATION_CACHE_DIR.
+if os.environ.get("MMTPU_NO_COMPILE_CACHE", "0") != "1":
+    try:
+        _cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "multimodars_tpu", "jax_cache"
+            ),
+        )
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
