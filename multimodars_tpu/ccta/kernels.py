@@ -451,14 +451,26 @@ def find_aortic_points(
 
 
 def build_adjacency_map(faces) -> Dict[int, Set[int]]:
-    """Vertex adjacency from faces.  Parity: ccta_py.rs:502-520."""
-    adjacency: Dict[int, Set[int]] = {}
-    for face in faces:
-        v0, v1, v2 = int(face[0]), int(face[1]), int(face[2])
-        for a, b in ((v0, v1), (v1, v2), (v2, v0)):
-            adjacency.setdefault(a, set()).add(b)
-            adjacency.setdefault(b, set()).add(a)
-    return adjacency
+    """Vertex adjacency from faces, built from deduplicated edge keys in one
+    numpy pass.  Parity: ccta_py.rs:502-520."""
+    faces_arr = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+    if len(faces_arr) == 0:
+        return {}
+    e = np.concatenate(
+        [faces_arr[:, [0, 1]], faces_arr[:, [1, 2]], faces_arr[:, [2, 0]]]
+    )
+    e = np.concatenate([e, e[:, ::-1]])
+    n = int(e.max()) + 1
+    keys = np.unique(e[:, 0] * n + e[:, 1])
+    src = keys // n
+    dst = keys % n
+    uniq_src, idx_start = np.unique(src, return_index=True)
+    bounds = np.append(idx_start, len(src))
+    dst_list = dst.tolist()
+    return {
+        int(s): set(dst_list[bounds[i] : bounds[i + 1]])
+        for i, s in enumerate(uniq_src.tolist())
+    }
 
 
 def smooth_mesh_labels(labels, adjacency_map, iterations: int):

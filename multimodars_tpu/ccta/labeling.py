@@ -211,7 +211,7 @@ def _keep_largest_connected_component(mesh: Mesh, points):
     if not point_indices:
         return points
 
-    adj_map = build_adjacency_map(mesh.faces.tolist())
+    adj_map = build_adjacency_map(mesh.faces)
 
     remaining = set(point_indices)
     components = []

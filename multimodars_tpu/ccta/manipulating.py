@@ -283,7 +283,7 @@ def remove_labeled_points_from_mesh(results: dict, region_keys="anomalous_points
     keep_mask = np.ones(n_vertices, dtype=bool)
     keep_mask[list(remove_indices)] = False
 
-    adj_map = build_adjacency_map(mesh.faces.tolist())
+    adj_map = build_adjacency_map(mesh.faces)
     boundary_indices = {
         i
         for i in range(n_vertices)
@@ -331,7 +331,7 @@ def keep_labeled_points_from_mesh(results: dict, region_key) -> dict:
     keep_mask[list(keep_indices)] = True
     remove_indices = set(range(n_vertices)) - keep_indices
 
-    adj_map = build_adjacency_map(mesh.faces.tolist())
+    adj_map = build_adjacency_map(mesh.faces)
     boundary_indices = {
         i for i in keep_indices if any(j in remove_indices for j in adj_map.get(i, ()))
     }
@@ -482,7 +482,7 @@ def _enforce_layer_gap_from_plane(
 ) -> Mesh:
     """Push neighbouring rings radially outward within the IV plane.
     Parity: manipulating.py:866-916."""
-    adj_map = build_adjacency_map(mesh.faces.tolist())
+    adj_map = build_adjacency_map(mesh.faces)
     new_vertices = mesh.vertices.copy()
 
     frontier = set(seed_indices)
@@ -588,7 +588,7 @@ def order_points_list(mesh: Mesh, points: list) -> list:
         return list(points)
 
     boundary_set = set(boundary_indices)
-    adj_map = build_adjacency_map(mesh.faces.tolist())
+    adj_map = build_adjacency_map(mesh.faces)
     boundary_adj = {
         i: [n for n in adj_map.get(i, ()) if n in boundary_set] for i in boundary_indices
     }
