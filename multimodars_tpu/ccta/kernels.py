@@ -374,28 +374,37 @@ def remove_occluded_points_ray_triangle(
     v1 = jnp.asarray(tri[:, 1], dtype=dtype)
     v2 = jnp.asarray(tri[:, 2], dtype=dtype)
     faces_to_exclude = set()
-    use_device = len(origins) * len(tri) > _DEVICE_PAIR_THRESHOLD
-    RAY_CHUNK = 4096 if use_device else max(1, 1_000_000 // max(len(tri), 1))
-    for rs in range(0, len(origins), RAY_CHUNK):
-        if use_device:
-            t_vals = np.asarray(
-                _ray_triangle_hits(
-                    jnp.asarray(origins[rs : rs + RAY_CHUNK], dtype=dtype),
-                    jnp.asarray(directions[rs : rs + RAY_CHUNK], dtype=dtype),
-                    v0,
-                    v1,
-                    v2,
-                )
-            )
-        else:
-            t_vals = _ray_triangle_hits_np(
-                origins[rs : rs + RAY_CHUNK],
-                directions[rs : rs + RAY_CHUNK],
-                tri[:, 0], tri[:, 1], tri[:, 2],
-            )
-        n_hits = np.isfinite(t_vals).sum(axis=1)
-        closest_face = np.argmin(t_vals, axis=1)
+    native = None
+    if len(origins) * len(tri) <= _DEVICE_PAIR_THRESHOLD:
+        from ..io.native import ray_occlusion_native
+
+        native = ray_occlusion_native(origins, directions, tri.reshape(-1, 9))
+    if native is not None:
+        n_hits, closest_face = native
         faces_to_exclude.update(closest_face[n_hits >= 3].tolist())
+    else:
+        use_device = len(origins) * len(tri) > _DEVICE_PAIR_THRESHOLD
+        RAY_CHUNK = 4096 if use_device else max(1, 1_000_000 // max(len(tri), 1))
+        for rs in range(0, len(origins), RAY_CHUNK):
+            if use_device:
+                t_vals = np.asarray(
+                    _ray_triangle_hits(
+                        jnp.asarray(origins[rs : rs + RAY_CHUNK], dtype=dtype),
+                        jnp.asarray(directions[rs : rs + RAY_CHUNK], dtype=dtype),
+                        v0,
+                        v1,
+                        v2,
+                    )
+                )
+            else:
+                t_vals = _ray_triangle_hits_np(
+                    origins[rs : rs + RAY_CHUNK],
+                    directions[rs : rs + RAY_CHUNK],
+                    tri[:, 0], tri[:, 1], tri[:, 2],
+                )
+            n_hits = np.isfinite(t_vals).sum(axis=1)
+            closest_face = np.argmin(t_vals, axis=1)
+            faces_to_exclude.update(closest_face[n_hits >= 3].tolist())
 
     print(f"Total faces to exclude: {len(faces_to_exclude)}")
 

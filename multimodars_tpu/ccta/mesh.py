@@ -326,17 +326,30 @@ def fix_faces_winding(faces: List[List[int]]) -> List[List[int]]:
     if n_faces == 0:
         return list(faces)
 
-    edge_owners: Dict[Tuple[int, int], List[Tuple[int, int, int]]] = defaultdict(list)
-    for fi, face in enumerate(faces):
-        for u, v in ((face[0], face[1]), (face[1], face[2]), (face[2], face[0])):
-            key = (u, v) if u < v else (v, u)
-            edge_owners[key].append((fi, u, v))
+    # vectorized manifold-edge pairing: directed edges keyed by their
+    # undirected (min, max) pair; keys appearing exactly twice connect two
+    # faces (same result as the per-face dict build, much faster)
+    faces_arr = np.asarray(faces, dtype=np.int64).reshape(n_faces, 3)
+    fi_all = np.repeat(np.arange(n_faces, dtype=np.int64), 3)
+    u_all = faces_arr[:, [0, 1, 2]].ravel()
+    v_all = faces_arr[:, [1, 2, 0]].ravel()
+    n_verts = int(max(u_all.max(), v_all.max())) + 1
+    keys = np.minimum(u_all, v_all) * n_verts + np.maximum(u_all, v_all)
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    uniq, starts, counts = np.unique(ks, return_index=True, return_counts=True)
+    pair_starts = starts[counts == 2]
 
     adjacency: Dict[int, List[Tuple[int, Tuple[int, int], Tuple[int, int]]]] = defaultdict(list)
-    for owners in edge_owners.values():
-        if len(owners) != 2:
-            continue
-        (fa, ua, va), (fb, ub, vb) = owners
+    ia = order[pair_starts]
+    ib = order[pair_starts + 1]
+    fa_arr, fb_arr = fi_all[ia], fi_all[ib]
+    ua_arr, va_arr = u_all[ia], v_all[ia]
+    ub_arr, vb_arr = u_all[ib], v_all[ib]
+    for fa, ua, va, fb, ub, vb in zip(
+        fa_arr.tolist(), ua_arr.tolist(), va_arr.tolist(),
+        fb_arr.tolist(), ub_arr.tolist(), vb_arr.tolist(),
+    ):
         adjacency[fa].append((fb, (ua, va), (ub, vb)))
         adjacency[fb].append((fa, (ub, vb), (ua, va)))
 

@@ -72,6 +72,16 @@ def get_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_int,
             ]
             lib.mm_write_obj_mesh.restype = ctypes.c_int
+            lib.mm_ray_occlusion_grid.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.mm_ray_occlusion_grid.restype = None
             _lib = lib
         except OSError:
             _load_failed = True
@@ -137,3 +147,28 @@ def write_obj_mesh_native(
         1 if watertight else 0,
     )
     return rc == 0
+
+
+def ray_occlusion_native(origins: np.ndarray, directions: np.ndarray,
+                         tris: np.ndarray):
+    """Per-ray Möller–Trumbore hit count + nearest-hit face index via the
+    native library; None when the library is unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+    origins = np.ascontiguousarray(origins, dtype=np.float64)
+    directions = np.ascontiguousarray(directions, dtype=np.float64)
+    tris = np.ascontiguousarray(tris, dtype=np.float64)
+    n_rays = len(origins)
+    hits = np.empty(n_rays, dtype=np.int64)
+    closest = np.empty(n_rays, dtype=np.int64)
+    lib.mm_ray_occlusion_grid(
+        origins.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        directions.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_rays,
+        tris.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(tris),
+        hits.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        closest.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return hits, closest

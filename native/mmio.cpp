@@ -18,6 +18,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <cmath>
 #include <string>
 #include <vector>
 
@@ -242,6 +243,210 @@ int mm_write_obj_mesh(const char* path, const char* mtl_filename,
   size_t written = std::fwrite(out.data(), 1, out.size(), f);
   std::fclose(f);
   return written == out.size() ? 0 : -3;
+}
+
+
+// Moller-Trumbore occlusion scan: for every ray (origin -> direction), count
+// triangle hits (t > eps, barycentric bounds inclusive) and record the face
+// index of the nearest hit.  Scalar early-outs beat vectorized evaluation on
+// the mostly-missing triangle population.  Mirrors the Python/JAX kernel
+// (u/v in [0,1], u+v <= 1, t > 1e-8).
+void mm_ray_occlusion(const double* origins, const double* directions,
+                      int64_t n_rays, const double* tris, int64_t n_faces,
+                      int64_t* out_hits, int64_t* out_closest) {
+  const double eps = 1e-8;
+  for (int64_t r = 0; r < n_rays; r++) {
+    const double ox = origins[r * 3], oy = origins[r * 3 + 1], oz = origins[r * 3 + 2];
+    const double dx = directions[r * 3], dy = directions[r * 3 + 1], dz = directions[r * 3 + 2];
+    int64_t hits = 0;
+    int64_t closest = 0;
+    double best_t = 1.0 / 0.0;
+    for (int64_t f = 0; f < n_faces; f++) {
+      const double* t0 = tris + f * 9;
+      const double e1x = t0[3] - t0[0], e1y = t0[4] - t0[1], e1z = t0[5] - t0[2];
+      const double e2x = t0[6] - t0[0], e2y = t0[7] - t0[1], e2z = t0[8] - t0[2];
+      const double hx = dy * e2z - dz * e2y;
+      const double hy = dz * e2x - dx * e2z;
+      const double hz = dx * e2y - dy * e2x;
+      const double a = e1x * hx + e1y * hy + e1z * hz;
+      if (a > -eps && a < eps) continue;
+      const double finv = 1.0 / a;
+      const double sx = ox - t0[0], sy = oy - t0[1], sz = oz - t0[2];
+      const double u = finv * (sx * hx + sy * hy + sz * hz);
+      if (u < 0.0 || u > 1.0) continue;
+      const double qx = sy * e1z - sz * e1y;
+      const double qy = sz * e1x - sx * e1z;
+      const double qz = sx * e1y - sy * e1x;
+      const double v = finv * (dx * qx + dy * qy + dz * qz);
+      if (v < 0.0 || u + v > 1.0) continue;
+      const double t = finv * (e2x * qx + e2y * qy + e2z * qz);
+      if (t <= eps) continue;
+      hits++;
+      if (t < best_t) {
+        best_t = t;
+        closest = f;
+      }
+    }
+    out_hits[r] = hits;
+    out_closest[r] = closest;
+  }
+}
+
+
+// Grid-accelerated variant: triangles are binned into a uniform grid by
+// their bounding boxes; each ray walks its cells with a 3D-DDA and tests
+// only local candidates (deduplicated with a per-ray stamp).  Semantics
+// identical to mm_ray_occlusion.
+void mm_ray_occlusion_grid(const double* origins, const double* directions,
+                           int64_t n_rays, const double* tris, int64_t n_faces,
+                           int64_t* out_hits, int64_t* out_closest) {
+  const double eps = 1e-8;
+  // triangle bounds + global bbox
+  std::vector<double> tmin(n_faces * 3), tmax(n_faces * 3);
+  double gmin[3] = {1e300, 1e300, 1e300}, gmax[3] = {-1e300, -1e300, -1e300};
+  for (int64_t f = 0; f < n_faces; f++) {
+    for (int k = 0; k < 3; k++) {
+      double a = tris[f * 9 + k], b = tris[f * 9 + 3 + k], c = tris[f * 9 + 6 + k];
+      double lo = a < b ? (a < c ? a : c) : (b < c ? b : c);
+      double hi = a > b ? (a > c ? a : c) : (b > c ? b : c);
+      tmin[f * 3 + k] = lo;
+      tmax[f * 3 + k] = hi;
+      if (lo < gmin[k]) gmin[k] = lo;
+      if (hi > gmax[k]) gmax[k] = hi;
+    }
+  }
+  int G = (int)std::cbrt((double)n_faces / 4.0);
+  if (G < 4) G = 4;
+  if (G > 96) G = 96;
+  double cell[3], inv_cell[3];
+  for (int k = 0; k < 3; k++) {
+    double span = gmax[k] - gmin[k];
+    if (span <= 0) span = 1e-9;
+    gmin[k] -= span * 1e-6;
+    gmax[k] += span * 1e-6;
+    cell[k] = (gmax[k] - gmin[k]) / G;
+    inv_cell[k] = 1.0 / cell[k];
+  }
+  auto cell_of = [&](double x, int k) {
+    int c = (int)((x - gmin[k]) * inv_cell[k]);
+    if (c < 0) c = 0;
+    if (c >= G) c = G - 1;
+    return c;
+  };
+  const int64_t n_cells = (int64_t)G * G * G;
+  std::vector<int64_t> counts(n_cells + 1, 0);
+  std::vector<int> c0(n_faces * 3), c1(n_faces * 3);
+  for (int64_t f = 0; f < n_faces; f++) {
+    int64_t span = 1;
+    for (int k = 0; k < 3; k++) {
+      c0[f * 3 + k] = cell_of(tmin[f * 3 + k], k);
+      c1[f * 3 + k] = cell_of(tmax[f * 3 + k], k);
+      span *= (c1[f * 3 + k] - c0[f * 3 + k] + 1);
+    }
+    for (int x = c0[f * 3]; x <= c1[f * 3]; x++)
+      for (int y = c0[f * 3 + 1]; y <= c1[f * 3 + 1]; y++)
+        for (int z = c0[f * 3 + 2]; z <= c1[f * 3 + 2]; z++)
+          counts[((int64_t)x * G + y) * G + z + 1]++;
+    (void)span;
+  }
+  for (int64_t i = 0; i < n_cells; i++) counts[i + 1] += counts[i];
+  if (counts[n_cells] > n_faces * 24) {
+    // triangles span too many cells (degenerate/huge faces) — the grid
+    // would not pay off; use the plain scan
+    mm_ray_occlusion(origins, directions, n_rays, tris, n_faces, out_hits,
+                     out_closest);
+    return;
+  }
+  std::vector<int64_t> items(counts[n_cells]);
+  std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
+  for (int64_t f = 0; f < n_faces; f++) {
+    for (int x = c0[f * 3]; x <= c1[f * 3]; x++)
+      for (int y = c0[f * 3 + 1]; y <= c1[f * 3 + 1]; y++)
+        for (int z = c0[f * 3 + 2]; z <= c1[f * 3 + 2]; z++)
+          items[cursor[((int64_t)x * G + y) * G + z]++] = f;
+  }
+
+  std::vector<int64_t> stamp(n_faces, -1);
+  for (int64_t r = 0; r < n_rays; r++) {
+    const double ox = origins[r * 3], oy = origins[r * 3 + 1], oz = origins[r * 3 + 2];
+    const double dx = directions[r * 3], dy = directions[r * 3 + 1], dz = directions[r * 3 + 2];
+    int64_t hits = 0;
+    int64_t closest = 0;
+    double best_t = 1.0 / 0.0;
+    const double o[3] = {ox, oy, oz}, d[3] = {dx, dy, dz};
+
+    // clip the t>0 half-line against the global bbox
+    double t_enter = 0.0, t_exit = 1e300;
+    bool miss = false;
+    for (int k = 0; k < 3; k++) {
+      if (d[k] == 0.0) {
+        if (o[k] < gmin[k] || o[k] > gmax[k]) { miss = true; break; }
+      } else {
+        double ta = (gmin[k] - o[k]) / d[k];
+        double tb = (gmax[k] - o[k]) / d[k];
+        if (ta > tb) { double tmp = ta; ta = tb; tb = tmp; }
+        if (ta > t_enter) t_enter = ta;
+        if (tb < t_exit) t_exit = tb;
+      }
+    }
+    if (miss || t_enter > t_exit) { out_hits[r] = 0; out_closest[r] = 0; continue; }
+
+    double px = ox + dx * t_enter, py = oy + dy * t_enter, pz = oz + dz * t_enter;
+    int cx = cell_of(px, 0), cy = cell_of(py, 1), cz = cell_of(pz, 2);
+    int sx = dx > 0 ? 1 : -1, sy = dy > 0 ? 1 : -1, sz = dz > 0 ? 1 : -1;
+    auto next_boundary = [&](int c, int k, int s) {
+      return gmin[k] + cell[k] * (c + (s > 0 ? 1 : 0));
+    };
+    double tx_next = dx != 0.0 ? (next_boundary(cx, 0, sx) - ox) / dx : 1e300;
+    double ty_next = dy != 0.0 ? (next_boundary(cy, 1, sy) - oy) / dy : 1e300;
+    double tz_next = dz != 0.0 ? (next_boundary(cz, 2, sz) - oz) / dz : 1e300;
+    double tx_step = dx != 0.0 ? cell[0] / (dx * sx) : 1e300;
+    double ty_step = dy != 0.0 ? cell[1] / (dy * sy) : 1e300;
+    double tz_step = dz != 0.0 ? cell[2] / (dz * sz) : 1e300;
+
+    while (true) {
+      const int64_t base = ((int64_t)cx * G + cy) * G + cz;
+      for (int64_t ii = counts[base]; ii < counts[base + 1]; ii++) {
+        const int64_t f = items[ii];
+        if (stamp[f] == r) continue;
+        stamp[f] = r;
+        const double* t0 = tris + f * 9;
+        const double e1x = t0[3] - t0[0], e1y = t0[4] - t0[1], e1z = t0[5] - t0[2];
+        const double e2x = t0[6] - t0[0], e2y = t0[7] - t0[1], e2z = t0[8] - t0[2];
+        const double hx = dy * e2z - dz * e2y;
+        const double hy = dz * e2x - dx * e2z;
+        const double hz = dx * e2y - dy * e2x;
+        const double a = e1x * hx + e1y * hy + e1z * hz;
+        if (a > -eps && a < eps) continue;
+        const double finv = 1.0 / a;
+        const double sxv = ox - t0[0], syv = oy - t0[1], szv = oz - t0[2];
+        const double u = finv * (sxv * hx + syv * hy + szv * hz);
+        if (u < 0.0 || u > 1.0) continue;
+        const double qx = syv * e1z - szv * e1y;
+        const double qy = szv * e1x - sxv * e1z;
+        const double qz = sxv * e1y - syv * e1x;
+        const double v = finv * (dx * qx + dy * qy + dz * qz);
+        if (v < 0.0 || u + v > 1.0) continue;
+        const double t = finv * (e2x * qx + e2y * qy + e2z * qz);
+        if (t <= eps) continue;
+        hits++;
+        if (t < best_t || (t == best_t && f < closest)) { best_t = t; closest = f; }
+      }
+      // advance DDA
+      if (tx_next <= ty_next && tx_next <= tz_next) {
+        if (tx_next > t_exit) break;
+        cx += sx; if (cx < 0 || cx >= G) break; tx_next += tx_step;
+      } else if (ty_next <= tz_next) {
+        if (ty_next > t_exit) break;
+        cy += sy; if (cy < 0 || cy >= G) break; ty_next += ty_step;
+      } else {
+        if (tz_next > t_exit) break;
+        cz += sz; if (cz < 0 || cz >= G) break; tz_next += tz_step;
+      }
+    }
+    out_hits[r] = hits;
+    out_closest[r] = closest;
+  }
 }
 
 }  // extern "C"
