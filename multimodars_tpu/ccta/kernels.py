@@ -70,17 +70,36 @@ def min_sqdist(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     if len(a) == 0 or len(b) == 0:
         return np.full(len(a), np.inf), np.zeros(len(a), dtype=np.int64)
     if len(a) * len(b) <= _DEVICE_PAIR_THRESHOLD:
-        # gram form rides BLAS and keeps temporaries [chunk, M] instead of
-        # [chunk, M, 3]; the winning distance is recomputed exactly
         a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
         b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
+        if len(b64) <= 128:
+            # column sweep: temporaries stay [N]-sized (cache-resident),
+            # strict < keeps the first j like argmin
+            ax, ay, az = a64[:, 0], a64[:, 1], a64[:, 2]
+            best = np.full(len(a64), np.inf)
+            args = np.zeros(len(a64), dtype=np.int64)
+            for j in range(len(b64)):
+                d = (ax - b64[j, 0]) ** 2
+                d += (ay - b64[j, 1]) ** 2
+                d += (az - b64[j, 2]) ** 2
+                upd = d < best
+                args[upd] = j
+                best[upd] = d[upd]
+            return best, args
+        # gram form rides BLAS and keeps temporaries [chunk, M] instead of
+        # [chunk, M, 3]; per-row offsets don't change the argmin, so the
+        # combination is one fused pass; winning distances are recomputed
+        # exactly afterwards
         sb = (b64 * b64).sum(axis=1)
+        half_sb = 0.5 * sb
+        bT = np.ascontiguousarray(b64.T)
         args = np.empty(len(a64), dtype=np.int64)
         chunk = max(1, min(len(a64), 4_000_000 // max(len(b64), 1) + 1))
         for start in range(0, len(a64), chunk):
             blk = a64[start : start + chunk]
-            d2 = (blk * blk).sum(axis=1)[:, None] + sb[None, :] - 2.0 * (blk @ b64.T)
-            args[start : start + chunk] = d2.argmin(axis=1)
+            dot = blk @ bT
+            np.subtract(half_sb[None, :], dot, out=dot)
+            args[start : start + chunk] = dot.argmin(axis=1)
         mins = ((a64 - b64[args]) ** 2).sum(axis=1)
         return mins, args
     dtype = config.compute_dtype
