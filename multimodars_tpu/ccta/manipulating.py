@@ -588,7 +588,10 @@ def order_points_list(mesh: Mesh, points: list) -> list:
         return list(points)
 
     boundary_set = set(boundary_indices)
-    adj_map = build_adjacency_map(mesh.faces)
+    # adjacency restricted to faces touching the boundary — same
+    # boundary-filtered neighbor sets as the full map, far cheaper
+    touching = np.isin(mesh.faces, np.fromiter(boundary_set, dtype=np.int64)).any(axis=1)
+    adj_map = build_adjacency_map(mesh.faces[touching])
     boundary_adj = {
         i: [n for n in adj_map.get(i, ()) if n in boundary_set] for i in boundary_indices
     }

@@ -326,6 +326,15 @@ def fix_faces_winding(faces: List[List[int]]) -> List[List[int]]:
     if n_faces == 0:
         return list(faces)
 
+    from ..io.native import fix_winding_native
+
+    flipped_native = fix_winding_native(np.asarray(faces, dtype=np.int64).reshape(n_faces, 3))
+    if flipped_native is not None:
+        return [
+            [face[2], face[1], face[0]] if flipped_native[i] else list(face)
+            for i, face in enumerate(faces)
+        ]
+
     # vectorized manifold-edge pairing: directed edges keyed by their
     # undirected (min, max) pair; keys appearing exactly twice connect two
     # faces (same result as the per-face dict build, much faster)

@@ -82,6 +82,12 @@ def get_library() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int64),
             ]
             lib.mm_ray_occlusion_grid.restype = None
+            lib.mm_fix_winding.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.mm_fix_winding.restype = None
             _lib = lib
         except OSError:
             _load_failed = True
@@ -172,3 +178,19 @@ def ray_occlusion_native(origins: np.ndarray, directions: np.ndarray,
         closest.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return hits, closest
+
+
+def fix_winding_native(faces: np.ndarray):
+    """Per-face flip flags from the native winding-consistency BFS; None
+    when the library is unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+    faces = np.ascontiguousarray(faces, dtype=np.int64)
+    flipped = np.zeros(len(faces), dtype=np.uint8)
+    lib.mm_fix_winding(
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(faces),
+        flipped.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return flipped.astype(bool)

@@ -19,6 +19,9 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <algorithm>
+#include <utility>
+#include <vector>
 #include <string>
 #include <vector>
 
@@ -446,6 +449,81 @@ void mm_ray_occlusion_grid(const double* origins, const double* directions,
     }
     out_hits[r] = hits;
     out_closest[r] = closest;
+  }
+}
+
+
+// Winding-consistency BFS (port of trimesh.repair.fix_winding, matching the
+// Python implementation in ccta/mesh.py exactly): manifold edges pair faces;
+// BFS from each unvisited face flips neighbours traversing a shared edge in
+// the same direction.  Adjacency insertion order = undirected-edge-key sort
+// order, so flip decisions match the Python BFS bit for bit.
+void mm_fix_winding(const int64_t* faces, int64_t n_faces, uint8_t* out_flipped) {
+  if (n_faces == 0) return;
+  const int64_t n_edges = n_faces * 3;
+  struct Edge { int64_t key; int64_t fi; int64_t u; int64_t v; };
+  std::vector<Edge> edges(n_edges);
+  int64_t n_verts = 0;
+  for (int64_t i = 0; i < n_edges; i++) {
+    int64_t m = faces[i];
+    if (m + 1 > n_verts) n_verts = m + 1;
+  }
+  for (int64_t f = 0; f < n_faces; f++) {
+    const int64_t a = faces[f * 3], b = faces[f * 3 + 1], c = faces[f * 3 + 2];
+    const int64_t uv[3][2] = {{a, b}, {b, c}, {c, a}};
+    for (int k = 0; k < 3; k++) {
+      int64_t u = uv[k][0], v = uv[k][1];
+      int64_t lo = u < v ? u : v, hi = u < v ? v : u;
+      edges[f * 3 + k] = {lo * n_verts + hi, f, u, v};
+    }
+  }
+  std::stable_sort(edges.begin(), edges.end(),
+                   [](const Edge& x, const Edge& y) { return x.key < y.key; });
+
+  // manifold pairs in sorted order -> CSR adjacency preserving insertion order
+  struct Nb { int64_t fb; int64_t ua, va, ub, vb; };
+  std::vector<int64_t> deg(n_faces + 1, 0);
+  std::vector<std::pair<Edge, Edge>> pairs;
+  pairs.reserve(n_edges / 2);
+  for (int64_t i = 0; i < n_edges;) {
+    int64_t j = i + 1;
+    while (j < n_edges && edges[j].key == edges[i].key) j++;
+    if (j - i == 2) {
+      pairs.push_back({edges[i], edges[i + 1]});
+      deg[edges[i].fi + 1]++;
+      deg[edges[i + 1].fi + 1]++;
+    }
+    i = j;
+  }
+  for (int64_t f = 0; f < n_faces; f++) deg[f + 1] += deg[f];
+  std::vector<Nb> adj(pairs.size() * 2);
+  std::vector<int64_t> cur(deg.begin(), deg.end() - 1);
+  for (const auto& pr : pairs) {
+    const Edge& ea = pr.first;
+    const Edge& eb = pr.second;
+    adj[cur[ea.fi]++] = {eb.fi, ea.u, ea.v, eb.u, eb.v};
+    adj[cur[eb.fi]++] = {ea.fi, eb.u, eb.v, ea.u, ea.v};
+  }
+
+  std::vector<uint8_t> visited(n_faces, 0);
+  std::vector<int64_t> queue(n_faces);
+  for (int64_t f = 0; f < n_faces; f++) out_flipped[f] = 0;
+  for (int64_t start = 0; start < n_faces; start++) {
+    if (visited[start]) continue;
+    visited[start] = 1;
+    int64_t qh = 0, qt = 0;
+    queue[qt++] = start;
+    while (qh < qt) {
+      const int64_t current = queue[qh++];
+      for (int64_t i = deg[current]; i < deg[current + 1]; i++) {
+        const Nb& nb = adj[i];
+        if (visited[nb.fb]) continue;
+        const int64_t cur_start = out_flipped[current] ? nb.va : nb.ua;
+        if (cur_start == nb.ub) out_flipped[nb.fb] = 1;
+        visited[nb.fb] = 1;
+        queue[qt++] = nb.fb;
+      }
+    }
   }
 }
 
