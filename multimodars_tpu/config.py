@@ -27,6 +27,28 @@ jax.config.update("jax_enable_x64", True)
 # can take tens of seconds per kernel; caching executables on disk makes
 # every process after the first start warm.  Opt out with
 # MMTPU_NO_COMPILE_CACHE=1 or point elsewhere with JAX_COMPILATION_CACHE_DIR.
+# Keep faulted pages on the glibc heap: some virtualized hosts fault fresh
+# anonymous pages extremely slowly (lazy snapshot restore), and the default
+# trim/mmap behaviour makes every large numpy temporary re-fault its pages.
+# With trimming off and mmap disabled for malloc, each page is faulted at
+# most once per process.  MMTPU_PREFAULT_MB=N additionally touches an N MB
+# scratch at import to absorb the cost upfront.
+try:  # pragma: no cover - platform dependent
+    import ctypes as _ctypes
+
+    _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
+    _libc.mallopt(-1, 2**30)  # M_TRIM_THRESHOLD
+    _libc.mallopt(-4, 0)  # M_MMAP_MAX
+    _prefault_mb = int(os.environ.get("MMTPU_PREFAULT_MB", "0"))
+    if _prefault_mb > 0:
+        import numpy as _np
+
+        _scratch = _np.empty(_prefault_mb * 1024 * 1024 // 8)
+        _scratch.fill(0.0)
+        del _scratch
+except Exception:
+    pass
+
 if os.environ.get("MMTPU_NO_COMPILE_CACHE", "0") != "1":
     try:
         _cache_dir = os.environ.get(
