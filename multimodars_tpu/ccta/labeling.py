@@ -202,7 +202,7 @@ def _keep_largest_connected_component(mesh: Mesh, points):
     if len(points) < 2:
         return points
 
-    coord_to_idx = {tuple(v): i for i, v in enumerate(mesh.vertices)}
+    coord_to_idx = {tuple(v): i for i, v in enumerate(mesh.vertices.tolist())}
     point_indices = set()
     for pt in points:
         idx = coord_to_idx.get(tuple(pt))
@@ -211,34 +211,42 @@ def _keep_largest_connected_component(mesh: Mesh, points):
     if not point_indices:
         return points
 
-    adj_map = build_adjacency_map(mesh.faces)
+    # connected components of the subgraph induced on the point set
+    # (scipy csgraph over the boundary-restricted edge list)
+    idx_arr = np.fromiter(point_indices, dtype=np.int64, count=len(point_indices))
+    member = np.zeros(len(mesh.vertices), dtype=bool)
+    member[idx_arr] = True
+    f = mesh.faces
+    e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    e = e[member[e].all(axis=1)]
+    local = np.full(len(mesh.vertices), -1, dtype=np.int64)
+    order = np.sort(idx_arr)
+    local[order] = np.arange(len(order))
+    n_local = len(order)
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components as _cc
 
-    remaining = set(point_indices)
-    components = []
-    while remaining:
-        start = next(iter(remaining))
-        stack = [start]
-        component = set()
-        while stack:
-            i = stack.pop()
-            if i in component:
-                continue
-            component.add(i)
-            for neighbor in adj_map.get(i, ()):
-                if neighbor in remaining and neighbor not in component:
-                    stack.append(neighbor)
-        components.append(component)
-        remaining -= component
+    if len(e):
+        graph = coo_matrix(
+            (np.ones(len(e), dtype=np.int8), (local[e[:, 0]], local[e[:, 1]])),
+            shape=(n_local, n_local),
+        )
+        n_comp, labels = _cc(graph, directed=False)
+    else:
+        n_comp, labels = n_local, np.arange(n_local)
+    sizes = np.bincount(labels, minlength=n_comp)
+    best = int(np.argmax(sizes))
+    largest = order[labels == best]
 
-    largest = max(components, key=len)
-    if len(components) > 1:
+    if n_comp > 1:
         dropped = len(point_indices) - len(largest)
         print(
             f"  _keep_largest_connected_component: kept {len(largest)}/"
-            f"{len(point_indices)} points ({len(components) - 1} island "
+            f"{len(point_indices)} points ({n_comp - 1} island "
             f"component(s), {dropped} point(s) dropped)"
         )
-    return [tuple(mesh.vertices[i]) for i in largest]
+    vl = mesh.vertices[largest].tolist()
+    return [tuple(row) for row in vl]
 
 
 def label_anomalous_region(

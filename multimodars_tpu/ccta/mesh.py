@@ -148,24 +148,44 @@ class Mesh:
         return loops
 
     def connected_components(self, engine: str = "vertex") -> List[np.ndarray]:
-        """Vertex index arrays of connected components (by shared edges)."""
+        """Vertex index arrays of connected components (by shared edges),
+        ordered by first-seen vertex (matching the union-find grouping)."""
         n = len(self.vertices)
-        parent = np.arange(n)
+        try:
+            from scipy.sparse import coo_matrix
+            from scipy.sparse.csgraph import connected_components as _cc
 
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+            e = self.edges
+            graph = coo_matrix(
+                (np.ones(len(e), dtype=np.int8), (e[:, 0], e[:, 1])), shape=(n, n)
+            )
+            _, labels = _cc(graph, directed=False)
+            order = np.argsort(labels, kind="stable")
+            sorted_labels = labels[order]
+            _, starts = np.unique(sorted_labels, return_index=True)
+            bounds = np.append(starts, n)
+            comps = [order[bounds[i] : bounds[i + 1]] for i in range(len(starts))]
+            # present components in order of their smallest vertex, like the
+            # sequential union-find walk
+            comps.sort(key=lambda c: int(c.min()))
+            return [np.sort(c) for c in comps]
+        except Exception:  # pragma: no cover - scipy-less fallback
+            parent = np.arange(n)
 
-        for a, b in self.edges_sorted:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[ra] = rb
-        groups: Dict[int, List[int]] = defaultdict(list)
-        for v in range(n):
-            groups[find(v)].append(v)
-        return [np.array(g) for g in groups.values()]
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in self.edges_sorted:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            groups: Dict[int, List[int]] = defaultdict(list)
+            for v in range(n):
+                groups[find(v)].append(v)
+            return [np.array(g) for g in groups.values()]
 
     def split_components(self) -> List["Mesh"]:
         """Split into face-connected component meshes."""
@@ -194,11 +214,10 @@ class Mesh:
         if len(self.vertices) == 0:
             return
         rounded = np.round(self.vertices, digits)
-        uniq, inverse = np.unique(rounded, axis=0, return_inverse=True)
-        # keep first occurrence's original coordinates
-        first_idx = np.full(len(uniq), -1, dtype=np.int64)
-        for i in range(len(self.vertices) - 1, -1, -1):
-            first_idx[inverse[i]] = i
+        uniq, first_idx, inverse = np.unique(
+            rounded, axis=0, return_index=True, return_inverse=True
+        )
+        # first_idx keeps the first occurrence's original coordinates
         self.vertices = self.vertices[first_idx]
         self.faces = inverse[self.faces]
         self.remove_degenerate_faces()
