@@ -11,9 +11,11 @@ from pathlib import Path
 import numpy as np
 
 from .mesh import Mesh, concatenate, read_mesh_file
+from ..utils.trace import trace
 from . import debug_plots, fixing_functions, kernels, labeling, manipulating
 
 
+@trace("ccta.label")
 def label(
     path_ccta_geometry,
     path_centerline_aorta,
@@ -61,6 +63,7 @@ def label(
     return results, (rca_cl, lca_cl, ao_cl)
 
 
+@trace("ccta.scale")
 def scale(results: dict, cl_vessel, cl_aorta, aligned_frames) -> dict:
     """Scale the distal, aortic (+removed) and proximal regions by their
     optimal centerline-morphing factors.  Parity: ccta/__init__.py:134-225."""
@@ -97,6 +100,7 @@ def scale(results: dict, cl_vessel, cl_aorta, aligned_frames) -> dict:
     return results
 
 
+@trace("ccta.stitch")
 def stitch(
     results: dict,
     geometry,

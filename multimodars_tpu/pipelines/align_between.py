@@ -18,6 +18,7 @@ from ..config import config
 from ..models.contour import downsample_contour_points
 from ..models.geometry import PyGeometry, PyGeometryPair
 from ..ops.rotation_search import multires_rotation_search
+from ..utils.trace import trace
 
 
 def extract_geometry_points(geometry: PyGeometry, sample_size: int) -> np.ndarray:
@@ -127,6 +128,7 @@ def find_best_rotations_between_batch(
     return np.asarray(best, dtype=np.float64)
 
 
+@trace("align_between.batch")
 def align_between_geometries_batch(
     pairs: List[Tuple[PyGeometry, PyGeometry]],
     rot_deg: float,

@@ -36,6 +36,7 @@ from ..models.geometry import PyGeometry
 from ..models.point import PyContourPoint
 from ..ops.rotation_search import multires_rotation_search
 from ..utils.logs import AlignLog, dump_table
+from ..utils.trace import span, trace
 from . import wall
 
 
@@ -81,6 +82,7 @@ def _pack_centered_sets(
     return pts, mask
 
 
+@trace("align_within.relative_rotations")
 def relative_rotations(
     geometry: PyGeometry,
     step_deg: float,
@@ -365,6 +367,7 @@ def assign_aortic(geometry: PyGeometry) -> PyGeometry:
 # main entry
 # ---------------------------------------------------------------------------
 
+@trace("align_within.batch")
 def align_frames_in_geometries(
     geometries: List[PyGeometry],
     step_deg: float,
@@ -439,6 +442,7 @@ def align_frames_in_geometries(
     return results
 
 
+@trace("align_within.finish")
 def _finish_alignment(
     geometry: PyGeometry,
     delta: np.ndarray,

