@@ -615,6 +615,7 @@ def from_array_cohort(
     bruteforce: bool = False,
     smooth: bool = True,
     verbose: bool = False,
+    devices=None,
 ):
     """Register N independent pullbacks with ONE batched rotation search.
 
@@ -636,4 +637,5 @@ def from_array_cohort(
         bruteforce=bruteforce,
         sample_size=sample_size,
         verbose=verbose,
+        devices=devices,
     )

@@ -376,8 +376,14 @@ def align_frames_in_geometries(
     bruteforce: bool,
     sample_size: int,
     verbose: bool = True,
+    devices=None,
 ) -> List[Tuple[PyGeometry, List[AlignLog], bool]]:
     """Align several pullbacks in one fused device sweep.
+
+    ``devices``: optional device list — the concatenated pair batch is
+    sharded over a 1-D ``jax.sharding.Mesh`` (pure data parallelism; the
+    batch is padded with fully-masked dummy pairs to a multiple of the
+    device count).
 
     Where the reference spawns one crossbeam thread per geometry
     (entry.rs:140-203), the TPU formulation concatenates every geometry's
@@ -418,16 +424,39 @@ def align_frames_in_geometries(
         pair_counts.append(F - 1)
 
     dtype = config.compute_dtype
+    test_h = np.concatenate(tests)
+    ref_h = np.concatenate(refs)
+    tmask_h = np.concatenate(tmasks)
+    rmask_h = np.concatenate(rmasks)
+
+    n_real = test_h.shape[0]
+    if devices is not None and len(devices) > 1:
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        nd = len(devices)
+        pad = (-n_real) % nd
+        if pad:
+            test_h = np.concatenate([test_h, np.zeros((pad, S, 2), test_h.dtype)])
+            ref_h = np.concatenate([ref_h, np.zeros((pad, S, 2), ref_h.dtype)])
+            tmask_h = np.concatenate([tmask_h, np.zeros((pad, S), bool)])
+            rmask_h = np.concatenate([rmask_h, np.zeros((pad, S), bool)])
+        mesh = Mesh(np.array(devices), ("pairs",))
+        sharding = NamedSharding(mesh, P("pairs"))
+        put = lambda x: jax.device_put(x, sharding)  # noqa: E731
+    else:
+        put = lambda x: x  # noqa: E731
+
     delta_all = multires_rotation_search(
-        jnp.asarray(np.concatenate(tests), dtype=dtype),
-        jnp.asarray(np.concatenate(refs), dtype=dtype),
-        jnp.asarray(np.concatenate(tmasks)),
-        jnp.asarray(np.concatenate(rmasks)),
+        put(jnp.asarray(test_h, dtype=dtype)),
+        put(jnp.asarray(ref_h, dtype=dtype)),
+        put(jnp.asarray(tmask_h)),
+        put(jnp.asarray(rmask_h)),
         float(step_deg),
         float(range_deg),
         bool(bruteforce),
     )
-    delta_all = np.asarray(delta_all, dtype=np.float64)
+    delta_all = np.asarray(delta_all, dtype=np.float64)[:n_real]
 
     results = []
     offset = 0

@@ -402,6 +402,7 @@ def cohort_processing(
     bruteforce: bool = False,
     sample_size: int = 500,
     verbose: bool = False,
+    devices=None,
 ):
     """TPU-native extension (no reference counterpart): register a whole
     cohort of independent pullbacks in one batched device search.
@@ -425,5 +426,5 @@ def cohort_processing(
         )
     return align_frames_in_geometries(
         geometries, step_deg, range_deg, smooth, bruteforce, sample_size,
-        verbose=verbose,
+        verbose=verbose, devices=devices,
     )

@@ -71,3 +71,37 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+@needs_mesh
+def test_from_array_cohort_sharded_matches_local(dummy_geom):
+    """from_array_cohort with a device list shards the pair batch and
+    matches the unsharded result exactly."""
+    import numpy as np
+
+    from multimodars import from_array_cohort, numpy_to_inputdata
+
+    rng = np.random.default_rng(2)
+    cases = []
+    for seed in range(3):
+        rows = []
+        for f in range(5):
+            th = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+            r = 1.5 + 0.3 * np.abs(rng.standard_normal(24))
+            rows.append(
+                np.column_stack(
+                    [np.full(24, f), 4.5 + r * np.cos(th), 4.5 + r * np.sin(th), np.full(24, f * 0.2)]
+                )
+            )
+        cases.append(
+            numpy_to_inputdata(np.concatenate(rows), np.array([0, 7.0, 4.5, 0.0]), True, label=f"c{seed}")
+        )
+
+    plain = from_array_cohort(cases, step_rotation_deg=1.0, range_rotation_deg=10.0,
+                              sample_size=24, smooth=False)
+    sharded = from_array_cohort(cases, step_rotation_deg=1.0, range_rotation_deg=10.0,
+                                sample_size=24, smooth=False, devices=cpu_devices[:8])
+    for (g1, l1, _), (g2, l2, _) in zip(plain, sharded):
+        assert len(l1) == len(l2)
+        for f1, f2 in zip(g1.frames, g2.frames):
+            np.testing.assert_allclose(f1.lumen.xyz_view(), f2.lumen.xyz_view(), atol=1e-12)
