@@ -65,6 +65,10 @@ def build_contours_with_mapping(
     uniq, starts = np.unique(frames, return_index=True)
     bounds = np.append(starts, len(frames))
 
+    coords_all = np.ascontiguousarray(arr[:, 1:4])
+    point_idx_all = arr[:, 4].astype(np.int64)
+    aortic_all = arr[:, 5].astype(bool)
+
     contours: List[PyContour] = []
     for k, original_frame_idx in enumerate(uniq.tolist()):
         if original_frame_idx not in frame_mapping:
@@ -73,16 +77,16 @@ def build_contours_with_mapping(
         aortic = pulmonary = None
         if measurements is not None and original_frame_idx in measurements:
             aortic, pulmonary = measurements[original_frame_idx]
-        block = arr[bounds[k] : bounds[k + 1]]
+        lo, hi = bounds[k], bounds[k + 1]
         contours.append(
             PyContour.from_arrays(
                 sequential_id,
                 original_frame_idx,
-                block[:, 1:4].copy(),
+                coords_all[lo:hi].copy(),
                 (0.0, 0.0, 0.0),
-                block[:, 0].astype(np.int64),
-                block[:, 4].astype(np.int64),
-                block[:, 5].astype(bool),
+                frames[lo:hi].copy(),
+                point_idx_all[lo:hi].copy(),
+                aortic_all[lo:hi].copy(),
                 aortic,
                 pulmonary,
                 kind,
