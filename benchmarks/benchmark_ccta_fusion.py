@@ -104,6 +104,7 @@ def main() -> None:
         stitched = ccta.stitch(
             results, geom, region_remove=("anomalous_points",),
             prox_start_mode="nearest_iv", dist_start_mode="nearest_iv",
+            n_points_iv_cont=64 * scale,
         )
         timings["stitch_s"] = time.perf_counter() - t0
 

@@ -108,6 +108,7 @@ def stitch(
     region_remove=("anomalous_points", "proximal_points"),
     prox_start_mode: str = "highest_z",
     dist_start_mode: str = "nearest_iv",
+    n_points_iv_cont: int = 100,
     **postprocessing_kwargs,
 ) -> dict:
     """Remove labelled regions, stitch the CCTA surface onto the
@@ -126,6 +127,7 @@ def stitch(
         geometry,
         updated_results["mesh"],
         updated_results,
+        n_points_iv_cont=n_points_iv_cont,
         prox_start_mode=prox_start_mode,
         dist_start_mode=dist_start_mode,
     )

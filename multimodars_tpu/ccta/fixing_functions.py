@@ -24,11 +24,11 @@ def manual_hole_fill(mesh: Mesh) -> Mesh:
     Parity: fixing_functions.py:13-49."""
     new_vertices = list(mesh.vertices)
     new_faces = list(mesh.faces)
-    coord_to_idx = {tuple(v): i for i, v in enumerate(mesh.vertices)}
+    coord_to_idx = {tuple(v): i for i, v in enumerate(mesh.vertices.tolist())}
 
     for loop in mesh.boundary_loops():
         pts = [tuple(mesh.vertices[i]) for i in loop]
-        ordered = order_points_list(mesh, pts)
+        ordered = order_points_list(mesh, pts, coord_to_idx=coord_to_idx)
         if len(ordered) < 3:
             continue
         ordered_arr = np.array(ordered)

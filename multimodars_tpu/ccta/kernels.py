@@ -165,24 +165,67 @@ def _count_within_radius_grid(a64, b64, radius):
 
     r2 = radius * radius
     counts = np.zeros(len(a64), dtype=np.int64)
+    # strategy: per-cell gram matmuls when every cell's [points, candidates]
+    # tile stays small; otherwise flat per-point ranges with bounded blocks
+    # (dense self-counts on tubular clouds blow up the per-cell tiles)
+    na_per_cell = np.diff(cell_bounds)
+    cand_per_cell = (hi - lo).sum(axis=1)
+    per_cell_ok = (
+        len(cell_keys) <= 4096
+        and int((na_per_cell * cand_per_cell).max()) <= 4_000_000
+    )
+    if per_cell_ok:
+        # few occupied cells: one small gram matmul per cell
+        for c in range(len(cell_keys)):
+            spans = [
+                np.arange(lo[c, k], hi[c, k]) for k in range(27) if hi[c, k] > lo[c, k]
+            ]
+            if not spans:
+                continue
+            cand = np.concatenate(spans)
+            rows = a_order[cell_bounds[c] : cell_bounds[c + 1]]
+            blk = a64[rows]
+            d2 = (
+                (blk * blk).sum(axis=1)[:, None]
+                + sb[cand][None, :]
+                - 2.0 * (blk @ b_sorted[cand].T)
+            )
+            # exact recheck of boundary-tolerance hits (gram rounding)
+            near = np.abs(d2 - r2) < 1e-9 * max(r2, 1.0)
+            if near.any():
+                ii, jj = np.nonzero(near)
+                d2[ii, jj] = ((blk[ii] - b_sorted[cand][jj]) ** 2).sum(axis=1)
+            counts[rows] = (d2 <= r2).sum(axis=1)
+        return counts
+
+    # dense clouds: per-(a-cell, neighbor-offset) tiles — both operands are
+    # contiguous runs of the cell-sorted arrays, so every tile is one small
+    # gram matmul with no gather traffic; a-rows are sub-chunked to bound
+    # tile size
+    a_sorted = a64[a_order]
+    sa_sorted = (a_sorted * a_sorted).sum(axis=1)
+    counts_sorted = np.zeros(len(a64), dtype=np.int64)
+    tol = 1e-9 * max(r2, 1.0)
     for c in range(len(cell_keys)):
-        spans = [np.arange(lo[c, k], hi[c, k]) for k in range(27) if hi[c, k] > lo[c, k]]
-        if not spans:
-            continue
-        cand = np.concatenate(spans)
-        rows = a_order[cell_bounds[c] : cell_bounds[c + 1]]
-        blk = a64[rows]
-        d2 = (
-            (blk * blk).sum(axis=1)[:, None]
-            + sb[cand][None, :]
-            - 2.0 * (blk @ b_sorted[cand].T)
-        )
-        # exact recheck of boundary-tolerance hits (gram rounding)
-        near = np.abs(d2 - r2) < 1e-9 * max(r2, 1.0)
-        if near.any():
-            ii, jj = np.nonzero(near)
-            d2[ii, jj] = ((blk[ii] - b_sorted[cand][jj]) ** 2).sum(axis=1)
-        counts[rows] = (d2 <= r2).sum(axis=1)
+        a_lo, a_hi = cell_bounds[c], cell_bounds[c + 1]
+        for k in range(27):
+            b_lo, b_hi = lo[c, k], hi[c, k]
+            nb = b_hi - b_lo
+            if nb <= 0:
+                continue
+            step = max(int(4_000_000 // max(nb, 1)), 1)
+            bt = b_sorted[b_lo:b_hi]
+            sbt = sb[b_lo:b_hi]
+            for r0 in range(a_lo, a_hi, step):
+                r1 = min(r0 + step, a_hi)
+                blk = a_sorted[r0:r1]
+                d2 = sa_sorted[r0:r1, None] + sbt[None, :] - 2.0 * (blk @ bt.T)
+                near = np.abs(d2 - r2) < tol
+                if near.any():
+                    ii, jj = np.nonzero(near)
+                    d2[ii, jj] = ((blk[ii] - bt[jj]) ** 2).sum(axis=1)
+                counts_sorted[r0:r1] += (d2 <= r2).sum(axis=1)
+    counts[a_order] = counts_sorted
     return counts
 
 

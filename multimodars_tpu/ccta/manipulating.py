@@ -409,8 +409,9 @@ def stitch_ccta_to_intravascular(
         proximal_iv_frame_pts=iv_mesh.frames[0].lumen.points,
         clamp_overshoot=clamp_overshoot,
     )
-    prox_point_step = len(proximal_points) // len(prox_boundary_pts)
-    dist_point_step = len(distal_points) // len(dist_boundary_pts)
+    # a boundary ring denser than the IV contour walks it with step 1
+    prox_point_step = max(len(proximal_points) // len(prox_boundary_pts), 1)
+    dist_point_step = max(len(distal_points) // len(dist_boundary_pts), 1)
 
     if prox_start_mode == "highest_z" or dist_start_mode == "highest_z":
         iv_mesh = iv_mesh.sort_frame_points()
@@ -570,13 +571,15 @@ def _prepare_prox_dist_boundary_pts(
     return prox_boundary_pts_ord, dist_boundary_pts_ord, mesh
 
 
-def order_points_list(mesh: Mesh, points: list) -> list:
+def order_points_list(mesh: Mesh, points: list, coord_to_idx: dict = None) -> list:
     """Order boundary points into a connected ring by walking mesh edges,
-    with a plane-fit CCW fallback.  Parity: manipulating.py:993-1071."""
+    with a plane-fit CCW fallback.  Parity: manipulating.py:993-1071.
+    ``coord_to_idx`` lets repeated callers share one vertex-lookup table."""
     if len(points) <= 1:
         return list(points)
 
-    coord_to_idx = {tuple(coord): i for i, coord in enumerate(mesh.vertices)}
+    if coord_to_idx is None:
+        coord_to_idx = {tuple(coord): i for i, coord in enumerate(mesh.vertices.tolist())}
     boundary_indices = []
     idx_to_pt = {}
     for pt in points:
