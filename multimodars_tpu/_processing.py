@@ -35,7 +35,29 @@ def _type_names(contour_types) -> List[str]:
     return out
 
 
-def _to_inputdata(py_in: PyInputData) -> InputData:
+def _to_inputdata(py_in) -> InputData:
+    if isinstance(py_in, InputData):
+        return py_in
+    if hasattr(py_in, "frames"):  # PyGeometry convenience: flatten lumen
+        import numpy as _np
+
+        rows = []
+        ref_point = None
+        for frame in py_in.frames:
+            lumen = frame.lumen
+            block = _np.empty((lumen.n_points, 5))
+            block[:, 0] = lumen.frame_indices
+            block[:, 1:4] = lumen.xyz_view()
+            block[:, 4] = lumen.aortic_flags
+            rows.append(block)
+            if ref_point is None and frame.reference_point is not None:
+                ref_point = frame.reference_point.copy()
+        return InputData(
+            lumen=_np.concatenate(rows) if rows else _np.zeros((0, 5)),
+            ref_point=ref_point,
+            diastole=True,
+            label=getattr(py_in, "label", "") or "",
+        )
     return InputData.from_py_input_data(py_in)
 
 
@@ -193,6 +215,7 @@ def from_file_single(
     input_path: str,
     labels: Optional[List[str]] = None,
     diastole: bool = True,
+    label: Optional[str] = None,
     step_rotation_deg: float = 0.5,
     range_rotation_deg: float = 90.0,
     sample_size: int = 500,
@@ -206,7 +229,12 @@ def from_file_single(
     bruteforce: bool = False,
     smooth: bool = True,
 ):
-    """Process a single geometry (one phase) from a CSV folder."""
+    """Process a single geometry (one phase) from a CSV folder.
+
+    ``label`` names the geometry directly (the reference's own test suite
+    passes it even though the reference wrapper lacks the parameter)."""
+    if label is not None and not labels:
+        labels = [label]
     geom, logs = _entry.single_processing(
         labels or [],
         image_center,
@@ -394,15 +422,23 @@ def from_array_single(
     output_path: str = "output/single",
     bruteforce: bool = False,
     smooth: bool = True,
+    label: Optional[str] = None,
+    diastole: Optional[bool] = None,
 ):
-    """Single geometry from an in-memory PyInputData bundle."""
+    """Single geometry from an in-memory PyInputData bundle.
+
+    ``label`` overrides the bundle's label (the reference's own test suite
+    passes it even though the reference wrapper lacks the parameter)."""
+    if label is not None:
+        input_data = _to_inputdata(input_data)
+        input_data.label = label
     geom, logs = _entry.single_processing(
-        [],
+        [label] if label is not None else [],
         image_center,
         radius,
         n_points,
         input_data=[_to_inputdata(input_data)],
-        diastole=input_data.diastole,
+        diastole=input_data.diastole if diastole is None else diastole,
         write_obj=write_obj,
         watertight=watertight,
         contour_types=_type_names(contour_types),
