@@ -94,12 +94,31 @@ def min_sqdist(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         half_sb = 0.5 * sb
         bT = np.ascontiguousarray(b64.T)
         args = np.empty(len(a64), dtype=np.int64)
+        scale = float(max(np.abs(sb).max(), 1.0))
         chunk = max(1, min(len(a64), 4_000_000 // max(len(b64), 1) + 1))
         for start in range(0, len(a64), chunk):
             blk = a64[start : start + chunk]
             dot = blk @ bT
             np.subtract(half_sb[None, :], dot, out=dot)
-            args[start : start + chunk] = dot.argmin(axis=1)
+            am = dot.argmin(axis=1)
+            # near-ties in the gram surrogate are re-resolved with exact
+            # distances (first-wins like the reference's scan)
+            two = np.partition(dot, 1, axis=1)[:, :2] if dot.shape[1] > 1 else None
+            if two is not None:
+                tied = (two[:, 1] - two[:, 0]) < 1e-9 * scale
+                if tied.any():
+                    rows = np.nonzero(tied)[0]
+                    sub = blk[rows]
+                    d2 = (
+                        (sub * sub).sum(axis=1)[:, None]
+                        + sb[None, :]
+                        - 2.0 * (sub @ bT)
+                    )
+                    # exact recompute of candidate columns near the min
+                    jj = np.argsort(d2, axis=1, kind="stable")[:, :4]
+                    exact = ((sub[:, None, :] - b64[jj]) ** 2).sum(-1)
+                    am[rows] = jj[np.arange(len(rows)), exact.argmin(axis=1)]
+            args[start : start + chunk] = am
         mins = ((a64 - b64[args]) ** 2).sum(axis=1)
         return mins, args
     dtype = config.compute_dtype
