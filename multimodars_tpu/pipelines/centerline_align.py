@@ -431,6 +431,10 @@ def refine_alignment_hausdorff(
 
     dtype = config.compute_dtype
 
+    # first pass: build every shift's (candidate, filtered-cloud) pair on the
+    # host; second pass: ONE padded+masked device sweep over all of them
+    shift_entries = []
+
     for delta_idx in delta_range:
         signed = initial_cl_ref_idx + delta_idx
         if signed < 0:
@@ -475,20 +479,43 @@ def refine_alignment_hausdorff(
             rotated = np.stack([rx, ry, pts[..., 2]], axis=-1)
             per_frame_pts.append(rotated @ A.T + b)
         candidate = np.concatenate(per_frame_pts, axis=1)  # (K, F*n_ds, 3)
+        shift_entries.append((current_idx, candidate[..., :2], filtered[:, :2]))
 
-        # 2-D masked Hausdorff (the reference kernel ignores z)
-        p = jnp.asarray(candidate[..., :2], dtype=dtype)
-        q = jnp.asarray(filtered[None, :, :2].repeat(1, axis=0), dtype=dtype)
-        q = jnp.broadcast_to(q, (K, filtered.shape[0], 2))
-        pmask = jnp.ones(p.shape[:2], dtype=bool)
-        qmask = jnp.ones(q.shape[:2], dtype=bool)
-        costs = np.sqrt(np.asarray(hausdorff_sq_masked(q, p, qmask, pmask)))
+    if shift_entries:
+        # single device sweep over (shift x angle); 2-D masked Hausdorff
+        # (the reference kernel ignores z)
+        S = len(shift_entries)
+        n_max = max(c.shape[1] for _, c, _ in shift_entries)
+        m_max = max(f.shape[0] for _, _, f in shift_entries)
+        p_h = np.zeros((S, K, n_max, 2))
+        pmask_h = np.zeros((S, K, n_max), dtype=bool)
+        q_h = np.zeros((S, m_max, 2))
+        qmask_h = np.zeros((S, m_max), dtype=bool)
+        for si, (_, cand, filt) in enumerate(shift_entries):
+            p_h[si, :, : cand.shape[1]] = cand
+            pmask_h[si, :, : cand.shape[1]] = True
+            q_h[si, : filt.shape[0]] = filt
+            qmask_h[si, : filt.shape[0]] = True
+        p = jnp.asarray(p_h.reshape(S * K, n_max, 2), dtype=dtype)
+        pmask = jnp.asarray(pmask_h.reshape(S * K, n_max))
+        q = jnp.asarray(
+            np.broadcast_to(q_h[:, None], (S, K, m_max, 2)).reshape(S * K, m_max, 2),
+            dtype=dtype,
+        )
+        qmask = jnp.asarray(
+            np.broadcast_to(qmask_h[:, None], (S, K, m_max)).reshape(S * K, m_max)
+        )
+        costs = np.sqrt(
+            np.asarray(hausdorff_sq_masked(q, p, qmask, pmask))
+        ).reshape(S, K)
 
-        for k in range(K):
-            if costs[k] < min_hausdorff:
-                min_hausdorff = float(costs[k])
-                best_angle = float(angles[k])
-                best_cl_ref_idx = current_idx
+        # identical first-wins scan order to the sequential loop
+        for si, (current_idx, _, _) in enumerate(shift_entries):
+            for k in range(K):
+                if costs[si, k] < min_hausdorff:
+                    min_hausdorff = float(costs[si, k])
+                    best_angle = float(angles[k])
+                    best_cl_ref_idx = current_idx
 
     if verbose:
         print(
