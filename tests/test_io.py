@@ -128,3 +128,28 @@ def test_read_contour_csv_tab_or_comma():
     pts = read_contour_data(FIXTURES / "ivus_rest" / "diastolic_contours.csv")
     assert pts
     assert pts[0].frame_index == 347
+
+
+def test_debug_io_dumps(dummy_geom, tmp_path):
+    """utils.debug_io writes geometry/contour CSVs and a bare OBJ."""
+    import numpy as np
+
+    from multimodars_tpu.utils.debug_io import (
+        write_contour_to_csv,
+        write_debug_obj_mesh,
+        write_geometry_to_csv,
+    )
+
+    write_geometry_to_csv(dummy_geom, tmp_path / "geom.csv")
+    arr = np.genfromtxt(tmp_path / "geom.csv", delimiter=",")
+    assert arr.shape[0] == sum(f.lumen.n_points for f in dummy_geom.frames)
+    assert arr.shape[1] == 6
+
+    write_contour_to_csv(dummy_geom.frames[0].lumen, tmp_path / "c.csv")
+    c = np.genfromtxt(tmp_path / "c.csv", delimiter=",")
+    assert c.shape[0] == dummy_geom.frames[0].lumen.n_points
+
+    write_debug_obj_mesh([f.lumen for f in dummy_geom.frames], tmp_path / "m.obj")
+    text = (tmp_path / "m.obj").read_text()
+    assert text.count("v ") >= arr.shape[0]
+    assert "f " in text
