@@ -74,13 +74,16 @@ def main():
     import contextlib
     import io
 
-    # warmup: trigger jit compilation (excluded, like the reference's
-    # release-build warm cache)
-    with contextlib.redirect_stdout(io.StringIO()):
-        run()
+    # warmup: trigger jit compilation and fault working pages (excluded,
+    # like the reference's release-build warm cache)
+    for _ in range(2):
+        with contextlib.redirect_stdout(io.StringIO()):
+            run()
 
+    # median of 5: the host's page-fault latency is erratic, single runs
+    # swing 20-40%
     times = []
-    for _ in range(3):
+    for _ in range(5):
         with contextlib.redirect_stdout(io.StringIO()):
             t0 = time.perf_counter()
             run()
