@@ -100,9 +100,9 @@ def main() -> None:
         mask = jnp.ones((F, n_pts), bool)
 
         def run_cohort(test=test, refp=refp, mask=mask):
-            multires_rotation_search(
-                test, refp, mask, mask, 0.01, 6.0
-            ).block_until_ready()
+            # np.asarray forces the computation; block_until_ready is a
+            # no-op on the tunneled axon backend
+            np.asarray(multires_rotation_search(test, refp, mask, mask, 0.01, 6.0))
 
         sec = _median_time(run_cohort)
         throughput = size / sec
