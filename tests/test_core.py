@@ -195,11 +195,8 @@ class TestEdgeCases:
 
         from multimodars_tpu.ops.rotation_search import candidate_angles
 
-        # center clamped fully outside the limes -> empty valid span
-        centers = jnp.asarray([np.pi])  # 180 deg with limes 10 deg
-        angles, valid = candidate_angles(centers, 1.0, 5.0, 10.0)
-        assert not bool(np.asarray(valid).any()) or bool(np.asarray(valid).any())
-        # and searching returns the center untouched when no slot is valid
+        # center far outside a tiny limes -> clamped span collapses and the
+        # search returns the center untouched
         from multimodars_tpu.ops.rotation_search import search_range_batched
 
         test = jnp.zeros((1, 4, 2))
