@@ -75,12 +75,11 @@ def build_case(scale: int = 1):
     return mesh, cl_ao, cl_rca, cl_lca, geom
 
 
-def main() -> None:
-    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    mesh, cl_ao, cl_rca, cl_lca, geom = build_case(scale)
-    print(f"mesh: {len(mesh.vertices)} vertices, {len(mesh.faces)} faces")
-    RESULTS_DIR.mkdir(parents=True, exist_ok=True)
+REPEATS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
+
+def run_once(scale):
+    mesh, cl_ao, cl_rca, cl_lca, geom = build_case(scale)
     timings = {}
     with contextlib.redirect_stdout(io.StringIO()):
         t0 = time.perf_counter()
@@ -108,11 +107,30 @@ def main() -> None:
         )
         timings["stitch_s"] = time.perf_counter() - t0
 
-    total = sum(timings.values())
+    return mesh, stitched, timings
+
+
+def main() -> None:
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    RESULTS_DIR.mkdir(parents=True, exist_ok=True)
+
+    # median of REPEATS full runs: the host's page-fault latency is
+    # erratic and single runs swing 2-3x
+    runs = []
+    for r in range(REPEATS):
+        mesh, stitched, timings = run_once(scale)
+        total = sum(timings.values())
+        runs.append((total, timings))
+        print(f"run {r + 1}/{REPEATS}: {total:.1f}s "
+              + " ".join(f"{k}={v:.1f}" for k, v in timings.items()))
+    runs.sort(key=lambda rt: rt[0])
+    total, timings = runs[len(runs) // 2]
+
     payload = {
         "mesh_vertices": len(mesh.vertices),
         "mesh_faces": len(mesh.faces),
         "stitched_faces": len(stitched["mesh"].faces),
+        "repeats": REPEATS,
         **{k: round(v, 3) for k, v in timings.items()},
         "total_s": round(total, 3),
         "reference_fullworkflow_s": REFERENCE_SECONDS,
