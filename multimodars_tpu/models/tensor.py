@@ -1,118 +1,338 @@
-"""Padded-array ("tensor") form of a geometry for the TPU pipelines.
+"""TensorGeometry — the array spine of the hot pipelines.
 
 The reference's pointer-rich ``Vec<Frame>`` / ``HashMap<ContourType, Contour>``
-becomes fixed-shape arrays with validity masks so every pipeline stage is a
-single jittable batched op:
+(geometry.rs, frame.rs) is the right shape for a CPU object model but the
+wrong shape for a TPU pipeline: every stage would re-pack it.  This module
+keeps one rectangular array set per contour kind for a whole pullback —
+``coords[kind]: float64[F, P_kind, 3]`` plus parallel metadata arrays — so
 
-- ``points[kind]``: float[F, P_kind, 3] padded point stacks per contour type
-- ``masks[kind]``:  bool [F, P_kind]    validity of each padded slot
-- ``centroids``:    float[F, 3]         frame centroids
+- every rigid transform / sort / wall-synthesis step is one vectorised pass,
+- the device boundary is a single contiguous gather + transfer,
+- the object model (PyGeometry) is materialised exactly once, at the end,
+  with contours holding *views* into the big arrays (zero copies).
 
-Padded slots replicate the frame's first valid point (not zeros) so reductions
-that forget a mask degrade gracefully; all shipped kernels apply masks with
-+/-inf sentinels anyway.
+Rectangularity is guaranteed by the integrity gate's per-kind point-count
+check (integrity_check.rs:8-32 / io/build.check_geometry_integrity); kinds
+missing from some frames carry a per-frame ``present`` mask.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
-import jax
 import numpy as np
 
+from .contour import PyContour
+from .frame import PyFrame
 from .geometry import PyGeometry
+from .point import PyContourPoint
 
 
-@jax.tree_util.register_pytree_node_class
+def _opt_to_nan(v) -> float:
+    return np.nan if v is None else float(v)
+
+
+def _nan_to_opt(v: float):
+    return None if np.isnan(v) else float(v)
+
+
 @dataclass
 class TensorGeometry:
-    points: Dict[str, jax.Array]  # kind -> [F, P, 3]
-    masks: Dict[str, jax.Array]  # kind -> [F, P]
-    centroids: jax.Array  # [F, 3]
+    """Array form of a PyGeometry: rectangular per-kind stacks + metadata.
 
-    def tree_flatten(self):
-        kinds = tuple(sorted(self.points))
-        children = (
-            [self.points[k] for k in kinds]
-            + [self.masks[k] for k in kinds]
-            + [self.centroids]
-        )
-        return children, kinds
+    Per kind k (``kinds[0]`` is always "Lumen"; the rest keep the frame
+    ``extras`` insertion order):
 
-    @classmethod
-    def tree_unflatten(cls, kinds, children):
-        n = len(kinds)
-        points = dict(zip(kinds, children[:n]))
-        masks = dict(zip(kinds, children[n : 2 * n]))
-        return cls(points=points, masks=masks, centroids=children[2 * n])
+    - ``coords[k]``:    float64 [F, P_k, 3]
+    - ``present[k]``:   bool    [F]        contour exists in this frame
+    - ``pt_frame[k]``:  int64   [F, P_k]   per-point frame_index
+    - ``pt_index[k]``:  int64   [F, P_k]   per-point point_index
+    - ``pt_aortic[k]``: bool    [F, P_k]
+    - ``con_centroid[k]``: float64 [F, 3]  stored contour centroids
+    - ``aortic_th[k]`` / ``pulm_th[k]``: float64 [F], NaN encodes None
+
+    Frame-level: ``ids`` int64 [F], ``orig_frame`` int64 [F] (original frame
+    id, shared across kinds by the integrity gate), ``centroids`` float64
+    [F, 3], plus the single reference point and its frame position.
+    """
+
+    label: str
+    kinds: List[str]
+    coords: Dict[str, np.ndarray]
+    present: Dict[str, np.ndarray]
+    pt_frame: Dict[str, np.ndarray]
+    pt_index: Dict[str, np.ndarray]
+    pt_aortic: Dict[str, np.ndarray]
+    con_centroid: Dict[str, np.ndarray]
+    aortic_th: Dict[str, np.ndarray]
+    pulm_th: Dict[str, np.ndarray]
+    ids: np.ndarray
+    orig_frame: np.ndarray
+    centroids: np.ndarray
+    ref_pos: Optional[int] = None
+    ref_point: Optional[PyContourPoint] = None
 
     @property
     def n_frames(self) -> int:
-        return int(self.centroids.shape[0])
+        return int(self.ids.shape[0])
 
+    def n_points(self, kind: str = "Lumen") -> int:
+        return int(self.coords[kind].shape[1])
 
-def pack_contours(
-    contours_xyz: List[np.ndarray], pad_to: Optional[int] = None, dtype=np.float64
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Pad a ragged list of (n_i, 3) arrays to [F, P, 3] + mask [F, P]."""
-    F = len(contours_xyz)
-    P = pad_to if pad_to is not None else max((c.shape[0] for c in contours_xyz), default=0)
-    pts = np.zeros((F, max(P, 1), 3), dtype=dtype)
-    mask = np.zeros((F, max(P, 1)), dtype=bool)
-    for i, c in enumerate(contours_xyz):
-        n = min(c.shape[0], P)
-        if n > 0:
-            pts[i, :n] = c[:n]
-            pts[i, n:] = c[0]  # replicate first point into padding
-            mask[i, :n] = True
-    return pts, mask
+    # -- vectorised ops (hot-path building blocks) --------------------------
 
+    def rotate_about_frame_centroids(self, angles: np.ndarray) -> None:
+        """Rotate every kind's points (and the reference point) about each
+        frame's own (x, y) centroid.  Frame::rotate semantics: stored contour
+        centroids are NOT recomputed (frame.rs:40-63)."""
+        angles = np.asarray(angles, dtype=np.float64)
+        c = np.cos(angles)[:, None]
+        s = np.sin(angles)[:, None]
+        cx = self.centroids[:, 0][:, None]
+        cy = self.centroids[:, 1][:, None]
+        for k in self.kinds:
+            xyz = self.coords[k]
+            x = xyz[:, :, 0] - cx
+            y = xyz[:, :, 1] - cy
+            xyz[:, :, 0] = x * c - y * s + cx
+            xyz[:, :, 1] = x * s + y * c + cy
+        if self.ref_point is not None and self.ref_pos is not None:
+            i = self.ref_pos
+            a = float(angles[i])
+            if a != 0.0:
+                self.ref_point = self.ref_point.rotate(
+                    a, (float(self.centroids[i, 0]), float(self.centroids[i, 1]))
+                )
 
-def geometry_to_tensor(
-    geometry: PyGeometry, kinds: Optional[List[str]] = None, dtype=np.float64
-) -> TensorGeometry:
-    """Pack a PyGeometry into padded arrays (host -> device boundary)."""
-    import jax.numpy as jnp
+    def translate_per_frame(self, deltas: np.ndarray) -> None:
+        """Translate frame i by deltas[i]; recomputes contour centroids and
+        moves frame centroids / reference point (Frame::translate,
+        frame.rs:18-38)."""
+        deltas = np.asarray(deltas, dtype=np.float64)
+        for k in self.kinds:
+            self.coords[k] += deltas[:, None, :]
+            self.con_centroid[k] = self.coords[k].mean(axis=1)
+        self.centroids = self.centroids + deltas
+        if self.ref_point is not None and self.ref_pos is not None:
+            d = deltas[self.ref_pos]
+            self.ref_point.x += float(d[0])
+            self.ref_point.y += float(d[1])
+            self.ref_point.z += float(d[2])
 
-    frames = geometry.frames
-    if kinds is None:
-        kinds = ["Lumen"] + sorted(
-            {k for f in frames for k in f.extras.keys()}
-        )
-    points: Dict[str, jax.Array] = {}
-    masks: Dict[str, jax.Array] = {}
-    for kind in kinds:
-        per_frame = []
-        for f in frames:
-            contour = f.lumen if kind == "Lumen" else f.extras.get(kind)
-            per_frame.append(
-                contour.xyz().astype(dtype) if contour is not None else np.zeros((0, 3), dtype)
-            )
-        pts, mask = pack_contours(per_frame, dtype=dtype)
-        points[kind] = jnp.asarray(pts)
-        masks[kind] = jnp.asarray(mask)
-    centroids = jnp.asarray(
-        np.array([f.centroid for f in frames], dtype=dtype)
-        if frames
-        else np.zeros((0, 3), dtype)
-    )
-    return TensorGeometry(points=points, masks=masks, centroids=centroids)
-
-
-def tensor_to_geometry(tensor: TensorGeometry, template: PyGeometry) -> PyGeometry:
-    """Write tensor coordinates back into a copy of ``template`` (device ->
-    host boundary).  The template supplies ids/flags/extras structure; only
-    x/y/z move."""
-    out = template.copy()
-    host_points = {k: np.asarray(v) for k, v in tensor.points.items()}
-    host_centroids = np.asarray(tensor.centroids)
-    for i, frame in enumerate(out.frames):
-        for kind, arr in host_points.items():
-            contour = frame.lumen if kind == "Lumen" else frame.extras.get(kind)
-            if contour is None:
+    def ccw_sort(self) -> None:
+        """CCW-sort every contour: stable angle sort about the contour's own
+        xy mean, rolled so the *last* highest-Y point is first, point indices
+        reassigned (Contour::sort_contour_points, contour.rs:368-405)."""
+        for k in self.kinds:
+            xyz = self.coords[k]
+            F, n = xyz.shape[:2]
+            if n == 0:
                 continue
-            n = len(contour.points)
-            contour.set_xyz(arr[i, :n])
-        frame.centroid = tuple(float(c) for c in host_centroids[i])
-    return out
+            x = xyz[:, :, 0]
+            y = xyz[:, :, 1]
+            ang = np.arctan2(
+                y - y.mean(axis=1)[:, None], x - x.mean(axis=1)[:, None]
+            )
+            order = np.argsort(ang, axis=1, kind="stable")
+            y_sorted = np.take_along_axis(y, order, axis=1)
+            start = n - 1 - np.argmax(y_sorted[:, ::-1], axis=1)  # last max
+            roll = (np.arange(n)[None, :] + start[:, None]) % n
+            order = np.take_along_axis(order, roll, axis=1)
+            self.coords[k] = np.take_along_axis(xyz, order[:, :, None], axis=1)
+            self.pt_frame[k] = np.take_along_axis(self.pt_frame[k], order, axis=1)
+            self.pt_aortic[k] = np.take_along_axis(self.pt_aortic[k], order, axis=1)
+            self.pt_index[k] = np.broadcast_to(
+                np.arange(n, dtype=np.int64), (F, n)
+            ).copy()
+
+    def smooth_xy(self) -> None:
+        """Three-frame moving average of x/y per point index on Lumen, Eem
+        and Wall (mirror boundary); updates contour centroids only
+        (Geometry::smooth_frames, geometry.rs:165-239)."""
+        n = self.n_frames
+        if n == 0:
+            return
+        prev_i = np.maximum(np.arange(n) - 1, 0)
+        next_i = np.minimum(np.arange(n) + 1, n - 1)
+        for k in ("Lumen", "Eem", "Wall"):
+            if k not in self.coords or not self.present[k].all():
+                if k in self.coords and self.present[k].any():
+                    self._smooth_xy_sparse(k, prev_i, next_i)
+                continue
+            xyz = self.coords[k]
+            avg = (xyz[prev_i, :, :2] + xyz[:, :, :2] + xyz[next_i, :, :2]) / 3.0
+            xyz[:, :, :2] = avg
+            self.con_centroid[k] = np.concatenate(
+                [avg.mean(axis=1), xyz[:, :, 2].mean(axis=1)[:, None]], axis=1
+            )
+
+    def _smooth_xy_sparse(self, k: str, prev_i, next_i) -> None:
+        pres = self.present[k]
+        src = self.coords[k].copy()
+        for i in range(self.n_frames):
+            p, nx = prev_i[i], next_i[i]
+            if pres[i] and pres[p] and pres[nx]:
+                self.coords[k][i, :, :2] = (
+                    src[p, :, :2] + src[i, :, :2] + src[nx, :, :2]
+                ) / 3.0
+                self.con_centroid[k][i] = self.coords[k][i].mean(axis=0)
+
+    # -- conversions ---------------------------------------------------------
+
+    def frame_view(self, i: int) -> PyFrame:
+        """Materialise one frame whose contours are views into the tensor
+        arrays (mutations write through; rows are disjoint so views are
+        alias-safe across frames)."""
+        fid = int(self.ids[i])
+        orig = int(self.orig_frame[i])
+        lumen = _contour_view(self, "Lumen", i, fid, orig)
+        extras: Dict[str, PyContour] = {}
+        for k in self.kinds[1:]:
+            if self.present[k][i]:
+                extras[k] = _contour_view(self, k, i, fid, orig)
+        frame = PyFrame.__new__(PyFrame)
+        frame.id = fid
+        frame.centroid = (
+            float(self.centroids[i, 0]),
+            float(self.centroids[i, 1]),
+            float(self.centroids[i, 2]),
+        )
+        frame.lumen = lumen
+        frame.extras = extras
+        frame.reference_point = (
+            self.ref_point.copy()
+            if (self.ref_point is not None and i == self.ref_pos)
+            else None
+        )
+        return frame
+
+    def to_geometry(self) -> PyGeometry:
+        """Materialise the object model once; contours hold views into the
+        tensor arrays (no coordinate copies)."""
+        frames = [self.frame_view(i) for i in range(self.n_frames)]
+        return PyGeometry(frames, self.label)
+
+    def copy(self) -> "TensorGeometry":
+        return TensorGeometry(
+            label=self.label,
+            kinds=list(self.kinds),
+            coords={k: v.copy() for k, v in self.coords.items()},
+            present={k: v.copy() for k, v in self.present.items()},
+            pt_frame={k: v.copy() for k, v in self.pt_frame.items()},
+            pt_index={k: v.copy() for k, v in self.pt_index.items()},
+            pt_aortic={k: v.copy() for k, v in self.pt_aortic.items()},
+            con_centroid={k: v.copy() for k, v in self.con_centroid.items()},
+            aortic_th={k: v.copy() for k, v in self.aortic_th.items()},
+            pulm_th={k: v.copy() for k, v in self.pulm_th.items()},
+            ids=self.ids.copy(),
+            orig_frame=self.orig_frame.copy(),
+            centroids=self.centroids.copy(),
+            ref_pos=self.ref_pos,
+            ref_point=None if self.ref_point is None else self.ref_point.copy(),
+        )
+
+
+def _contour_view(tg: TensorGeometry, kind: str, i: int, fid: int, orig: int) -> PyContour:
+    c = PyContour.__new__(PyContour)
+    c.id = fid
+    c.original_frame = orig
+    c._coords = tg.coords[kind][i]
+    c._frame_idx = tg.pt_frame[kind][i]
+    c._point_idx = tg.pt_index[kind][i]
+    c._aortic = tg.pt_aortic[kind][i]
+    cc = tg.con_centroid[kind][i]
+    c.centroid = (
+        (float(cc[0]), float(cc[1]), float(cc[2])) if not np.isnan(cc[0]) else None
+    )
+    c.aortic_thickness = _nan_to_opt(tg.aortic_th[kind][i])
+    c.pulmonary_thickness = _nan_to_opt(tg.pulm_th[kind][i])
+    c.kind = kind
+    return c
+
+
+def geometry_to_tensor(geometry: PyGeometry) -> TensorGeometry:
+    """Pack a (rectangular, integrity-checked) PyGeometry into the array
+    spine.  Raises ValueError if any kind's point count varies across the
+    frames that carry it — callers fall back to the object pipeline then."""
+    frames = geometry.frames
+    F = len(frames)
+    kinds: List[str] = ["Lumen"]
+    for f in frames:
+        for k in f.extras.keys():
+            if k not in kinds:
+                kinds.append(k)
+
+    coords: Dict[str, np.ndarray] = {}
+    present: Dict[str, np.ndarray] = {}
+    pt_frame: Dict[str, np.ndarray] = {}
+    pt_index: Dict[str, np.ndarray] = {}
+    pt_aortic: Dict[str, np.ndarray] = {}
+    con_centroid: Dict[str, np.ndarray] = {}
+    aortic_th: Dict[str, np.ndarray] = {}
+    pulm_th: Dict[str, np.ndarray] = {}
+
+    for k in kinds:
+        cons = [
+            (f.lumen if k == "Lumen" else f.extras.get(k)) for f in frames
+        ]
+        counts = {c.n_points for c in cons if c is not None}
+        if len(counts) != 1:
+            raise ValueError(f"ragged point counts for kind {k}: {sorted(counts)}")
+        P = counts.pop()
+        coords[k] = np.zeros((F, P, 3), dtype=np.float64)
+        present[k] = np.zeros(F, dtype=bool)
+        pt_frame[k] = np.zeros((F, P), dtype=np.int64)
+        pt_index[k] = np.zeros((F, P), dtype=np.int64)
+        pt_aortic[k] = np.zeros((F, P), dtype=bool)
+        con_centroid[k] = np.full((F, 3), np.nan)
+        aortic_th[k] = np.full(F, np.nan)
+        pulm_th[k] = np.full(F, np.nan)
+        for i, c in enumerate(cons):
+            if c is None:
+                continue
+            present[k][i] = True
+            coords[k][i] = c._coords
+            pt_frame[k][i] = c._frame_idx
+            pt_index[k][i] = c._point_idx
+            pt_aortic[k][i] = c._aortic
+            if c.centroid is not None:
+                con_centroid[k][i] = c.centroid
+            aortic_th[k][i] = _opt_to_nan(c.aortic_thickness)
+            pulm_th[k][i] = _opt_to_nan(c.pulmonary_thickness)
+
+    ref_pos = None
+    ref_point = None
+    for i, f in enumerate(frames):
+        if f.reference_point is not None:
+            ref_pos = i
+            ref_point = f.reference_point.copy()
+            break
+
+    return TensorGeometry(
+        label=geometry.label,
+        kinds=kinds,
+        coords=coords,
+        present=present,
+        pt_frame=pt_frame,
+        pt_index=pt_index,
+        pt_aortic=pt_aortic,
+        con_centroid=con_centroid,
+        aortic_th=aortic_th,
+        pulm_th=pulm_th,
+        ids=np.array([f.id for f in frames], dtype=np.int64),
+        orig_frame=np.array(
+            [f.lumen.original_frame for f in frames], dtype=np.int64
+        ),
+        centroids=np.array([f.centroid for f in frames], dtype=np.float64)
+        if frames
+        else np.zeros((0, 3)),
+        ref_pos=ref_pos,
+        ref_point=ref_point,
+    )
+
+
+def tensor_to_geometry(tensor: TensorGeometry) -> PyGeometry:
+    """Alias of :meth:`TensorGeometry.to_geometry` (kept for API parity with
+    round 1)."""
+    return tensor.to_geometry()

@@ -233,3 +233,33 @@ def multires_rotation_search(
         test, ref, test_mask, ref_mask, float(step_deg), float(range_deg),
         bool(bruteforce), bool(use_pallas),
     )
+
+
+@partial(
+    jax.jit, static_argnames=("step_deg", "range_deg", "bruteforce", "use_pallas")
+)
+def _chain_rotation_search_impl(
+    pts, mask, step_deg, range_deg, bruteforce, use_pallas
+):
+    # consecutive-pair view formed ON DEVICE: one [F, S, 2] transfer instead
+    # of two nearly-identical [F-1, S, 2] host slices
+    return _multires_rotation_search_impl(
+        pts[1:], pts[:-1], mask[1:], mask[:-1],
+        step_deg, range_deg, bruteforce, use_pallas,
+    )
+
+
+def chain_rotation_search(pts, mask, step_deg, range_deg, bruteforce, use_pallas=None):
+    """Relative rotations of every consecutive frame pair of one pullback.
+
+    pts: [F, S, 2] centered sample sets; mask: [F, S].  Returns [F-1] best
+    relative angles — the batched form of the reference's sequential chain
+    (align_within.rs:72-123; see pipelines.align_within module docstring for
+    the rotation-invariance argument).
+    """
+    if use_pallas is None:
+        use_pallas = _pallas_default()
+    return _chain_rotation_search_impl(
+        pts, mask, float(step_deg), float(range_deg), bool(bruteforce),
+        bool(use_pallas),
+    )

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import config
 from ..models.geometry import PyGeometry
+from ..utils.device import to_device
 from ..ops.rotation_search import multires_rotation_search
 
 
@@ -102,10 +103,10 @@ def cohort_relative_rotations(
     sharding = NamedSharding(mesh, P(axis))
     dtype = config.compute_dtype
 
-    test_d = jax.device_put(jnp.asarray(test, dtype=dtype), sharding)
-    ref_d = jax.device_put(jnp.asarray(ref, dtype=dtype), sharding)
-    tmask_d = jax.device_put(jnp.asarray(test_mask), sharding)
-    rmask_d = jax.device_put(jnp.asarray(ref_mask), sharding)
+    test_d = to_device(test, dtype, sharding)
+    ref_d = to_device(ref, dtype, sharding)
+    tmask_d = to_device(test_mask, sharding=sharding)
+    rmask_d = to_device(ref_mask, sharding=sharding)
 
     delta = multires_rotation_search(
         test_d, ref_d, tmask_d, rmask_d, float(step_deg), float(range_deg), bool(bruteforce)

@@ -18,6 +18,7 @@ from ..config import config
 from ..models.contour import downsample_contour_points
 from ..models.geometry import PyGeometry, PyGeometryPair
 from ..ops.rotation_search import multires_rotation_search
+from ..utils.device import to_device
 from ..utils.trace import trace
 
 
@@ -117,10 +118,10 @@ def find_best_rotations_between_batch(
         rmask[k, :m] = True
         tmask[k, :n] = True
     best = multires_rotation_search(
-        jnp.asarray(test, dtype=dtype),
-        jnp.asarray(ref, dtype=dtype),
-        jnp.asarray(tmask),
-        jnp.asarray(rmask),
+        to_device(test, dtype),
+        to_device(ref, dtype),
+        to_device(tmask),
+        to_device(rmask),
         float(step_deg),
         float(range_deg),
         bool(bruteforce),

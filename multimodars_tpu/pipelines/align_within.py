@@ -30,11 +30,13 @@ import numpy as np
 
 from ..config import config
 from ..models.batched import rotate_frames_about_centroids, translate_frames
-from ..models.contour import PyContour, downsample_contour_points
+from ..models.contour import PyContour, downsample_contour_points, elliptic_ratio
 from ..models.frame import PyFrame
 from ..models.geometry import PyGeometry
 from ..models.point import PyContourPoint
-from ..ops.rotation_search import multires_rotation_search
+from ..models.tensor import TensorGeometry, geometry_to_tensor
+from ..ops.rotation_search import chain_rotation_search, multires_rotation_search
+from ..utils.device import to_device
 from ..utils.logs import AlignLog, dump_table
 from ..utils.trace import span, trace
 from . import wall
@@ -82,6 +84,190 @@ def _pack_centered_sets(
     return pts, mask
 
 
+# ---------------------------------------------------------------------------
+# tensor (array-spine) fast path
+# ---------------------------------------------------------------------------
+
+class _TensorFallback(Exception):
+    """Raised when a geometry's shape can't ride the array spine (ragged
+    point counts, sparse sampling kinds, mixed wall sources); the caller
+    falls back to the per-frame object pipeline."""
+
+
+def _tensorize(geometry: PyGeometry) -> TensorGeometry:
+    try:
+        tg = geometry_to_tensor(geometry)
+    except ValueError as e:
+        raise _TensorFallback(str(e))
+    if not tg.present["Lumen"].all():
+        raise _TensorFallback("lumen missing in some frames")
+    # the spine folds contour ids into the frame id and uses id values as
+    # frame positions (like the funnel-built object model); anything else
+    # rides the object pipeline
+    F = tg.n_frames
+    if not np.array_equal(tg.ids, np.arange(F, dtype=np.int64)):
+        raise _TensorFallback("frame ids are not 0..F-1")
+    for f in geometry.frames:
+        for c in f.all_contours():
+            if c.id != f.id:
+                raise _TensorFallback("contour id differs from frame id")
+    return tg
+
+
+def _pack_centered_sets_tensor(
+    tg: TensorGeometry, sample_size: int, sample_size_catheter: Optional[int]
+) -> np.ndarray:
+    """[F, S, 2] centered sample sets (all slots valid — rectangular kinds)."""
+    from ..models.contour import downsample_indices
+
+    lumen = tg.coords["Lumen"]
+    li = downsample_indices(lumen.shape[1], sample_size)
+    parts = [lumen[:, li, :2]]
+    if sample_size_catheter is not None and "Catheter" in tg.coords:
+        if not tg.present["Catheter"].all():
+            raise _TensorFallback("catheter missing in some frames")
+        cat = tg.coords["Catheter"]
+        ci = downsample_indices(cat.shape[1], sample_size_catheter)
+        parts.append(cat[:, ci, :2])
+    return np.concatenate(parts, axis=1) - tg.centroids[:, None, :2]
+
+
+def _detect_holes_tensor(tg: TensorGeometry) -> bool:
+    z = tg.centroids[:, 2]
+    if z.shape[0] < 2:
+        return False
+    diffs = np.abs(np.diff(z))
+    baseline = float(np.median(diffs))
+    if baseline <= np.finfo(np.float64).eps:
+        return False
+    return bool((diffs >= 1.5 * baseline).any())
+
+
+def _wall_tensor(tg: TensorGeometry, anomalous: bool) -> None:
+    """Append a rectangular "Wall" kind: radial 1 mm offsets batched, the
+    aortic composite per thickness-bearing frame (reuses create_aortic_wall
+    through a view contour).  Parity: wall.rs:7-34 via pipelines.wall."""
+    F = tg.n_frames
+    have_eem = "Eem" in tg.coords
+    if have_eem and not anomalous:
+        if not tg.present["Eem"].all():
+            raise _TensorFallback("mixed wall sources (sparse Eem)")
+        if tg.coords["Eem"].shape[1] != tg.coords["Lumen"].shape[1]:
+            # rectangularity of the wall kind would break; rare path
+            if F and tg.coords["Eem"].shape[0]:
+                raise _TensorFallback("wall sources with differing point counts")
+        src_kind = "Eem"
+    else:
+        src_kind = "Lumen"
+
+    src = tg.coords[src_kind]
+    P = src.shape[1]
+    centroids = src.mean(axis=1)  # offset_contour recomputes the centroid
+    rel = src - centroids[:, None, :]
+    length = np.sqrt((rel * rel).sum(-1))
+    ok = length > np.finfo(np.float64).eps
+    scale = np.where(ok, 1.0 / np.where(length > 0, length, 1.0), 0.0)
+    wall_pts = src + rel * scale[:, :, None]
+
+    tg.kinds.append("Wall")
+    tg.coords["Wall"] = wall_pts
+    tg.present["Wall"] = np.ones(F, dtype=bool)
+    tg.pt_frame["Wall"] = tg.pt_frame[src_kind].copy()
+    tg.pt_index["Wall"] = tg.pt_index[src_kind].copy()
+    tg.pt_aortic["Wall"] = tg.pt_aortic[src_kind].copy()
+    tg.con_centroid["Wall"] = centroids
+    tg.aortic_th["Wall"] = tg.aortic_th[src_kind].copy()
+    tg.pulm_th["Wall"] = tg.pulm_th[src_kind].copy()
+
+    aortic_frames = np.nonzero(~np.isnan(tg.aortic_th[src_kind]))[0]
+    for i in aortic_frames:
+        source = tg.frame_view(int(i))
+        contour = source.lumen if src_kind == "Lumen" else source.extras[src_kind]
+        composite = wall.create_aortic_wall(contour)
+        if composite.n_points != P:
+            raise _TensorFallback("aortic wall point count mismatch")
+        tg.coords["Wall"][i] = composite._coords
+        tg.pt_frame["Wall"][i] = composite._frame_idx
+        tg.pt_index["Wall"][i] = composite._point_idx
+        tg.pt_aortic["Wall"][i] = composite._aortic
+        if composite.centroid is not None:
+            tg.con_centroid["Wall"][i] = composite.centroid
+
+
+def _ref_or_proximal_idx_tensor(tg: TensorGeometry) -> int:
+    # _tensorize guarantees ids == arange(F), so id values double as frame
+    # positions exactly like the object model's ref_or_proximal_idx
+    if tg.ref_pos is not None:
+        return int(tg.ids[tg.ref_pos])
+    n = tg.n_frames
+    if n == 0:
+        return 0
+    if n == 1 or tg.orig_frame[0] > tg.orig_frame[-1]:
+        return int(tg.ids[0])
+    return int(tg.ids[-1])
+
+
+@trace("align_within.finish_tensor")
+def _finish_alignment_tensor(
+    tg: TensorGeometry,
+    delta: np.ndarray,
+    smooth: bool,
+    verbose: bool,
+) -> Tuple[PyGeometry, List[AlignLog], bool]:
+    """Array-spine version of :func:`_finish_alignment` — identical
+    semantics, one vectorised pass per stage, one object materialisation."""
+    F = tg.n_frames
+    ref_idx = _ref_or_proximal_idx_tensor(tg)
+    logs: List[AlignLog] = []
+    if F > 1:
+        cum = np.concatenate([[0.0], np.cumsum(delta)])
+        c0 = tg.centroids[0].copy()
+        txy = np.zeros((F, 3))
+        txy[1:, 0] = c0[0] - tg.centroids[1:, 0]
+        txy[1:, 1] = c0[1] - tg.centroids[1:, 1]
+        ids_before = tg.ids.copy()
+        tg.rotate_about_frame_centroids(cum)
+        tg.translate_per_frame(txy)
+        for i in range(1, F):
+            logs.append(
+                AlignLog(
+                    contour_id=int(ids_before[i]),
+                    matched_to=int(ids_before[i - 1]),
+                    rot_deg=math.degrees(float(delta[i - 1])),
+                    tx=float(txy[i, 0]),
+                    ty=float(txy[i, 1]),
+                    centroid=(float(tg.centroids[i, 0]), float(tg.centroids[i, 1])),
+                )
+            )
+
+    # hole-free guaranteed by the caller (fill_holes routes to the object
+    # pipeline); classification + axis normalisation reuse the object code
+    # through a single-frame view
+    ref_frame = tg.frame_view(ref_idx)
+    anomalous = is_anomalous_coronary(ref_frame)
+    additional_rotation = angle_ref_point_to_right(ref_frame, anomalous)
+    if additional_rotation != 0.0:
+        tg.rotate_about_frame_centroids(np.full(F, additional_rotation))
+        tg.ccw_sort()
+
+    if anomalous:
+        half = tg.coords["Lumen"].shape[1] // 2
+        tg.pt_aortic["Lumen"][:, :half] = False
+        tg.pt_aortic["Lumen"][:, half:] = True
+
+    _wall_tensor(tg, anomalous)
+    if smooth:
+        tg.smooth_xy()
+
+    final_geometry = tg.to_geometry()
+    if verbose:
+        dump_table(
+            f"✅ Finished aligning '{final_geometry.label}' (anomalous: {anomalous})",
+            logs,
+        )
+    return final_geometry, logs, anomalous
+
+
 @trace("align_within.relative_rotations")
 def relative_rotations(
     geometry: PyGeometry,
@@ -94,13 +280,12 @@ def relative_rotations(
     """Per-consecutive-pair optimal relative rotations [F-1] (radians),
     computed as one batched device sweep."""
     pts, mask = _pack_centered_sets(geometry, sample_size, sample_size_catheter)
-    dtype = config.compute_dtype
-    test = jnp.asarray(pts[1:], dtype=dtype)
-    ref = jnp.asarray(pts[:-1], dtype=dtype)
-    tmask = jnp.asarray(mask[1:])
-    rmask = jnp.asarray(mask[:-1])
-    delta = multires_rotation_search(
-        test, ref, tmask, rmask, float(step_deg), float(range_deg), bool(bruteforce)
+    delta = chain_rotation_search(
+        to_device(pts, config.compute_dtype),
+        to_device(mask),
+        float(step_deg),
+        float(range_deg),
+        bool(bruteforce),
     )
     return np.asarray(delta, dtype=np.float64)
 
@@ -392,6 +577,7 @@ def align_frames_in_geometries(
     steps independently.
     """
     packed = []
+    tensors: List[Optional[TensorGeometry]] = []
     for geometry in geometries:
         if not geometry.frames:
             raise ValueError("Geometry contains no frames")
@@ -406,7 +592,20 @@ def align_frames_in_geometries(
             if catheter0 is not None
             else None
         )
-        pts, mask = _pack_centered_sets(geometry, sample_size, ssc)
+        tg: Optional[TensorGeometry] = None
+        try:
+            tg = _tensorize(geometry)
+            if _detect_holes_tensor(tg):
+                # hole filling mutates the frame list — object pipeline
+                tg = None
+            else:
+                pts = _pack_centered_sets_tensor(tg, sample_size, ssc)
+                mask = np.ones(pts.shape[:2], dtype=bool)
+        except _TensorFallback:
+            tg = None
+        if tg is None:
+            pts, mask = _pack_centered_sets(geometry, sample_size, ssc)
+        tensors.append(tg)
         packed.append((pts, mask))
 
     S = max(p.shape[1] for p, _ in packed)
@@ -430,8 +629,8 @@ def align_frames_in_geometries(
     rmask_h = np.concatenate(rmasks)
 
     n_real = test_h.shape[0]
+    sharding = None
     if devices is not None and len(devices) > 1:
-        import jax
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
         nd = len(devices)
@@ -443,15 +642,12 @@ def align_frames_in_geometries(
             rmask_h = np.concatenate([rmask_h, np.zeros((pad, S), bool)])
         mesh = Mesh(np.array(devices), ("pairs",))
         sharding = NamedSharding(mesh, P("pairs"))
-        put = lambda x: jax.device_put(x, sharding)  # noqa: E731
-    else:
-        put = lambda x: x  # noqa: E731
 
     delta_all = multires_rotation_search(
-        put(jnp.asarray(test_h, dtype=dtype)),
-        put(jnp.asarray(ref_h, dtype=dtype)),
-        put(jnp.asarray(tmask_h)),
-        put(jnp.asarray(rmask_h)),
+        to_device(test_h, dtype, sharding),
+        to_device(ref_h, dtype, sharding),
+        to_device(tmask_h, sharding=sharding),
+        to_device(rmask_h, sharding=sharding),
         float(step_deg),
         float(range_deg),
         bool(bruteforce),
@@ -460,14 +656,19 @@ def align_frames_in_geometries(
 
     results = []
     offset = 0
-    for geometry, n_pairs in zip(geometries, pair_counts):
+    for geometry, tg, n_pairs in zip(geometries, tensors, pair_counts):
         delta = delta_all[offset : offset + n_pairs]
         offset += n_pairs
-        results.append(
-            _finish_alignment(
-                geometry.copy(), delta, smooth=smooth, verbose=verbose
+        if tg is not None:
+            results.append(
+                _finish_alignment_tensor(tg, delta, smooth=smooth, verbose=verbose)
             )
-        )
+        else:
+            results.append(
+                _finish_alignment(
+                    geometry.copy(), delta, smooth=smooth, verbose=verbose
+                )
+            )
     return results
 
 
@@ -550,7 +751,6 @@ def align_frames_in_geometry(
     if sample_size == 0:
         raise ValueError("sample_size must be > 0")
 
-    geometry = geometry.copy()
     sample_ratio = sample_size / geometry.frames[0].lumen.n_points
     catheter0 = geometry.frames[0].extras.get("Catheter")
     sample_size_catheter = (
@@ -559,6 +759,33 @@ def align_frames_in_geometry(
         else None
     )
 
+    tg: Optional[TensorGeometry] = None
+    try:
+        tg = _tensorize(geometry)
+        if _detect_holes_tensor(tg):
+            tg = None
+        else:
+            pts = _pack_centered_sets_tensor(tg, sample_size, sample_size_catheter)
+    except _TensorFallback:
+        tg = None
+
+    if tg is not None:
+        if tg.n_frames > 1:
+            delta = np.asarray(
+                chain_rotation_search(
+                    to_device(pts, config.compute_dtype),
+                    to_device(np.ones(pts.shape[:2], dtype=bool)),
+                    float(step_deg),
+                    float(range_deg),
+                    bool(bruteforce),
+                ),
+                dtype=np.float64,
+            )
+        else:
+            delta = np.zeros((0,), dtype=np.float64)
+        return _finish_alignment_tensor(tg, delta, smooth=smooth, verbose=verbose)
+
+    geometry = geometry.copy()
     if len(geometry.frames) > 1:
         delta = relative_rotations(
             geometry, step_deg, range_deg, bruteforce, sample_size, sample_size_catheter
