@@ -140,11 +140,55 @@ class TensorGeometry:
             roll = (np.arange(n)[None, :] + start[:, None]) % n
             order = np.take_along_axis(order, roll, axis=1)
             self.coords[k] = np.take_along_axis(xyz, order[:, :, None], axis=1)
-            self.pt_frame[k] = np.take_along_axis(self.pt_frame[k], order, axis=1)
-            self.pt_aortic[k] = np.take_along_axis(self.pt_aortic[k], order, axis=1)
+            # per-point frame indices are constant per row in every funnel
+            # state (original id or renumbered id), so permuting is a no-op;
+            # aortic flags are overwhelmingly all-False pre-assignment
+            pf = self.pt_frame[k]
+            if not (pf[:, :1] == pf).all():
+                self.pt_frame[k] = np.take_along_axis(pf, order, axis=1)
+            pa = self.pt_aortic[k]
+            if pa.any():
+                self.pt_aortic[k] = np.take_along_axis(pa, order, axis=1)
             self.pt_index[k] = np.broadcast_to(
                 np.arange(n, dtype=np.int64), (F, n)
             ).copy()
+
+    def rigid_transform(self, angles: np.ndarray, deltas: np.ndarray) -> None:
+        """Fused rotate-about-frame-centroids followed by per-frame
+        translate — one read/write pass instead of two.  Exactly
+        ``rotate_about_frame_centroids(angles)`` then
+        ``translate_per_frame(deltas)`` (incl. the contour-centroid
+        recompute of the translate step)."""
+        angles = np.asarray(angles, dtype=np.float64)
+        deltas = np.asarray(deltas, dtype=np.float64)
+        c = np.cos(angles)[:, None]
+        s = np.sin(angles)[:, None]
+        cx = self.centroids[:, 0][:, None]
+        cy = self.centroids[:, 1][:, None]
+        dx = deltas[:, 0][:, None]
+        dy = deltas[:, 1][:, None]
+        dz = deltas[:, 2][:, None]
+        for k in self.kinds:
+            xyz = self.coords[k]
+            x = xyz[:, :, 0] - cx
+            y = xyz[:, :, 1] - cy
+            xyz[:, :, 0] = x * c - y * s + cx + dx
+            xyz[:, :, 1] = x * s + y * c + cy + dy
+            if dz.any():
+                xyz[:, :, 2] += dz
+            self.con_centroid[k] = xyz.mean(axis=1)
+        if self.ref_point is not None and self.ref_pos is not None:
+            i = self.ref_pos
+            a = float(angles[i])
+            if a != 0.0:
+                self.ref_point = self.ref_point.rotate(
+                    a, (float(self.centroids[i, 0]), float(self.centroids[i, 1]))
+                )
+            d = deltas[i]
+            self.ref_point.x += float(d[0])
+            self.ref_point.y += float(d[1])
+            self.ref_point.z += float(d[2])
+        self.centroids = self.centroids + deltas
 
     def smooth_xy(self) -> None:
         """Three-frame moving average of x/y per point index on Lumen, Eem
@@ -210,7 +254,50 @@ class TensorGeometry:
     def to_geometry(self) -> PyGeometry:
         """Materialise the object model once; contours hold views into the
         tensor arrays (no coordinate copies)."""
-        frames = [self.frame_view(i) for i in range(self.n_frames)]
+        F = self.n_frames
+        # scalar metadata prefetched as python lists (one bulk conversion
+        # instead of F*K single-element numpy reads)
+        cc = {k: self.con_centroid[k].tolist() for k in self.kinds}
+        cc_nan = {k: np.isnan(self.con_centroid[k][:, 0]).tolist() for k in self.kinds}
+        ath = {k: self.aortic_th[k].tolist() for k in self.kinds}
+        ath_nan = {k: np.isnan(self.aortic_th[k]).tolist() for k in self.kinds}
+        pth = {k: self.pulm_th[k].tolist() for k in self.kinds}
+        pth_nan = {k: np.isnan(self.pulm_th[k]).tolist() for k in self.kinds}
+        pres = {k: self.present[k].tolist() for k in self.kinds}
+        ids = self.ids.tolist()
+        origs = self.orig_frame.tolist()
+        cents = self.centroids.tolist()
+
+        frames: List[PyFrame] = []
+        for i in range(F):
+            fid = ids[i]
+            orig = origs[i]
+
+            def _view(k):
+                c = PyContour.__new__(PyContour)
+                c.id = fid
+                c.original_frame = orig
+                c._coords = self.coords[k][i]
+                c._frame_idx = self.pt_frame[k][i]
+                c._point_idx = self.pt_index[k][i]
+                c._aortic = self.pt_aortic[k][i]
+                c.centroid = None if cc_nan[k][i] else tuple(cc[k][i])
+                c.aortic_thickness = None if ath_nan[k][i] else ath[k][i]
+                c.pulmonary_thickness = None if pth_nan[k][i] else pth[k][i]
+                c.kind = k
+                return c
+
+            frame = PyFrame.__new__(PyFrame)
+            frame.id = fid
+            frame.centroid = tuple(cents[i])
+            frame.lumen = _view("Lumen")
+            frame.extras = {k: _view(k) for k in self.kinds[1:] if pres[k][i]}
+            frame.reference_point = (
+                self.ref_point.copy()
+                if (self.ref_point is not None and i == self.ref_pos)
+                else None
+            )
+            frames.append(frame)
         return PyGeometry(frames, self.label)
 
     def copy(self) -> "TensorGeometry":

@@ -40,6 +40,18 @@ def hausdorff_sq_masked(p, q, pmask, qmask):
     return jnp.where(empty, jnp.zeros_like(h), h)
 
 
+def hausdorff_sq_dense(p, q):
+    """Squared symmetric Hausdorff with every slot valid — the masked
+    variant minus the sentinel selects (~30% of the per-angle VPU work when
+    point sets are rectangular, which the tensor pipelines guarantee)."""
+    dx = p[..., :, None, 0] - q[..., None, :, 0]
+    dy = p[..., :, None, 1] - q[..., None, :, 1]
+    d2 = dx * dx + dy * dy  # [..., N, M]
+    fwd = d2.min(axis=-1).max(axis=-1)
+    bwd = d2.min(axis=-2).max(axis=-1)
+    return jnp.maximum(fwd, bwd)
+
+
 def hausdorff_distance_masked(p, q, pmask, qmask):
     """Symmetric Hausdorff distance (sqrt of :func:`hausdorff_sq_masked`)."""
     return jnp.sqrt(hausdorff_sq_masked(p, q, pmask, qmask))

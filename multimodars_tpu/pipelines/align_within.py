@@ -35,7 +35,11 @@ from ..models.frame import PyFrame
 from ..models.geometry import PyGeometry
 from ..models.point import PyContourPoint
 from ..models.tensor import TensorGeometry, geometry_to_tensor
-from ..ops.rotation_search import chain_rotation_search, multires_rotation_search
+from ..ops.rotation_search import (
+    chain_rotation_search,
+    multires_rotation_search,
+    multires_rotation_search_dense,
+)
 from ..utils.device import to_device
 from ..utils.logs import AlignLog, dump_table
 from ..utils.trace import span, trace
@@ -194,6 +198,58 @@ def _wall_tensor(tg: TensorGeometry, anomalous: bool) -> None:
             tg.con_centroid["Wall"][i] = composite.centroid
 
 
+def _validate_and_pack(geometry, sample_size: int):
+    """Validate one input (PyGeometry or TensorGeometry) and produce its
+    centered sample sets.  Returns (object_or_None, tensor_or_None, pts,
+    mask): exactly one of object/tensor is set; holes and irregular shapes
+    route to the object pipeline."""
+    if sample_size == 0:
+        raise ValueError("sample_size must be > 0")
+
+    if isinstance(geometry, TensorGeometry):
+        tg: Optional[TensorGeometry] = geometry
+        if tg.n_frames == 0:
+            raise ValueError("Geometry contains no frames")
+        n_lumen = tg.coords["Lumen"].shape[1]
+        if n_lumen == 0:
+            raise ValueError("Lumen contours have no points")
+        ssc = None
+        if "Catheter" in tg.coords and tg.present["Catheter"][0]:
+            ssc = int(
+                math.ceil(tg.coords["Catheter"].shape[1] * sample_size / n_lumen)
+            )
+        if _detect_holes_tensor(tg):
+            obj = tg.to_geometry()
+            pts, mask = _pack_centered_sets(obj, sample_size, ssc)
+            return obj, None, pts, mask
+        pts = _pack_centered_sets_tensor(tg, sample_size, ssc)
+        return None, tg, pts, None  # None mask = dense (every slot valid)
+
+    if not geometry.frames:
+        raise ValueError("Geometry contains no frames")
+    if geometry.frames[0].lumen.n_points == 0:
+        raise ValueError("Lumen contours have no points")
+    sample_ratio = sample_size / geometry.frames[0].lumen.n_points
+    catheter0 = geometry.frames[0].extras.get("Catheter")
+    ssc = (
+        int(math.ceil(catheter0.n_points * sample_ratio))
+        if catheter0 is not None
+        else None
+    )
+    tg = None
+    try:
+        tg = _tensorize(geometry)
+        if _detect_holes_tensor(tg):
+            tg = None  # hole filling mutates the frame list — object pipeline
+        else:
+            pts = _pack_centered_sets_tensor(tg, sample_size, ssc)
+            return None, tg, pts, None  # None mask = dense
+    except _TensorFallback:
+        tg = None
+    pts, mask = _pack_centered_sets(geometry, sample_size, ssc)
+    return geometry, None, pts, mask
+
+
 def _ref_or_proximal_idx_tensor(tg: TensorGeometry) -> int:
     # _tensorize guarantees ids == arange(F), so id values double as frame
     # positions exactly like the object model's ref_or_proximal_idx
@@ -226,8 +282,7 @@ def _finish_alignment_tensor(
         txy[1:, 0] = c0[0] - tg.centroids[1:, 0]
         txy[1:, 1] = c0[1] - tg.centroids[1:, 1]
         ids_before = tg.ids.copy()
-        tg.rotate_about_frame_centroids(cum)
-        tg.translate_per_frame(txy)
+        tg.rigid_transform(cum, txy)
         for i in range(1, F):
             logs.append(
                 AlignLog(
@@ -578,55 +633,38 @@ def align_frames_in_geometries(
     """
     packed = []
     tensors: List[Optional[TensorGeometry]] = []
+    objects: List[Optional[PyGeometry]] = []
     for geometry in geometries:
-        if not geometry.frames:
-            raise ValueError("Geometry contains no frames")
-        if geometry.frames[0].lumen.n_points == 0:
-            raise ValueError("Lumen contours have no points")
-        if sample_size == 0:
-            raise ValueError("sample_size must be > 0")
-        sample_ratio = sample_size / geometry.frames[0].lumen.n_points
-        catheter0 = geometry.frames[0].extras.get("Catheter")
-        ssc = (
-            int(math.ceil(catheter0.n_points * sample_ratio))
-            if catheter0 is not None
-            else None
-        )
-        tg: Optional[TensorGeometry] = None
-        try:
-            tg = _tensorize(geometry)
-            if _detect_holes_tensor(tg):
-                # hole filling mutates the frame list — object pipeline
-                tg = None
-            else:
-                pts = _pack_centered_sets_tensor(tg, sample_size, ssc)
-                mask = np.ones(pts.shape[:2], dtype=bool)
-        except _TensorFallback:
-            tg = None
-        if tg is None:
-            pts, mask = _pack_centered_sets(geometry, sample_size, ssc)
+        obj, tg, pts, mask = _validate_and_pack(geometry, sample_size)
+        objects.append(obj)
         tensors.append(tg)
         packed.append((pts, mask))
 
     S = max(p.shape[1] for p, _ in packed)
+    # every sample slot valid at a uniform width -> the mask-free kernel
+    dense = all(
+        (m is None or bool(m.all())) and p.shape[1] == S for p, m in packed
+    )
     tests, refs, tmasks, rmasks, pair_counts = [], [], [], [], []
     for pts, mask in packed:
         F, s = pts.shape[0], pts.shape[1]
         pad_pts = np.zeros((F, S, 2), dtype=pts.dtype)
         pad_pts[:, :s] = pts
-        pad_mask = np.zeros((F, S), dtype=bool)
-        pad_mask[:, :s] = mask
         tests.append(pad_pts[1:])
         refs.append(pad_pts[:-1])
-        tmasks.append(pad_mask[1:])
-        rmasks.append(pad_mask[:-1])
+        if not dense:
+            pad_mask = np.zeros((F, S), dtype=bool)
+            pad_mask[:, :s] = True if mask is None else mask
+            tmasks.append(pad_mask[1:])
+            rmasks.append(pad_mask[:-1])
         pair_counts.append(F - 1)
 
     dtype = config.compute_dtype
     test_h = np.concatenate(tests)
     ref_h = np.concatenate(refs)
-    tmask_h = np.concatenate(tmasks)
-    rmask_h = np.concatenate(rmasks)
+    if not dense:
+        tmask_h = np.concatenate(tmasks)
+        rmask_h = np.concatenate(rmasks)
 
     n_real = test_h.shape[0]
     sharding = None
@@ -638,25 +676,36 @@ def align_frames_in_geometries(
         if pad:
             test_h = np.concatenate([test_h, np.zeros((pad, S, 2), test_h.dtype)])
             ref_h = np.concatenate([ref_h, np.zeros((pad, S, 2), ref_h.dtype)])
-            tmask_h = np.concatenate([tmask_h, np.zeros((pad, S), bool)])
-            rmask_h = np.concatenate([rmask_h, np.zeros((pad, S), bool)])
+            if not dense:
+                tmask_h = np.concatenate([tmask_h, np.zeros((pad, S), bool)])
+                rmask_h = np.concatenate([rmask_h, np.zeros((pad, S), bool)])
         mesh = Mesh(np.array(devices), ("pairs",))
         sharding = NamedSharding(mesh, P("pairs"))
 
-    delta_all = multires_rotation_search(
-        to_device(test_h, dtype, sharding),
-        to_device(ref_h, dtype, sharding),
-        to_device(tmask_h, sharding=sharding),
-        to_device(rmask_h, sharding=sharding),
-        float(step_deg),
-        float(range_deg),
-        bool(bruteforce),
-    )
+    if dense:
+        # padding pairs (all-zero points) return angle 0 and are sliced away
+        delta_all = multires_rotation_search_dense(
+            to_device(test_h, dtype, sharding),
+            to_device(ref_h, dtype, sharding),
+            float(step_deg),
+            float(range_deg),
+            bool(bruteforce),
+        )
+    else:
+        delta_all = multires_rotation_search(
+            to_device(test_h, dtype, sharding),
+            to_device(ref_h, dtype, sharding),
+            to_device(tmask_h, sharding=sharding),
+            to_device(rmask_h, sharding=sharding),
+            float(step_deg),
+            float(range_deg),
+            bool(bruteforce),
+        )
     delta_all = np.asarray(delta_all, dtype=np.float64)[:n_real]
 
     results = []
     offset = 0
-    for geometry, tg, n_pairs in zip(geometries, tensors, pair_counts):
+    for obj, tg, n_pairs in zip(objects, tensors, pair_counts):
         delta = delta_all[offset : offset + n_pairs]
         offset += n_pairs
         if tg is not None:
@@ -665,9 +714,7 @@ def align_frames_in_geometries(
             )
         else:
             results.append(
-                _finish_alignment(
-                    geometry.copy(), delta, smooth=smooth, verbose=verbose
-                )
+                _finish_alignment(obj.copy(), delta, smooth=smooth, verbose=verbose)
             )
     return results
 
@@ -744,52 +791,22 @@ def align_frames_in_geometry(
     sequential chain replaced by the batched relative-rotation search (see
     module docstring).
     """
-    if not geometry.frames:
-        raise ValueError("Geometry contains no frames")
-    if geometry.frames[0].lumen.n_points == 0:
-        raise ValueError("Lumen contours have no points")
-    if sample_size == 0:
-        raise ValueError("sample_size must be > 0")
+    obj, tg, pts, mask = _validate_and_pack(geometry, sample_size)
 
-    sample_ratio = sample_size / geometry.frames[0].lumen.n_points
-    catheter0 = geometry.frames[0].extras.get("Catheter")
-    sample_size_catheter = (
-        int(math.ceil(catheter0.n_points * sample_ratio))
-        if catheter0 is not None
-        else None
-    )
-
-    tg: Optional[TensorGeometry] = None
-    try:
-        tg = _tensorize(geometry)
-        if _detect_holes_tensor(tg):
-            tg = None
-        else:
-            pts = _pack_centered_sets_tensor(tg, sample_size, sample_size_catheter)
-    except _TensorFallback:
-        tg = None
-
-    if tg is not None:
-        if tg.n_frames > 1:
-            delta = np.asarray(
-                chain_rotation_search(
-                    to_device(pts, config.compute_dtype),
-                    to_device(np.ones(pts.shape[:2], dtype=bool)),
-                    float(step_deg),
-                    float(range_deg),
-                    bool(bruteforce),
-                ),
-                dtype=np.float64,
-            )
-        else:
-            delta = np.zeros((0,), dtype=np.float64)
-        return _finish_alignment_tensor(tg, delta, smooth=smooth, verbose=verbose)
-
-    geometry = geometry.copy()
-    if len(geometry.frames) > 1:
-        delta = relative_rotations(
-            geometry, step_deg, range_deg, bruteforce, sample_size, sample_size_catheter
+    if pts.shape[0] > 1:
+        delta = np.asarray(
+            chain_rotation_search(
+                to_device(pts, config.compute_dtype),
+                None if mask is None else to_device(mask),
+                float(step_deg),
+                float(range_deg),
+                bool(bruteforce),
+            ),
+            dtype=np.float64,
         )
     else:
         delta = np.zeros((0,), dtype=np.float64)
-    return _finish_alignment(geometry, delta, smooth=smooth, verbose=verbose)
+
+    if tg is not None:
+        return _finish_alignment_tensor(tg, delta, smooth=smooth, verbose=verbose)
+    return _finish_alignment(obj.copy(), delta, smooth=smooth, verbose=verbose)

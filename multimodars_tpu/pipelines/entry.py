@@ -14,7 +14,7 @@ import os
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
-from ..io.build import build_geometry_from_inputdata
+from ..io.build import build_any_from_inputdata, build_geometry_from_inputdata
 from ..io.csv_io import InputData
 from ..models.geometry import PyGeometry, PyGeometryPair
 from ..utils.logs import AlignLog
@@ -52,7 +52,7 @@ def prepare_n_geometries(
         if input_data:
             inp = input_data[0]
             return [
-                build_geometry_from_inputdata(
+                build_any_from_inputdata(
                     inp, None, inp.label, inp.diastole, image_center, radius, n_points,
                     verbose=verbose,
                 )
@@ -64,7 +64,7 @@ def prepare_n_geometries(
             )
         label = labels[0] if len(labels) == 1 else _path_basename(path)
         return [
-            build_geometry_from_inputdata(
+            build_any_from_inputdata(
                 None, path, label, diastole, image_center, radius, n_points,
                 verbose=verbose,
             )
@@ -73,7 +73,7 @@ def prepare_n_geometries(
     if mode == "pair":
         if input_data and len(input_data) >= 2:
             return [
-                build_geometry_from_inputdata(
+                build_any_from_inputdata(
                     inp, None, inp.label, inp.diastole, image_center, radius, n_points,
                     verbose=verbose,
                 )
@@ -87,7 +87,7 @@ def prepare_n_geometries(
         use_labels = len(labels) == 2
         basename = _path_basename(path)
         return [
-            build_geometry_from_inputdata(
+            build_any_from_inputdata(
                 None,
                 path,
                 labels[idx] if use_labels else basename,
@@ -103,7 +103,7 @@ def prepare_n_geometries(
     if mode == "full":
         if input_data and len(input_data) >= 4:
             return [
-                build_geometry_from_inputdata(
+                build_any_from_inputdata(
                     inp, None, inp.label, inp.diastole, image_center, radius, n_points,
                     verbose=verbose,
                 )
@@ -120,7 +120,7 @@ def prepare_n_geometries(
             basename = _path_basename(path)
             for dia in (True, False):
                 out.append(
-                    build_geometry_from_inputdata(
+                    build_any_from_inputdata(
                         None,
                         path,
                         labels[idx] if use_labels else basename,
@@ -419,7 +419,7 @@ def cohort_processing(
     for k, inp in enumerate(input_data):
         label = labels[k] if labels is not None else (inp.label or f"case_{k}")
         geometries.append(
-            build_geometry_from_inputdata(
+            build_any_from_inputdata(
                 inp, None, label, inp.diastole, image_center, radius, n_points,
                 verbose=verbose,
             )
