@@ -1,6 +1,9 @@
 """Vessel-tree discretization wrappers (+ optional B-spline contour refit).
 
-Parity: ``multimodars/ccta/discretization_map.py`` of the reference.
+Behavioural parity with ``multimodars/ccta/discretization_map.py`` of the
+reference: the same pipeline (branch preparation → labelled-point
+discretization → optional closed B-spline refit → reference points), driven
+by the index-carried results dict of :mod:`multimodars_tpu.ccta.regions`.
 """
 
 from __future__ import annotations
@@ -12,7 +15,6 @@ from scipy.interpolate import splev, splprep
 
 from ..models.centerline import PyCenterline
 from ..models.contour import PyContour
-from ..models.point import PyContourPoint
 from ..models.vessel_tree import PyDiscretizedVesselTree
 from .kernels import discretize_vessel_tree as _discretize_vessel_tree
 from .labeling import label_branches as _label_branches
@@ -21,59 +23,44 @@ from .labeling import label_branches as _label_branches
 def _fit_bspline_contour(
     contour: PyContour, smoothing: float = 0.0, degree: int = 3
 ) -> PyContour:
-    """Closed B-spline refit of a contour (scipy splprep/splev).
-    Parity: discretization_map.py:16-84."""
+    """Periodic B-spline refit of one contour at its own point count;
+    contours too small for the requested degree (or a failed fit) pass
+    through unchanged.  Parity: discretization_map.py:16-84."""
     n = contour.n_points
     if n < degree + 1:
         return contour
-    arr = contour.xyz_view()
+    xyz = contour.xyz_view()
     try:
-        tck, _ = splprep([arr[:, 0], arr[:, 1], arr[:, 2]], s=smoothing, k=degree, per=True)
+        tck, _ = splprep(
+            [xyz[:, 0], xyz[:, 1], xyz[:, 2]], s=smoothing, k=degree, per=True
+        )
     except Exception:
         return contour
-    u_new = np.linspace(0.0, 1.0, n, endpoint=False)
-    xs, ys, zs = splev(u_new, tck)
-    coords = np.stack([xs, ys, zs], axis=-1)
-    return PyContour.from_arrays(
-        contour.id,
-        contour.original_frame,
-        coords,
-        tuple(coords.mean(axis=0)),
-        contour.frame_indices.copy(),
-        contour.point_indices.copy(),
-        contour.aortic_flags.copy(),
-        contour.aortic_thickness,
-        contour.pulmonary_thickness,
-        contour.kind,
-    )
+    smooth = np.stack(splev(np.linspace(0.0, 1.0, n, endpoint=False), tck), axis=-1)
+    refit = contour.copy()
+    refit.set_xyz(smooth)
+    refit.compute_centroid()
+    return refit
 
 
-def _replace_contours_with_bsplines(
-    tree: PyDiscretizedVesselTree, smoothing: float = 0.0, degree: int = 3
-) -> PyDiscretizedVesselTree:
-    """Parity: discretization_map.py:87-101."""
-
-    def fit(c):
-        return _fit_bspline_contour(c, smoothing, degree)
-
-    tree.discretized_aorta = [fit(c) for c in tree.discretized_aorta]
-    tree.discretized_rca_main = [fit(c) for c in tree.discretized_rca_main]
-    tree.discretized_lca_main = [fit(c) for c in tree.discretized_lca_main]
-    tree.rca_branches = [[fit(c) for c in branch] for branch in tree.rca_branches]
-    tree.lca_branches = [[fit(c) for c in branch] for branch in tree.lca_branches]
+def _map_tree_contours(tree: PyDiscretizedVesselTree, fn) -> PyDiscretizedVesselTree:
+    """Apply ``fn`` to every discretized contour of the tree (mains and
+    side branches).  Parity: discretization_map.py:87-101."""
+    for attr in ("discretized_aorta", "discretized_rca_main", "discretized_lca_main"):
+        setattr(tree, attr, [fn(c) for c in getattr(tree, attr)])
+    for attr in ("rca_branches", "lca_branches"):
+        setattr(
+            tree, attr, [[fn(c) for c in branch] for branch in getattr(tree, attr)]
+        )
     return tree
 
 
-def _extract_side_branches(results_dict: dict, prefix: str) -> List[list]:
-    branches = []
-    i = 1
-    while True:
-        key = f"{prefix}_side_{i}"
-        if key not in results_dict:
-            break
-        branches.append(results_dict[key])
-        i += 1
-    return branches
+def _numbered_regions(results_dict: dict, prefix: str) -> List[list]:
+    """All ``{prefix}_side_1..k`` regions, stopping at the first gap."""
+    out: List[list] = []
+    while (key := f"{prefix}_side_{len(out) + 1}") in results_dict:
+        out.append(results_dict[key])
+    return out
 
 
 def discretize_vessel_tree(
@@ -91,7 +78,8 @@ def discretize_vessel_tree(
     control_plot: bool = False,
 ) -> PyDiscretizedVesselTree:
     """Discretize a full coronary vessel tree from labelled branch points.
-    Parity: discretization_map.py:117-209."""
+    Parity: discretization_map.py:117-209 (ref points are computed after
+    the optional B-spline refit, not before)."""
     tree = _discretize_vessel_tree(
         ao_cl,
         rca_cl,
@@ -99,8 +87,8 @@ def discretize_vessel_tree(
         results_dict["aorta_points"],
         results_dict["rca_points_main"],
         results_dict["lca_points_main"],
-        _extract_side_branches(results_dict, "rca_points"),
-        _extract_side_branches(results_dict, "lca_points"),
+        _numbered_regions(results_dict, "rca_points"),
+        _numbered_regions(results_dict, "lca_points"),
         branch_id_rca=branch_id_rca,
         branch_id_lca=branch_id_lca,
         step_size=step_size,
@@ -108,7 +96,9 @@ def discretize_vessel_tree(
         calculate_ref_pts=not b_spline,
     )
     if b_spline:
-        tree = _replace_contours_with_bsplines(tree, bspline_smoothing, bspline_degree)
+        _map_tree_contours(
+            tree, lambda c: _fit_bspline_contour(c, bspline_smoothing, bspline_degree)
+        )
         tree.calculate_ref_pts()
 
     if control_plot:
@@ -126,19 +116,21 @@ def prepare_centerlines(
     vtp_data: bool = False,
     control_plot: bool = False,
 ) -> Tuple[PyCenterline, PyCenterline, dict]:
-    """Compute branches, validate, and label both coronary centerlines.
-    Parity: discretization_map.py:212-291."""
-    if vtp_data:
-        rca_cl = rca_cl.check_centerline()
-        lca_cl = lca_cl.check_centerline()
-    else:
-        rca_cl = rca_cl.calculate_branches(branch_sigma)
-        rca_cl = rca_cl.check_centerline()
-        lca_cl = lca_cl.calculate_branches(branch_sigma)
-        lca_cl = lca_cl.check_centerline()
+    """Compute/validate branches on both coronary centerlines and label the
+    per-branch point regions.  Parity: discretization_map.py:212-291."""
 
-    results_dict = _label_branches(rca_cl, results_dict)
-    results_dict = _label_branches(lca_cl, results_dict, results_key="lca_points")
+    def ready(cl: PyCenterline) -> PyCenterline:
+        # VTP input already carries branch structure; raw point clouds get
+        # the p95-spacing branch decomposition first
+        if not vtp_data:
+            cl = cl.calculate_branches(branch_sigma)
+        return cl.check_centerline()
+
+    rca_cl = ready(rca_cl)
+    lca_cl = ready(lca_cl)
+
+    for cl, key in ((rca_cl, "rca_points"), (lca_cl, "lca_points")):
+        results_dict = _label_branches(cl, results_dict, results_key=key)
 
     if control_plot:
         from .debug_plots import plot_centerline_branches
@@ -153,9 +145,10 @@ def find_sharp_angles(
     cos_threshold: float = 0.0,
     control_plot: bool = False,
 ) -> List[int]:
-    """Parity: discretization_map.py:294-333."""
+    """Sharp-bend positions of one branch (cosine threshold on consecutive
+    tangents).  Parity: discretization_map.py:294-333."""
     positions = cl.find_sharp_angles(branch_id, cos_threshold)
-    print(f"Branch {branch_id}: {len(positions)} sharp angle(s) at positions {positions}")
+    print(f"branch {branch_id}: sharp angles at {positions}")
     if control_plot:
         from .debug_plots import plot_sharp_angles
 

@@ -292,17 +292,27 @@ def _check_centerline_sorted(centerline: PyCenterline) -> np.ndarray:
     return pos[order]
 
 
+def centerline_bounded_mask(
+    centerline: PyCenterline, pts: np.ndarray, radius: float
+) -> np.ndarray:
+    """bool[N]: point within ``radius`` of any centerline point (index core
+    of find_centerline_bounded_points, label_coronary.rs:195-225)."""
+    cl = _check_centerline_sorted(centerline)
+    if len(pts) == 0 or len(cl) == 0:
+        return np.zeros(len(pts), dtype=bool)
+    d2, _ = min_sqdist(pts, cl)
+    return d2 <= radius * radius
+
+
 def find_centerline_bounded_points_simple(
     centerline: PyCenterline, points: Sequence[Coords3], radius: float
 ) -> List[Coords3]:
     """Points within ``radius`` of any centerline point.
     Parity: find_centerline_bounded_points (label_coronary.rs:195-225)."""
     pts = _as_array(points)
-    cl = _check_centerline_sorted(centerline)
-    if len(pts) == 0 or len(cl) == 0:
+    keep = centerline_bounded_mask(centerline, pts, radius)
+    if not keep.any():
         return []
-    d2, _ = min_sqdist(pts, cl)
-    keep = d2 <= radius * radius
     if isinstance(points, np.ndarray):
         return [tuple(row) for row in pts[keep].tolist()]
     return [tuple(p) for i, p in enumerate(points) if keep[i]]
@@ -416,25 +426,18 @@ def _ray_triangle_hits_np(origins, directions, v0, v1, v2):
     return np.where(valid, t, np.inf)
 
 
-def remove_occluded_points_ray_triangle(
+def occlusion_remove_mask(
     centerline_coronary: PyCenterline,
     centerline_aorta: PyCenterline,
     range_coronary: int,
-    points: Sequence[Coords3],
-    faces,
+    pts: np.ndarray,
+    tri: np.ndarray,
     step_size_mm: float,
-) -> List[Coords3]:
-    """Möller–Trumbore occlusion removal of intramural-course points.
-
-    Rays run from every aorta centerline point to strided coronary
-    centerline points; when a ray pierces >= 3 faces, the nearest face is
-    excluded and all mesh points within 0.5 mm of its vertices are removed.
-    Parity: label_coronary.rs:70-193 (rays batched as one device kernel).
-    """
-    pts = list(points)
-    if not pts or not len(faces):
-        return list(pts)
-
+) -> np.ndarray:
+    """bool[N] mask core of the occlusion removal: True = intramural point
+    to relabel.  pts: [N, 3]; tri: [F, 3, 3] face vertex coordinates."""
+    if len(pts) == 0 or len(tri) == 0:
+        return np.zeros(len(pts), dtype=bool)
     cl_cor = _check_centerline_sorted(centerline_coronary)
     cl_ao = _check_centerline_sorted(centerline_aorta)
     spacing = (centerline_aorta.mean_spacing() + centerline_coronary.mean_spacing()) / 2.0
@@ -442,9 +445,8 @@ def remove_occluded_points_ray_triangle(
 
     cor_targets = cl_cor[:range_coronary][::step_cl_points]
     if len(cor_targets) == 0 or len(cl_ao) == 0:
-        return list(pts)
+        return np.zeros(len(pts), dtype=bool)
 
-    tri = np.asarray(faces, dtype=np.float64).reshape(-1, 3, 3)
     dtype = config.compute_dtype
 
     origins = np.repeat(cl_ao, len(cor_targets), axis=0)  # [R, 3]
@@ -493,18 +495,43 @@ def remove_occluded_points_ray_triangle(
 
     if faces_to_exclude:
         excluded_vertices = tri[sorted(faces_to_exclude)].reshape(-1, 3)
-        d2, _ = min_sqdist(_as_array(pts), excluded_vertices)
+        d2, _ = min_sqdist(pts, excluded_vertices)
         remove_mask = d2 <= DISTANCE_THRESHOLD
     else:
         remove_mask = np.zeros(len(pts), dtype=bool)
 
-    filtered = [tuple(p) for i, p in enumerate(pts) if not remove_mask[i]]
     print(
         f"Excluded {len(faces_to_exclude)} faces, removed "
         f"{int(remove_mask.sum())} points (filtered from {len(pts)} to "
-        f"{len(filtered)} points)"
+        f"{len(pts) - int(remove_mask.sum())} points)"
     )
-    return filtered
+    return remove_mask
+
+
+def remove_occluded_points_ray_triangle(
+    centerline_coronary: PyCenterline,
+    centerline_aorta: PyCenterline,
+    range_coronary: int,
+    points: Sequence[Coords3],
+    faces,
+    step_size_mm: float,
+) -> List[Coords3]:
+    """Möller–Trumbore occlusion removal of intramural-course points.
+
+    Rays run from every aorta centerline point to strided coronary
+    centerline points; when a ray pierces >= 3 faces, the nearest face is
+    excluded and all mesh points within 0.5 mm of its vertices are removed.
+    Parity: label_coronary.rs:70-193 (rays batched as one device kernel).
+    """
+    pts = list(points)
+    if not pts or not len(faces):
+        return list(pts)
+    tri = np.asarray(faces, dtype=np.float64).reshape(-1, 3, 3)
+    remove_mask = occlusion_remove_mask(
+        centerline_coronary, centerline_aorta, range_coronary,
+        _as_array(pts), tri, step_size_mm,
+    )
+    return [tuple(p) for i, p in enumerate(pts) if not remove_mask[i]]
 
 
 def _bits_key(p: Coords3) -> Tuple[int, int, int]:
@@ -588,6 +615,40 @@ def fix_mesh_winding(faces):
     return fix_faces_winding([list(f) for f in faces])
 
 
+def reclassify_labels(labels: np.ndarray, faces) -> np.ndarray:
+    """Vectorised adjacency label smoothing on an int label array
+    (0=aorta, 1=rca, 2=lca, 3=rca_removed, 4=lca_removed).
+
+    Logic A: a coronary vertex with zero same-label neighbours -> aorta.
+    Logic B: a removed vertex whose same-side coronary neighbours exceed
+    70% of its degree is restored.  Parity: label_coronary.rs:328-420,
+    computed with per-vertex neighbour-label counts from the edge list
+    instead of a per-vertex Python loop."""
+    labels = np.asarray(labels, dtype=np.uint8)
+    n = len(labels)
+    faces_arr = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+    if n == 0 or len(faces_arr) == 0:
+        return labels.copy()
+    e = np.concatenate(
+        [faces_arr[:, [0, 1]], faces_arr[:, [1, 2]], faces_arr[:, [2, 0]]]
+    )
+    e = np.concatenate([e, e[:, ::-1]])
+    # unique directed edges (the adjacency SETS of the reference)
+    keys = np.unique(e[:, 0].astype(np.int64) * n + e[:, 1])
+    src = (keys // n).astype(np.int64)
+    dst = (keys % n).astype(np.int64)
+    deg = np.bincount(src, minlength=n)
+    cnt1 = np.bincount(src, weights=(labels[dst] == 1).astype(np.float64), minlength=n)
+    cnt2 = np.bincount(src, weights=(labels[dst] == 2).astype(np.float64), minlength=n)
+    new_labels = labels.copy()
+    has_nb = deg > 0
+    new_labels[(labels == 1) & has_nb & (cnt1 == 0)] = 0
+    new_labels[(labels == 2) & has_nb & (cnt2 == 0)] = 0
+    new_labels[(labels == 3) & has_nb & (cnt1 > deg * 0.7)] = 1
+    new_labels[(labels == 4) & has_nb & (cnt2 > deg * 0.7)] = 2
+    return new_labels
+
+
 def final_reclassification(
     vertices: Sequence[Coords3],
     faces,
@@ -621,29 +682,32 @@ def final_reclassification(
             if idx is not None:
                 labels[idx] = value
 
-    adjacency = build_adjacency_map(faces)
-    new_labels = labels.copy()
-    for i in range(n_vertices):
-        neighbors = adjacency.get(i)
-        if not neighbors:
-            continue
-        current = labels[i]
-        neighbor_labels = [labels[nb] for nb in neighbors]
-        if current == 1 and 1 not in neighbor_labels:
-            new_labels[i] = 0
-        elif current == 2 and 2 not in neighbor_labels:
-            new_labels[i] = 0
-        elif current == 3:
-            if sum(1 for l in neighbor_labels if l == 1) > len(neighbors) * 0.7:
-                new_labels[i] = 1
-        elif current == 4:
-            if sum(1 for l in neighbor_labels if l == 2) > len(neighbors) * 0.7:
-                new_labels[i] = 2
+    new_labels = reclassify_labels(labels, faces)
 
     buckets: List[List[Coords3]] = [[], [], [], [], []]
     for i, label in enumerate(new_labels):
         buckets[label].append(tuple(verts[i]))
     return tuple(buckets)
+
+
+def outlier_reassign_mask(
+    cleanup_arr: np.ndarray,
+    ref_arr: np.ndarray,
+    neighborhood_radius: float,
+    min_neigbor_ratio: float,
+) -> np.ndarray:
+    """bool[N] core of the density-based outlier absorption: True = point
+    reassigned into the reference set (scale_coronary.rs:341-404)."""
+    if len(cleanup_arr) == 0:
+        return np.zeros(0, dtype=bool)
+    ref_counts = count_within_radius(cleanup_arr, ref_arr, neighborhood_radius)
+    self_counts = np.maximum(
+        count_within_radius(cleanup_arr, cleanup_arr, neighborhood_radius) - 1, 0
+    )
+    total = ref_counts + self_counts
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.where(total > 0, ref_counts / np.maximum(total, 1), 0.0)
+    return (total > 0) & (ratio >= min_neigbor_ratio)
 
 
 def clean_outlier_points(
@@ -656,26 +720,56 @@ def clean_outlier_points(
     Parity: clean_up_non_section_points (scale_coronary.rs:341-404)."""
     cleanup = list(points_to_cleanup)
     reassigned = [tuple(p) for p in reference_points]
-    cleaned: List[Coords3] = []
     if not cleanup:
-        return cleaned, reassigned
-
-    cleanup_arr = _as_array(cleanup)
-    ref_arr = _as_array(reference_points)
-    ref_counts = count_within_radius(cleanup_arr, ref_arr, neighborhood_radius)
-    self_counts = np.maximum(
-        count_within_radius(cleanup_arr, cleanup_arr, neighborhood_radius) - 1, 0
+        return [], reassigned
+    move = outlier_reassign_mask(
+        _as_array(cleanup), _as_array(reference_points),
+        neighborhood_radius, min_neigbor_ratio,
     )
-    total = ref_counts + self_counts
-    for i, point in enumerate(cleanup):
-        if total[i] > 0:
-            if ref_counts[i] / total[i] >= min_neigbor_ratio:
-                reassigned.append(tuple(point))
-            else:
-                cleaned.append(tuple(point))
-        else:
-            cleaned.append(tuple(point))
+    cleaned = [tuple(p) for i, p in enumerate(cleanup) if not move[i]]
+    reassigned.extend(tuple(p) for i, p in enumerate(cleanup) if move[i])
     return cleaned, reassigned
+
+
+def cl_region_split_masks(
+    centerline: PyCenterline,
+    frames: Sequence[PyFrame],
+    pts: np.ndarray,
+):
+    """(proximal, distal, between) bool[N] masks — vectorised core of the
+    region partition (scale_coronary.rs:263-312) incl. the two outlier
+    absorption passes."""
+    centroids = np.array([f.centroid for f in frames], dtype=np.float64)
+    zdiffs = np.abs(np.diff(centroids[:, 2]))
+    cumulative = float(zdiffs.sum() / (len(frames) - 1)) if len(frames) > 1 else 0.0
+
+    cl_pos = centerline.positions()
+    cl_frame_idx = np.array(
+        [p.contour_point.frame_index for p in centerline.points], dtype=np.int64
+    )
+
+    d2, _ = min_sqdist(cl_pos, centroids)
+    in_range = np.unique(cl_frame_idx[d2 <= cumulative * cumulative])
+
+    _, nearest_cl = min_sqdist(pts, cl_pos)
+    between = np.isin(cl_frame_idx[nearest_cl], in_range)
+
+    dist_ref = centroids[-1]
+    above = (pts > dist_ref[None, :]).all(axis=1)
+    proximal = ~between & above
+    distal = ~between & ~above
+
+    move = outlier_reassign_mask(pts[proximal], pts[between], 1.0, 0.6)
+    if move.any():
+        moved = np.nonzero(proximal)[0][move]
+        proximal[moved] = False
+        between[moved] = True
+    move = outlier_reassign_mask(pts[distal], pts[between], 1.0, 0.6)
+    if move.any():
+        moved = np.nonzero(distal)[0][move]
+        distal[moved] = False
+        between[moved] = True
+    return proximal, distal, between
 
 
 def find_points_by_cl_region(
@@ -686,38 +780,13 @@ def find_points_by_cl_region(
     """Partition mesh points into proximal / distal / between regions
     relative to the frames' extent along the centerline.
     Parity: find_points_by_cl_region_rs (scale_coronary.rs:263-312)."""
-    centroids = np.array([f.centroid for f in frames], dtype=np.float64)
-    zdiffs = np.abs(np.diff(centroids[:, 2]))
-    cumulative = float(zdiffs.sum() / (len(frames) - 1)) if len(frames) > 1 else 0.0
-
-    cl_pos = centerline.positions()
-    cl_frame_idx = np.array(
-        [p.contour_point.frame_index for p in centerline.points], dtype=np.int64
-    )
-
-    # centerline indices within range of any frame centroid
-    d2, _ = min_sqdist(cl_pos, centroids)
-    in_range_frame_indices = set(cl_frame_idx[d2 <= cumulative * cumulative].tolist())
-
     pts = _as_array(points)
-    _, nearest_cl = min_sqdist(pts, cl_pos)
-    nearest_frame_idx = cl_frame_idx[nearest_cl]
-
-    dist_ref = centroids[-1]
-    proximal: List[Coords3] = []
-    distal: List[Coords3] = []
-    between: List[Coords3] = []
-    for i, point in enumerate(points):
-        if int(nearest_frame_idx[i]) in in_range_frame_indices:
-            between.append(tuple(point))
-        elif point[0] > dist_ref[0] and point[1] > dist_ref[1] and point[2] > dist_ref[2]:
-            proximal.append(tuple(point))
-        else:
-            distal.append(tuple(point))
-
-    proximal, between = clean_outlier_points(proximal, between, 1.0, 0.6)
-    distal, between = clean_outlier_points(distal, between, 1.0, 0.6)
-    return proximal, distal, between
+    prox, dist, between = cl_region_split_masks(centerline, frames, pts)
+    as_tuples = [tuple(p) for p in points]
+    proximal = [p for p, m in zip(as_tuples, prox) if m]
+    distal = [p for p, m in zip(as_tuples, dist) if m]
+    btw = [p for p, m in zip(as_tuples, between) if m]
+    return proximal, distal, btw
 
 
 # ---------------------------------------------------------------------------

@@ -1,14 +1,16 @@
 """CCTA mesh labeling: assign vertices to aorta / RCA / LCA regions.
 
-Parity: ``multimodars/ccta/labeling.py`` of the reference, with the Rust
-kernels replaced by :mod:`multimodars_tpu.ccta.kernels` and trimesh replaced
-by the package-native :class:`Mesh`.
+Behavioural parity with ``multimodars/ccta/labeling.py`` of the reference
+(sphere-bounded region growth, optional ray-triangle occlusion removal,
+density-based outlier absorption, adjacency reclassification), re-expressed
+on the vertex-index engine of :mod:`multimodars_tpu.ccta.regions`: one
+uint8 label array over the mesh vertices replaces the reference's
+coordinate-tuple sets, so every set operation is a boolean-mask pass.
 """
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 
@@ -17,34 +19,80 @@ from ..io.read_geometrical import read_mesh
 from ..models.centerline import PyCenterline
 from .debug_plots import plot_results_key
 from .kernels import (
-    build_adjacency_map,
-    clean_outlier_points,
-    find_aortic_points,
-    find_centerline_bounded_points_simple,
-    find_faces_near_points,
-    find_points_by_cl_region,
-    final_reclassification,
-    remove_occluded_points_ray_triangle,
+    centerline_bounded_mask,
+    cl_region_split_masks,
+    occlusion_remove_mask,
+    outlier_reassign_mask,
+    reclassify_labels,
 )
 from .mesh import Mesh
+from .regions import VertexLookup, mask_of, store_regions
+
+# label codes of the reclassification pass (label_coronary.rs:328-420)
+_AORTA, _RCA, _LCA, _RCA_REMOVED, _LCA_REMOVED = 0, 1, 2, 3, 4
 
 
 def _load_centerline(source, name: str) -> PyCenterline:
     if isinstance(source, PyCenterline):
-        print(f"Using provided {name} centerline: {len(source.points)} points")
-        return source
-    if isinstance(source, np.ndarray):
+        cl = source
+        origin = "provided"
+    elif isinstance(source, np.ndarray):
         cl = numpy_to_centerline(source)
-        print(f"Using provided {name} centerline: {len(cl.points)} points")
-        return cl
-    try:
-        raw = np.genfromtxt(source, delimiter=",")
-        cl = numpy_to_centerline(raw)
-        print(f"Loaded {name} centerline: {len(cl.points)} points")
-        return cl
-    except Exception as e:
-        print(f"Error reading {name} centerline from {source}: {e}")
-        raise
+        origin = "provided"
+    else:
+        try:
+            cl = numpy_to_centerline(np.genfromtxt(source, delimiter=","))
+            origin = f"loaded from {source}"
+        except Exception as e:
+            print(f"Error reading {name} centerline from {source}: {e}")
+            raise
+    print(f"{name} centerline ({origin}): {len(cl.points)} points")
+    return cl
+
+
+def _load_mesh(source) -> Mesh:
+    if isinstance(source, Mesh):
+        mesh = source
+    else:
+        try:
+            mesh = read_mesh(source)
+        except Exception as e:
+            print(f"Error reading CCTA mesh from {source}: {e}")
+            raise
+    print(f"CCTA mesh: {len(mesh.vertices)} vertices / {len(mesh.faces)} faces")
+    return mesh
+
+
+def _occlusion_pass(
+    name: str,
+    cl_coronary: PyCenterline,
+    cl_aorta: PyCenterline,
+    region_mask: np.ndarray,
+    mesh: Mesh,
+    verts: np.ndarray,
+    n_points_intramural: int,
+    step_size_mm: float,
+) -> np.ndarray:
+    """bool[N] of region vertices relabelled as intramural course.
+
+    Candidate faces are those touching the region (the exact-twin fast
+    path of find_faces_near_points — the query points ARE mesh vertices);
+    rays from the aorta centerline mark pierced faces, and region vertices
+    near an excluded face are peeled off.  Parity: labeling.py's anomalous
+    branch around remove_occluded_points_ray_triangle.
+    """
+    print(f"{name}: occlusion removal for anomalous course...")
+    face_mask = region_mask[mesh.faces].any(axis=1)
+    tri = verts[mesh.faces[face_mask]]
+    region_idx = np.nonzero(region_mask)[0]
+    remove = occlusion_remove_mask(
+        cl_coronary, cl_aorta, n_points_intramural, verts[region_idx], tri,
+        step_size_mm,
+    )
+    removed_mask = np.zeros(len(verts), dtype=bool)
+    removed_mask[region_idx[remove]] = True
+    print(f"{name}: {int(remove.sum())} vertices relabelled as intramural course")
+    return removed_mask
 
 
 def label_geometry(
@@ -60,127 +108,86 @@ def label_geometry(
     tolerance_float: float = 1e-6,
     control_plot: bool = True,
 ) -> Tuple[Dict[str, Any], Tuple[PyCenterline, PyCenterline, PyCenterline]]:
-    """Label CCTA mesh vertices as aorta / RCA / LCA (sphere-bounded region
-    growth + optional ray-triangle occlusion removal + adjacency
-    reclassification).  Parity: labeling.py:25-294."""
-    if isinstance(path_ccta_geometry, Mesh):
-        mesh = path_ccta_geometry
-        print(f"Using provided mesh: {len(mesh.vertices)} vertices, {len(mesh.faces)} faces")
-    else:
-        try:
-            mesh = read_mesh(path_ccta_geometry)
-            print(f"Loaded mesh: {len(mesh.vertices)} vertices, {len(mesh.faces)} faces")
-        except Exception as e:
-            print(f"Error reading CCTA mesh from {path_ccta_geometry}: {e}")
-            raise
+    """Label CCTA mesh vertices as aorta / RCA / LCA.
 
+    Parity: labeling.py:25-294 of the reference — same stages, same
+    outputs, with label state carried as masks over vertex indices.
+    """
+    mesh = _load_mesh(path_ccta_geometry)
     cl_aorta = _load_centerline(path_centerline_aorta, "aorta")
     cl_lca = _load_centerline(path_centerline_lca, "LCA")
     cl_rca = _load_centerline(path_centerline_rca, "RCA")
 
-    vertices_arr = np.ascontiguousarray(mesh.vertices, dtype=np.float64)
-    points_list = [tuple(v) for v in vertices_arr.tolist()]
-    mesh_faces_list = mesh.faces.tolist()
+    verts = np.ascontiguousarray(mesh.vertices, dtype=np.float64)
+    n = len(verts)
 
-    rca_points_found = find_centerline_bounded_points_simple(
-        cl_rca, vertices_arr, bounding_sphere_radius_mm
-    )
-    lca_points_found = find_centerline_bounded_points_simple(
-        cl_lca, vertices_arr, bounding_sphere_radius_mm
-    )
-    print(f"\nRCA points found: {len(rca_points_found)}")
-    print(f"LCA points found: {len(lca_points_found)}")
+    rca_mask = centerline_bounded_mask(cl_rca, verts, bounding_sphere_radius_mm)
+    lca_mask = centerline_bounded_mask(cl_lca, verts, bounding_sphere_radius_mm)
+    print(f"bounded: RCA {int(rca_mask.sum())} | LCA {int(lca_mask.sum())}")
 
-    rca_removed_points: List = []
-    lca_removed_points: List = []
-
+    rca_removed = np.zeros(n, dtype=bool)
+    lca_removed = np.zeros(n, dtype=bool)
     if anomalous_rca:
-        print("Applying occlusion removal for anomalous RCA...")
-        rca_faces = find_faces_near_points(
-            points_list, mesh_faces_list, rca_points_found, tolerance_float
+        rca_removed = _occlusion_pass(
+            "RCA", cl_rca, cl_aorta, rca_mask, mesh, verts,
+            n_points_intramural, step_size_mm,
         )
-        final_rca_points_found = remove_occluded_points_ray_triangle(
-            centerline_coronary=cl_rca,
-            centerline_aorta=cl_aorta,
-            range_coronary=n_points_intramural,
-            points=rca_points_found,
-            faces=rca_faces,
-            step_size_mm=step_size_mm,
-        )
-        kept = set(final_rca_points_found)
-        rca_removed_points = [p for p in rca_points_found if p not in kept]
-        print(f"RCA: relabeled {len(rca_removed_points)} points in intramual course")
-    else:
-        final_rca_points_found = list(rca_points_found)
-
+        rca_mask &= ~rca_removed
     if anomalous_lca:
-        print("Applying occlusion removal for anomalous LCA...")
-        lca_faces = find_faces_near_points(
-            points_list, mesh_faces_list, lca_points_found, tolerance_float
+        lca_removed = _occlusion_pass(
+            "LCA", cl_lca, cl_aorta, lca_mask, mesh, verts,
+            n_points_intramural, step_size_mm,
         )
-        final_lca_points_found = remove_occluded_points_ray_triangle(
-            centerline_coronary=cl_lca,
-            centerline_aorta=cl_aorta,
-            range_coronary=n_points_intramural,
-            points=lca_points_found,
-            faces=lca_faces,
-            step_size_mm=step_size_mm,
-        )
-        kept = set(final_lca_points_found)
-        lca_removed_points = [p for p in lca_points_found if p not in kept]
-        print(f"LCA: relabeled {len(lca_removed_points)} points in intramual course")
-    else:
-        final_lca_points_found = list(lca_points_found)
+        lca_mask &= ~lca_removed
 
-    print("\nRemoving LCA and RCA island points...")
-    aortic_points = find_aortic_points(
-        points_list, final_rca_points_found, final_lca_points_found
-    )
-    print(f"length before: {len(final_lca_points_found)}")
-    final_lca_points, final_aortic_points = clean_outlier_points(
-        final_lca_points_found, aortic_points, 2.0, 0.4
-    )
-    final_rca_points, _ = clean_outlier_points(
-        final_rca_points_found, final_aortic_points, 2.0, 0.4
-    )
-    final_aortic_points = find_aortic_points(points_list, final_rca_points, final_lca_points)
-    final_aortic_points = list(
-        set(final_aortic_points) | set(rca_removed_points) | set(lca_removed_points)
-    )
-    print(f"length after: {len(final_lca_points)}")
+    # density-based island absorption: LCA vs the aorta complement, then
+    # RCA vs the grown complement (labeling.py's clean_outlier sequence)
+    aorta_mask = ~(rca_mask | lca_mask)
+    lca_idx = np.nonzero(lca_mask)[0]
+    move = outlier_reassign_mask(verts[lca_idx], verts[aorta_mask], 2.0, 0.4)
+    lca_clean = lca_mask.copy()
+    lca_clean[lca_idx[move]] = False
+    aorta_grown = aorta_mask | (lca_mask & ~lca_clean)
 
-    results: Dict[str, Any] = {
-        "mesh": mesh,
-        "aorta_points": final_aortic_points,
-        "rca_points": final_rca_points_found,
-        "lca_points": final_lca_points,
-        "rca_removed_points": rca_removed_points,
-        "lca_removed_points": lca_removed_points,
-    }
-
-    print("\nApplying final reclassification based on adjacency map...")
-    aorta_pts, rca_pts, lca_pts, rca_removed_pts, lca_removed_pts = final_reclassification(
-        points_list,
-        mesh_faces_list,
-        results["rca_points"],
-        results["lca_points"],
-        results["rca_removed_points"],
-        results["lca_removed_points"],
+    rca_idx = np.nonzero(rca_mask)[0]
+    move = outlier_reassign_mask(verts[rca_idx], verts[aorta_grown], 2.0, 0.4)
+    rca_clean = rca_mask.copy()
+    rca_clean[rca_idx[move]] = False
+    print(
+        f"island absorption: LCA {int(lca_mask.sum())} -> {int(lca_clean.sum())}"
+        f" | RCA {int(rca_mask.sum())} -> {int(rca_clean.sum())}"
     )
-    new_results: Dict[str, Any] = {
-        "mesh": mesh,
-        "aorta_points": aorta_pts,
-        "rca_points": rca_pts,
-        "lca_points": lca_pts,
-        "rca_removed_points": rca_removed_pts,
-        "lca_removed_points": lca_removed_pts,
-    }
-    for key in ("aorta_points", "rca_points", "lca_points", "rca_removed_points", "lca_removed_points"):
-        print(f"{key}:{len(new_results[key])}")
+
+    # adjacency reclassification over a single label array; assignment
+    # order matches the reference (removed labels overwrite coronary ones)
+    labels = np.zeros(n, dtype=np.uint8)
+    labels[rca_mask] = _RCA
+    labels[lca_clean] = _LCA
+    labels[rca_removed] = _RCA_REMOVED
+    labels[lca_removed] = _LCA_REMOVED
+    print("reclassifying labels on the vertex adjacency...")
+    labels = reclassify_labels(labels, mesh.faces)
+
+    results: Dict[str, Any] = {"mesh": mesh}
+    store_regions(
+        results,
+        {
+            "aorta_points": np.nonzero(labels == _AORTA)[0],
+            "rca_points": np.nonzero(labels == _RCA)[0],
+            "lca_points": np.nonzero(labels == _LCA)[0],
+            "rca_removed_points": np.nonzero(labels == _RCA_REMOVED)[0],
+            "lca_removed_points": np.nonzero(labels == _LCA_REMOVED)[0],
+        },
+    )
+    for key in (
+        "aorta_points", "rca_points", "lca_points",
+        "rca_removed_points", "lca_removed_points",
+    ):
+        print(f"{key}: {len(results[key])}")
 
     if control_plot:
         plot_results_key(
-            new_results,
+            results,
             aorta_points=True,
             rca_points=True,
             lca_points=True,
@@ -193,59 +200,56 @@ def label_geometry(
             cl_aorta=cl_aorta,
         )
 
-    return new_results, (cl_rca, cl_lca, cl_aorta)
+    return results, (cl_rca, cl_lca, cl_aorta)
 
 
-def _keep_largest_connected_component(mesh: Mesh, points):
-    """Keep only the largest mesh-connected component of *points*.
-    Parity: labeling.py:297-354."""
-    if len(points) < 2:
-        return points
-
-    coord_to_idx = {tuple(v): i for i, v in enumerate(mesh.vertices.tolist())}
-    point_indices = set()
-    for pt in points:
-        idx = coord_to_idx.get(tuple(pt))
-        if idx is not None:
-            point_indices.add(idx)
-    if not point_indices:
-        return points
-
-    # connected components of the subgraph induced on the point set
-    # (scipy csgraph over the boundary-restricted edge list)
-    idx_arr = np.fromiter(point_indices, dtype=np.int64, count=len(point_indices))
-    member = np.zeros(len(mesh.vertices), dtype=bool)
-    member[idx_arr] = True
+def largest_component_idx(mesh: Mesh, idx: np.ndarray) -> np.ndarray:
+    """Indices of the largest mesh-connected component within ``idx``
+    (scipy csgraph over the subgraph's edges).  Parity:
+    labeling.py:297-354."""
+    idx = np.asarray(idx, dtype=np.int64)
+    if len(idx) < 2:
+        return idx
+    n = len(mesh.vertices)
+    member = mask_of(idx, n)
     f = mesh.faces
     e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
     e = e[member[e].all(axis=1)]
-    local = np.full(len(mesh.vertices), -1, dtype=np.int64)
-    order = np.sort(idx_arr)
+    order = np.sort(idx)
+    local = np.full(n, -1, dtype=np.int64)
     local[order] = np.arange(len(order))
-    n_local = len(order)
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import connected_components as _cc
 
     if len(e):
         graph = coo_matrix(
             (np.ones(len(e), dtype=np.int8), (local[e[:, 0]], local[e[:, 1]])),
-            shape=(n_local, n_local),
+            shape=(len(order), len(order)),
         )
-        n_comp, labels = _cc(graph, directed=False)
+        n_comp, comp = _cc(graph, directed=False)
     else:
-        n_comp, labels = n_local, np.arange(n_local)
-    sizes = np.bincount(labels, minlength=n_comp)
-    best = int(np.argmax(sizes))
-    largest = order[labels == best]
-
+        n_comp, comp = len(order), np.arange(len(order))
+    sizes = np.bincount(comp, minlength=n_comp)
+    keep = order[comp == int(np.argmax(sizes))]
     if n_comp > 1:
-        dropped = len(point_indices) - len(largest)
         print(
-            f"  _keep_largest_connected_component: kept {len(largest)}/"
-            f"{len(point_indices)} points ({n_comp - 1} island "
-            f"component(s), {dropped} point(s) dropped)"
+            f"  largest component kept {len(keep)}/{len(idx)} vertices "
+            f"({n_comp - 1} island component(s) dropped)"
         )
-    vl = mesh.vertices[largest].tolist()
+    return keep
+
+
+def _keep_largest_connected_component(mesh: Mesh, points):
+    """Tuple-list wrapper over :func:`largest_component_idx` (kept for the
+    reference-mirroring test surface)."""
+    if len(points) < 2:
+        return points
+    lookup = VertexLookup(mesh.vertices)
+    idx = lookup.find_present(points)
+    if len(idx) == 0:
+        return points
+    keep = largest_component_idx(mesh, np.unique(idx))
+    vl = mesh.vertices[keep].tolist()
     return [tuple(row) for row in vl]
 
 
@@ -259,46 +263,50 @@ def label_anomalous_region(
     """Partition a coronary region into proximal / anomalous / distal
     sub-regions using the aligned intravascular frames.
     Parity: labeling.py:357-463."""
-    proximal_raw, distal_raw, anomalous_raw = find_points_by_cl_region(
-        centerline=centerline, frames=frames, points=results[results_key]
-    )
+    from .regions import get_idx
 
-    mesh = results["mesh"]
-    proximal_points = _keep_largest_connected_component(mesh, proximal_raw)
-    distal_points = _keep_largest_connected_component(mesh, distal_raw)
-    anomalous_points = _keep_largest_connected_component(mesh, anomalous_raw)
+    mesh: Mesh = results["mesh"]
+    verts = mesh.vertices
+    n = len(verts)
+    lookup = VertexLookup(verts)
+    region_idx = get_idx(results, results_key, lookup)
 
-    dropped = (
-        (set(proximal_raw) - set(proximal_points))
-        | (set(distal_raw) - set(distal_points))
-        | (set(anomalous_raw) - set(anomalous_points))
+    prox_m, dist_m, anom_m = cl_region_split_masks(
+        centerline, frames, verts[region_idx]
     )
+    prox_idx = largest_component_idx(mesh, region_idx[prox_m])
+    dist_idx = largest_component_idx(mesh, region_idx[dist_m])
+    anom_idx = largest_component_idx(mesh, region_idx[anom_m])
+
+    # island vertices dropped by the component filters leave the coronary
+    # region entirely (they will land in the aorta complement below)
+    sub_mask = mask_of(prox_idx, n) | mask_of(dist_idx, n) | mask_of(anom_idx, n)
+    raw_mask = np.zeros(n, dtype=bool)
+    raw_mask[region_idx[prox_m | dist_m | anom_m]] = True
+    dropped = int((raw_mask & ~sub_mask).sum())
+    region_kept = region_idx[sub_mask[region_idx]]
     if dropped:
-        results[results_key] = [p for p in results[results_key] if p not in dropped]
-        print(
-            f"  {len(dropped)} island point(s) reassigned from "
-            f"'{results_key}' sub-regions to aorta_points"
-        )
+        print(f"  {dropped} island vertex(es) reassigned to the aorta")
 
-    results["proximal_points"] = proximal_points
-    results["distal_points"] = distal_points
-    results["anomalous_points"] = anomalous_points
+    coronary = mask_of(region_kept, n) | sub_mask
+    for other in ("rca_points", "lca_points"):
+        if other != results_key:
+            coronary |= mask_of(get_idx(results, other, lookup), n)
 
-    all_coronary = (
-        set(results.get("rca_points", []))
-        | set(results.get("lca_points", []))
-        | set(proximal_points)
-        | set(distal_points)
-        | set(anomalous_points)
+    store_regions(
+        results,
+        {
+            results_key: region_kept,
+            "proximal_points": prox_idx,
+            "distal_points": dist_idx,
+            "anomalous_points": anom_idx,
+            "aorta_points": np.nonzero(~coronary)[0],
+        },
     )
-    results["aorta_points"] = [
-        tuple(v) for v in results["mesh"].vertices if tuple(v) not in all_coronary
-    ]
 
-    print("\nApplying anomalous labeling based on aligned intravascular frames...")
-    print(f"proximal_points: {len(results['proximal_points'])}")
-    print(f"distal_points: {len(results['distal_points'])}")
-    print(f"anomalous_points: {len(results['anomalous_points'])}")
+    print("anomalous sub-regions from the aligned intravascular frames:")
+    for key in ("proximal_points", "distal_points", "anomalous_points"):
+        print(f"  {key}: {len(results[key])}")
 
     if debug_plot:
         plot_results_key(
@@ -327,37 +335,39 @@ def label_branches(
 ) -> dict:
     """Partition a coronary region into main-branch and per-side-branch
     point sets.  Parity: labeling.py:466-538."""
-    branch_ids = [branch_id] if isinstance(branch_id, int) else list(branch_id)
-    main_id_set = set(branch_ids)
+    from .regions import get_idx
 
-    main_set: set = set()
+    mesh: Mesh = results["mesh"]
+    verts = mesh.vertices
+    lookup = VertexLookup(verts)
+    region_idx = get_idx(results, results_key, lookup)
+    region_pts = verts[region_idx]
+
+    branch_ids = [branch_id] if isinstance(branch_id, int) else list(branch_id)
+    main_m = np.zeros(len(region_idx), dtype=bool)
     for bid in branch_ids:
-        branch = centerline.get_branch(bid)
-        main_set.update(
-            find_centerline_bounded_points_simple(
-                branch, results[results_key], bounding_sphere_radius_mm
-            )
+        main_m |= centerline_bounded_mask(
+            centerline.get_branch(bid), region_pts, bounding_sphere_radius_mm
         )
 
-    main_points = [p for p in results[results_key] if p in main_set]
-    side_points = [p for p in results[results_key] if p not in main_set]
-
-    results[f"{results_key}_main"] = main_points
-    results[f"{results_key}_side"] = side_points
+    regions = {
+        f"{results_key}_main": region_idx[main_m],
+        f"{results_key}_side": region_idx[~main_m],
+    }
+    side_idx = region_idx[~main_m]
+    side_pts = verts[side_idx]
 
     n_branches = len(centerline.branch_start_indices)
-    side_branch_ids = [k for k in range(n_branches) if k not in main_id_set]
-
-    print(f"\nBranch labeling for '{results_key}' (branch_ids={branch_ids}):")
-    print(f"  {results_key}_main: {len(main_points)}")
-    print(f"  {results_key}_side: {len(side_points)}")
-
-    for k in side_branch_ids:
-        branch_k = centerline.get_branch(k)
-        branch_k_points = find_centerline_bounded_points_simple(
-            branch_k, side_points, bounding_sphere_radius_mm
+    print(f"branch split of '{results_key}' (main branch ids {branch_ids}):")
+    for k in range(n_branches):
+        if k in set(branch_ids):
+            continue
+        in_branch = centerline_bounded_mask(
+            centerline.get_branch(k), side_pts, bounding_sphere_radius_mm
         )
-        results[f"{results_key}_side_{k}"] = branch_k_points
-        print(f"  {results_key}_side_{k}: {len(branch_k_points)}")
+        regions[f"{results_key}_side_{k}"] = side_idx[in_branch]
 
+    store_regions(results, regions)
+    for key in regions:
+        print(f"  {key}: {len(results[key])}")
     return results

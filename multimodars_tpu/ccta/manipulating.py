@@ -1,9 +1,15 @@
 """CCTA mesh manipulation: region scaling/morphing, label bookkeeping and
 stitching onto the intravascular geometry.
 
-Parity: ``multimodars/ccta/manipulating.py`` of the reference, with trimesh
-replaced by the package-native :class:`Mesh` and the Rust kernels by
-:mod:`multimodars_tpu.ccta.kernels`.
+Behavioural parity with ``multimodars/ccta/manipulating.py`` of the
+reference, re-expressed on the vertex-index engine
+(:mod:`multimodars_tpu.ccta.regions`):
+
+- regions travel as int64 vertex-index arrays, so vertex MOVEMENT
+  (morphing/scaling) needs no coordinate-list resynchronisation at all —
+  only topology changes (vertex removal, submesh extraction) remap;
+- the ring/plane geometry helpers are one shared plane-basis fit plus
+  vectorised ring passes.
 """
 
 from __future__ import annotations
@@ -16,13 +22,19 @@ from ..models.centerline import PyCenterline
 from ..models.frame import PyFrame
 from ..models.geometry import PyGeometry
 from .kernels import (
-    adjust_diameter_centerline_morphing_simple,
+    _morph_points,
     build_adjacency_map,
     find_aortic_scaling as _kernel_find_aortic_scaling,
     find_aortic_wall_scaling as _kernel_find_aortic_wall_scaling,
     find_proximal_distal_scaling as _kernel_find_proximal_distal_scaling,
 )
 from .mesh import Mesh, concatenate
+from .regions import (
+    VertexLookup,
+    get_idx,
+    invalidate_idx,
+    store_regions,
+)
 
 _RESULT_POINT_KEYS = (
     "aorta_points",
@@ -35,132 +47,276 @@ _RESULT_POINT_KEYS = (
 )
 
 
+# ---------------------------------------------------------------------------
+# plane / ring geometry helpers
+# ---------------------------------------------------------------------------
+
 def _fast_fix_normals(mesh: Mesh) -> None:
-    """Winding-consistency BFS + inversion flip (manipulating.py:21-32)."""
+    """Winding-consistency BFS + inversion flip (the trimesh
+    fix_normals analog used throughout the stitch)."""
     mesh.fix_winding()
     mesh.fix_inversion()
 
 
+def _plane_basis(pts: np.ndarray):
+    """(centroid, normal, u, v) of the least-squares plane through pts.
+
+    One SVD serves plane projection, CCW ordering and winding checks —
+    the reference fits the same plane separately in each helper."""
+    centroid = pts.mean(axis=0)
+    _, _, Vt = np.linalg.svd(pts - centroid, full_matrices=False)
+    u, v_row, normal = Vt[0], Vt[1] if len(Vt) > 1 else Vt[0], Vt[-1]
+    v = np.cross(normal, u)
+    return centroid, normal, u, v
+
+
 def _project_to_best_fit_plane(points):
-    """SVD plane fit + orthogonal projection (manipulating.py:35-52)."""
+    """Orthogonal projection of a ring onto its least-squares plane."""
     if len(points) < 3:
         return points
-    pts = np.array(points, dtype=np.float64)
-    centroid = pts.mean(axis=0)
-    _, _, Vt = np.linalg.svd(pts - centroid, full_matrices=False)
-    normal = Vt[-1]
-    distances = (pts - centroid) @ normal
-    projected = pts - np.outer(distances, normal)
-    return [tuple(p) for p in projected]
-
-
-def _plane_normal_svd(pts: np.ndarray) -> np.ndarray:
-    centroid = pts.mean(axis=0)
-    _, _, Vt = np.linalg.svd(pts - centroid, full_matrices=False)
-    return Vt[-1]
-
-
-def _angle_between_planes_deg(n1: np.ndarray, n2: np.ndarray) -> float:
-    cos = np.clip(np.abs(np.dot(n1, n2)), 0.0, 1.0)
-    return float(np.degrees(np.arccos(cos)))
+    pts = np.asarray(points, dtype=np.float64)
+    centroid, normal, _, _ = _plane_basis(pts)
+    offsets = (pts - centroid) @ normal
+    flat = pts - offsets[:, None] * normal[None, :]
+    return [tuple(p) for p in flat]
 
 
 def _clamp_to_plane(points, plane_origin, plane_normal, overshoot: float = 0.0):
-    """Clamp wrong-side points to the IV plane, then enforce a minimum gap.
-    Parity: manipulating.py:68-101."""
-    pts = np.array(points, dtype=np.float64)
-    dists = (pts - plane_origin) @ plane_normal
-    correct_sign = np.sign(np.median(dists))
-
-    wrong = (np.sign(dists) != correct_sign) & (dists != 0.0)
-    pts[wrong] -= np.outer(dists[wrong], plane_normal)
-
+    """Move wrong-side ring points onto the IV plane, then push every point
+    to at least ``overshoot`` on the correct side (the minimum layer gap of
+    the ostium clamp)."""
+    pts = np.asarray(points, dtype=np.float64).copy()
+    plane_origin = np.asarray(plane_origin, dtype=np.float64)
+    plane_normal = np.asarray(plane_normal, dtype=np.float64)
+    signed = (pts - plane_origin) @ plane_normal
+    side = np.sign(np.median(signed))
+    wrong = (np.sign(signed) != side) & (signed != 0.0)
+    pts[wrong] -= signed[wrong, None] * plane_normal[None, :]
     if overshoot > 0.0:
-        dists2 = (pts - plane_origin) @ plane_normal
-        signed_dist = correct_sign * dists2
-        too_close = signed_dist < overshoot
-        deficit = overshoot - signed_dist[too_close]
-        pts[too_close] += np.outer(deficit * correct_sign, plane_normal)
-
+        signed = ((pts - plane_origin) @ plane_normal) * side
+        short = signed < overshoot
+        pts[short] += ((overshoot - signed[short]) * side)[:, None] * plane_normal[None, :]
     return [tuple(p) for p in pts]
 
 
 def _smooth_ring_laplacian(points, iterations: int = 5, alpha: float = 0.5):
-    """Laplacian smoothing of a closed ring (manipulating.py:104-129)."""
+    """Closed-ring Laplacian relaxation: each point moves a (1-alpha) step
+    toward the midpoint of its two ring neighbours."""
     if len(points) < 3:
         return points
-    pts = np.array(points, dtype=np.float64)
+    pts = np.asarray(points, dtype=np.float64)
     for _ in range(iterations):
-        prev = pts.copy()
-        neighbor_avg = (np.roll(prev, 1, axis=0) + np.roll(prev, -1, axis=0)) / 2.0
-        pts = alpha * prev + (1.0 - alpha) * neighbor_avg
+        mid = 0.5 * (np.roll(pts, 1, axis=0) + np.roll(pts, -1, axis=0))
+        pts = pts + (1.0 - alpha) * (mid - pts)
     return [tuple(p) for p in pts]
 
 
-def _order_boundary_components(boundary_indices, adj_map):
-    """Walk each connected boundary component in edge order
-    (manipulating.py:132-173)."""
-    if not boundary_indices:
-        return []
-    if len(boundary_indices) == 1:
-        return [list(boundary_indices)]
+def _newell_normal(pts) -> np.ndarray:
+    """Newell polygon normal (standard formula)."""
+    arr = np.asarray(pts, dtype=np.float64)
+    nxt = np.roll(arr, -1, axis=0)
+    n = np.array(
+        [
+            ((arr[:, 1] - nxt[:, 1]) * (arr[:, 2] + nxt[:, 2])).sum(),
+            ((arr[:, 2] - nxt[:, 2]) * (arr[:, 0] + nxt[:, 0])).sum(),
+            ((arr[:, 0] - nxt[:, 0]) * (arr[:, 1] + nxt[:, 1])).sum(),
+        ]
+    )
+    norm = float(np.linalg.norm(n))
+    return n / norm if norm > 1e-10 else np.array([0.0, 0.0, 1.0])
 
-    ring_adj = {
-        i: [j for j in adj_map.get(i, []) if j in boundary_indices]
-        for i in boundary_indices
-    }
-    remaining = set(boundary_indices)
-    components = []
-    while remaining:
-        start = next(iter(remaining))
-        component = [start]
-        remaining.discard(start)
-        prev, current = -1, start
+
+def _signed_area_projected(pts, normal: np.ndarray) -> float:
+    """Signed ring area in the plane orthogonal to ``normal`` (shoelace in
+    an arbitrary in-plane basis)."""
+    normal = np.asarray(normal, dtype=np.float64)
+    seed = np.array([1.0, 0.0, 0.0]) if abs(normal[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    u = np.cross(normal, seed)
+    u /= np.linalg.norm(u)
+    v = np.cross(normal, u)
+    arr = np.asarray(pts, dtype=np.float64)
+    a = arr @ u
+    b = arr @ v
+    return float(0.5 * (a * np.roll(b, -1) - np.roll(a, -1) * b).sum())
+
+
+# ---------------------------------------------------------------------------
+# boundary-ring extraction / ordering
+# ---------------------------------------------------------------------------
+
+def _walk_ring_components(candidates: Sequence[int], neighbors: Dict[int, list]):
+    """Split boundary vertex indices into edge-connected chains, walking
+    each chain from an arbitrary seed until it closes or dead-ends."""
+    todo = set(candidates)
+    chains = []
+    while todo:
+        seed = todo.pop()
+        chain = [seed]
+        prev = None
+        node = seed
         while True:
-            nxt = next(
-                (n for n in ring_adj.get(current, []) if n != prev and n in remaining),
-                None,
-            )
-            if nxt is None:
+            step = None
+            for nb in neighbors.get(node, ()):
+                if nb != prev and nb in todo:
+                    step = nb
+                    break
+            if step is None:
                 break
-            component.append(nxt)
-            remaining.discard(nxt)
-            prev, current = current, nxt
-        components.append(component)
-    return components
+            chain.append(step)
+            todo.discard(step)
+            prev, node = node, step
+        chains.append(chain)
+    return chains
 
+
+def _boundary_ring_indices(
+    mesh_faces: np.ndarray, inside: np.ndarray, outside: np.ndarray
+):
+    """Ordered boundary vertex indices: inside-vertices adjacent to at
+    least one outside-vertex, walked per connected component."""
+    adj = build_adjacency_map(mesh_faces)
+    candidates = [
+        int(i)
+        for i in np.nonzero(inside)[0]
+        if any(outside[j] for j in adj.get(int(i), ()))
+    ]
+    ring_adj = {
+        i: [j for j in adj.get(i, ()) if inside[j] and any(outside[k] for k in adj.get(j, ()))]
+        for i in candidates
+    }
+    chains = _walk_ring_components(candidates, ring_adj)
+    return [i for chain in chains for i in chain]
+
+
+def _rebuild_submesh(mesh: Mesh, keep_mask: np.ndarray) -> Tuple[Mesh, np.ndarray]:
+    """(submesh of faces fully inside keep_mask, old->new index map)."""
+    remap = np.full(len(mesh.vertices), -1, dtype=np.int64)
+    remap[keep_mask] = np.arange(int(keep_mask.sum()), dtype=np.int64)
+    faces = mesh.faces[keep_mask[mesh.faces].all(axis=1)]
+    return Mesh(mesh.vertices[keep_mask], remap[faces]), remap
+
+
+def _remap_region_indices(results: dict, old_mesh: Mesh, new_mesh: Mesh, remap: np.ndarray, cleared, boundary_idx_new):
+    """Carry every region through a topology change via the index map."""
+    lookup = VertexLookup(old_mesh.vertices)
+    updated = dict(results)
+    updated["mesh"] = new_mesh
+    invalidate_idx(updated)
+    regions = {}
+    for key in _RESULT_POINT_KEYS:
+        if key in cleared:
+            regions[key] = np.zeros(0, dtype=np.int64)
+        elif key in updated and updated[key]:
+            old_idx = get_idx(results, key, lookup)
+            new_idx = remap[old_idx]
+            regions[key] = new_idx[new_idx >= 0]
+    regions["boundary_points"] = np.asarray(boundary_idx_new, dtype=np.int64)
+    store_regions(updated, regions)
+    return updated
+
+
+def remove_labeled_points_from_mesh(results: dict, region_keys="anomalous_points") -> dict:
+    """Remove labelled regions from the mesh, tracking the open boundary
+    ring.  Parity: manipulating.py:461-572 of the reference."""
+    if isinstance(region_keys, str):
+        region_keys = [region_keys]
+    mesh: Mesh = results["mesh"]
+    n = len(mesh.vertices)
+    lookup = VertexLookup(mesh.vertices)
+
+    remove = np.zeros(n, dtype=bool)
+    n_requested = 0
+    for key in region_keys:
+        n_requested += len(results.get(key) or [])
+        idx = get_idx(results, key, lookup)
+        remove[idx] = True
+    if not remove.any():
+        return results
+
+    keep = ~remove
+    boundary_old = _boundary_ring_indices(mesh.faces, keep, remove)
+    new_mesh, remap = _rebuild_submesh(mesh, keep)
+    boundary_new = remap[np.asarray(boundary_old, dtype=np.int64)]
+
+    print(
+        f"removed regions {list(region_keys)}: {n_requested} points, "
+        f"{len(boundary_old)} boundary-ring vertices"
+    )
+    return _remap_region_indices(
+        results, mesh, new_mesh, remap, set(region_keys), boundary_new
+    )
+
+
+def keep_labeled_points_from_mesh(results: dict, region_key) -> dict:
+    """Keep only the labelled region's vertices (faces fully inside).
+    Parity: manipulating.py:575-673."""
+    region_keys = [region_key] if isinstance(region_key, str) else list(region_key)
+    mesh: Mesh = results["mesh"]
+    n = len(mesh.vertices)
+    lookup = VertexLookup(mesh.vertices)
+
+    keep = np.zeros(n, dtype=bool)
+    for key in region_keys:
+        keep[get_idx(results, key, lookup)] = True
+    if not keep.any():
+        return results
+
+    boundary_old = _boundary_ring_indices(mesh.faces, keep, ~keep)
+    new_mesh, remap = _rebuild_submesh(mesh, keep)
+    boundary_new = remap[np.asarray(boundary_old, dtype=np.int64)]
+    return _remap_region_indices(results, mesh, new_mesh, remap, set(), boundary_new)
+
+
+def sync_results_to_mesh(results: dict, old_mesh: Mesh, new_mesh: Mesh) -> dict:
+    """Refresh coordinate lists after vertex positions moved (same
+    topology).  With index-carried regions this is a re-materialisation,
+    not a search.  Parity: manipulating.py:676-724."""
+    lookup = VertexLookup(old_mesh.vertices)
+    updated = dict(results)
+    regions = {}
+    for key in (*_RESULT_POINT_KEYS, "anomalous_points", "boundary_points"):
+        if key not in updated or not updated[key]:
+            continue
+        regions[key] = get_idx(results, key, lookup)
+    updated["mesh"] = new_mesh
+    invalidate_idx(updated)
+    store_regions(updated, regions)
+    return updated
+
+
+# ---------------------------------------------------------------------------
+# scaling / morphing
+# ---------------------------------------------------------------------------
 
 def scale_region_centerline_morphing(
     mesh: Mesh,
-    region_points: list,
+    region_points,
     centerline,
     diameter_adjustment_mm: float,
 ) -> Mesh:
     """Scale a mesh region radially around its centerline.
-    Parity: manipulating.py:176-245."""
-    scaled_mesh = mesh.copy()
-
-    region_set = set(region_points)
-    region_vertex_indices = np.array(
-        [i for i, v in enumerate(scaled_mesh.vertices) if tuple(v) in region_set],
-        dtype=np.int64,
-    )
-    if len(region_vertex_indices) == 0:
+    Parity: manipulating.py:176-245.  ``region_points`` may be a coordinate
+    list or an int64 vertex-index array."""
+    scaled = mesh.copy()
+    if isinstance(region_points, np.ndarray) and region_points.dtype.kind == "i":
+        idx = region_points
+    else:
+        idx = VertexLookup(scaled.vertices).find_present(region_points)
+    if len(idx) == 0:
         print("Warning: No vertices found for scaling region")
-        return scaled_mesh
+        return scaled
 
-    print(f"\nScaling {len(region_vertex_indices)} vertices around {centerline}")
-    print(f"Diameter adjustment: {np.round(diameter_adjustment_mm, 2)} mm")
-
-    region_vertices = [tuple(v) for v in scaled_mesh.vertices[region_vertex_indices]]
-    adjusted = adjust_diameter_centerline_morphing_simple(
-        centerline=centerline,
-        points=region_vertices,
-        diameter_adjustment_mm=diameter_adjustment_mm,
+    print(
+        f"scaling {len(idx)} vertices by {np.round(diameter_adjustment_mm, 2)} mm"
+        f" around {centerline}"
     )
-    scaled_mesh.vertices[region_vertex_indices] = np.array(adjusted, dtype=np.float64)
-    scaled_mesh._invalidate()
-    return scaled_mesh
+    cl_pos = np.ascontiguousarray(centerline.positions(), dtype=np.float64)
+    scaled.vertices[idx] = _morph_points(
+        np.ascontiguousarray(scaled.vertices[idx]), cl_pos,
+        float(diameter_adjustment_mm),
+    )
+    scaled._invalidate()
+    return scaled
 
 
 def find_distal_and_proximal_scaling(
@@ -172,25 +328,26 @@ def find_distal_and_proximal_scaling(
 ) -> Tuple[float, float]:
     """Optimal proximal/distal radial scalings vs the first/last imaging
     frames.  Parity: manipulating.py:248-305."""
-    frame_points_dist = [
-        (p.x, p.y, p.z) for f in frames[-dist_range:] for p in f.lumen.points
-    ]
-    frame_points_prox = [
-        (p.x, p.y, p.z) for f in frames[0:prox_range] for p in f.lumen.points
-    ]
-    n_section = int(np.ceil(0.25 * len(results["anomalous_points"])))
+    def lumen_xyz(frame_slice):
+        return [
+            (p.x, p.y, p.z) for f in frame_slice for p in f.lumen.points
+        ]
 
-    print("\nFinding best proximal/distal radial scaling factors...")
+    anomalous = results["anomalous_points"]
+    n_section = int(np.ceil(0.25 * len(anomalous)))
+    print("searching proximal/distal radial scaling factors...")
     prox_scaling, dist_scaling = _kernel_find_proximal_distal_scaling(
-        results["anomalous_points"],
+        anomalous,
         n_section,
         n_section,
         centerline,
-        frame_points_prox,
-        frame_points_dist,
+        lumen_xyz(frames[0:prox_range]),
+        lumen_xyz(frames[-dist_range:]),
     )
-    print(f"Proximal scaling: {np.round(prox_scaling, 2)} mm")
-    print(f"Distal scaling: {np.round(dist_scaling, 2)} mm")
+    print(
+        f"  proximal {np.round(prox_scaling, 2)} mm / "
+        f"distal {np.round(dist_scaling, 2)} mm"
+    )
     return prox_scaling, dist_scaling
 
 
@@ -200,12 +357,11 @@ def find_aorta_scaling(frames, cl_aorta, results: dict) -> float:
     reference_points = _extract_wall_from_frames(frames)
     if reference_points is None:
         raise ValueError("No aortic wall points found in frames for scaling reference")
-
-    print("\nFinding best aortic radial scaling factor...")
+    print("searching aortic radial scaling factor...")
     scaling = _kernel_find_aortic_scaling(
         results["rca_removed_points"], reference_points, cl_aorta
     )
-    print(f"Aortic scaling: {np.round(scaling, 2)} mm")
+    print(f"  aortic {np.round(scaling, 2)} mm")
     return scaling
 
 
@@ -213,26 +369,24 @@ def find_aortic_wall_scaling(frames, cl_aorta, results: dict) -> float:
     """Aortic-wall scaling for anomalous coronaries (distance to the first
     round lumen's quarter point).  Parity: manipulating.py:352-397."""
     ref_point = None
-    print("\nFinding best aortic wall radial scaling factor...")
+    print("searching aortic-wall radial scaling factor...")
     for frame in frames:
         if frame.lumen.get_elliptic_ratio() < 1.3:
-            print(f"elliptic ratio <1.3 for frame index {frame.id}")
-            point_idx = len(frame.lumen) // 4
-            p = frame.lumen.points[point_idx]
-            ref_point = (p.x, p.y, p.z)
+            print(f"  round lumen at frame {frame.id} (elliptic ratio < 1.3)")
+            quarter = frame.lumen.points[len(frame.lumen) // 4]
+            ref_point = (quarter.x, quarter.y, quarter.z)
             break
     if ref_point is None:
         raise ValueError("No coronary reference point found")
     scaling = _kernel_find_aortic_wall_scaling(cl_aorta, ref_point, results["aorta_points"])
-    print(f"Aortic wall scaling: {np.round(scaling, 2)} mm")
+    print(f"  aortic wall {np.round(scaling, 2)} mm")
     return scaling
 
 
 def _extract_wall_from_frames(frames):
     """Straight-wall (coronary-side) points from the last frame carrying an
     aortic thickness.  Parity: manipulating.py:400-458."""
-    n_points = len(frames[0].lumen.points)
-    half = n_points // 2
+    half = len(frames[0].lumen.points) // 2
     reference_points = None
     for frame in frames:
         if frame.lumen.aortic_thickness is None:
@@ -248,133 +402,248 @@ def _extract_wall_from_frames(frames):
     return reference_points
 
 
-def _remap_results(results, region_keys, new_mesh, boundary_points, keep_keys):
-    new_coord_set = {tuple(v) for v in new_mesh.vertices}
-    updated = dict(results)
-    updated["mesh"] = new_mesh
-    updated["boundary_points"] = boundary_points
-    for key in region_keys:
-        updated[key] = []
-    for key in keep_keys:
-        if key in updated and key not in region_keys:
-            updated[key] = [p for p in updated[key] if tuple(p) in new_coord_set]
-    return updated
+# ---------------------------------------------------------------------------
+# stitching
+# ---------------------------------------------------------------------------
 
+def order_points_list(mesh: Mesh, points: list, coord_to_idx: dict = None) -> list:
+    """Order boundary points into a connected ring by walking mesh edges,
+    with a plane-fit CCW fallback when the walk doesn't cover the set.
+    Parity: manipulating.py:993-1071."""
+    if len(points) <= 1:
+        return list(points)
 
-def remove_labeled_points_from_mesh(results: dict, region_keys="anomalous_points") -> dict:
-    """Remove labelled regions from the mesh, tracking the open boundary
-    ring.  Parity: manipulating.py:461-572."""
-    if isinstance(region_keys, str):
-        region_keys = [region_keys]
-    mesh: Mesh = results["mesh"]
+    if coord_to_idx is not None:
+        all_idx = np.array(
+            [coord_to_idx.get(tuple(p), -1) for p in points], dtype=np.int64
+        )
+    else:
+        all_idx = VertexLookup(mesh.vertices).find(points)
+    pairs = [(int(i), p) for i, p in zip(all_idx, points) if i >= 0]
+    if not pairs:
+        return list(points)
+    idx = np.array([i for i, _ in pairs], dtype=np.int64)
+    pt_of = dict(pairs)
 
-    points_to_remove = [pt for key in region_keys for pt in results.get(key, [])]
-    if not points_to_remove:
-        return results
+    members = set(idx.tolist())
+    touching = np.isin(mesh.faces, idx).any(axis=1)
+    adj = build_adjacency_map(mesh.faces[touching])
+    ring_adj = {i: [j for j in adj.get(i, ()) if j in members] for i in members}
 
-    coord_to_idx = {tuple(coord): i for i, coord in enumerate(mesh.vertices)}
-    remove_indices = {
-        coord_to_idx[tuple(pt)] for pt in points_to_remove if tuple(pt) in coord_to_idx
-    }
-    if not remove_indices:
-        return results
+    start = int(idx[0])
+    walked = [start]
+    seen = {start}
+    node = start
+    while True:
+        nxt = next((j for j in ring_adj.get(node, ()) if j not in seen), None)
+        if nxt is None:
+            break
+        walked.append(nxt)
+        seen.add(nxt)
+        node = nxt
+    if len(seen) == len(members):
+        return [pt_of[i] for i in walked]
 
-    n_vertices = len(mesh.vertices)
-    keep_mask = np.ones(n_vertices, dtype=bool)
-    keep_mask[list(remove_indices)] = False
-
-    adj_map = build_adjacency_map(mesh.faces)
-    boundary_indices = {
-        i
-        for i in range(n_vertices)
-        if keep_mask[i] and any(j in remove_indices for j in adj_map.get(i, ()))
-    }
-    components = _order_boundary_components(boundary_indices, adj_map)
-    boundary_points = [
-        tuple(mesh.vertices[i]) for component in components for i in component
-    ]
-
-    face_keep = keep_mask[mesh.faces].all(axis=1)
-    new_faces = mesh.faces[face_keep]
-    new_index = np.full(n_vertices, -1, dtype=np.int64)
-    new_index[keep_mask] = np.arange(keep_mask.sum(), dtype=np.int64)
-    new_mesh = Mesh(mesh.vertices[keep_mask], new_index[new_faces])
-
-    print(f"Applying removal of '{region_keys}'")
-    print(f"Removed {len(points_to_remove)}")
-    print(f"Created {len(boundary_points)} boundary points")
-
-    return _remap_results(results, region_keys, new_mesh, boundary_points, _RESULT_POINT_KEYS)
-
-
-def keep_labeled_points_from_mesh(results: dict, region_key) -> dict:
-    """Keep only the labelled region's vertices (faces fully inside).
-    Parity: manipulating.py:575-673."""
-    mesh: Mesh = results["mesh"]
-    region_keys = [region_key] if isinstance(region_key, str) else list(region_key)
-
-    points_to_keep = []
-    for key in region_keys:
-        points_to_keep.extend(results.get(key, []))
-    if not points_to_keep:
-        return results
-
-    coord_to_idx = {tuple(coord): i for i, coord in enumerate(mesh.vertices)}
-    keep_indices = {
-        coord_to_idx[tuple(pt)] for pt in points_to_keep if tuple(pt) in coord_to_idx
-    }
-    if not keep_indices:
-        return results
-
-    n_vertices = len(mesh.vertices)
-    keep_mask = np.zeros(n_vertices, dtype=bool)
-    keep_mask[list(keep_indices)] = True
-    remove_indices = set(range(n_vertices)) - keep_indices
-
-    adj_map = build_adjacency_map(mesh.faces)
-    boundary_indices = {
-        i for i in keep_indices if any(j in remove_indices for j in adj_map.get(i, ()))
-    }
-    components = _order_boundary_components(boundary_indices, adj_map)
-    boundary_points = [
-        tuple(mesh.vertices[i]) for component in components for i in component
-    ]
-
-    face_keep = keep_mask[mesh.faces].all(axis=1)
-    new_faces = mesh.faces[face_keep]
-    new_index = np.full(n_vertices, -1, dtype=np.int64)
-    new_index[keep_mask] = np.arange(keep_mask.sum(), dtype=np.int64)
-    new_mesh = Mesh(mesh.vertices[keep_mask], new_index[new_faces])
-
-    return _remap_results(
-        results, [], new_mesh, boundary_points, (*_RESULT_POINT_KEYS, *region_keys)
-    )
-
-
-def sync_results_to_mesh(results: dict, old_mesh: Mesh, new_mesh: Mesh) -> dict:
-    """Refresh all coordinate lists after vertex positions moved.
-    Parity: manipulating.py:676-724."""
-    old_coord_to_idx = {tuple(v): i for i, v in enumerate(old_mesh.vertices)}
-    updated = dict(results)
-    updated["mesh"] = new_mesh
-    for key in (*_RESULT_POINT_KEYS, "anomalous_points", "boundary_points"):
-        if key not in updated or not updated[key]:
-            continue
-        indices = [old_coord_to_idx.get(tuple(p)) for p in updated[key]]
-        updated[key] = [tuple(new_mesh.vertices[i]) for i in indices if i is not None]
-    return updated
+    # open/fragmented ring: fall back to angular order in the fitted plane
+    arr = np.array([pt_of[int(i)] for i in idx], dtype=np.float64)
+    centroid, _, u, v = _plane_basis(arr)
+    centered = arr - centroid
+    order = np.argsort(np.arctan2(centered @ v, centered @ u))
+    return [pt_of[int(idx[k])] for k in order]
 
 
 def _rotate_to_nearest_iv(boundary_pts: list, iv_pt) -> list:
-    iv_arr = np.array([iv_pt.x, iv_pt.y, iv_pt.z])
-    dists = np.linalg.norm(np.array(boundary_pts) - iv_arr, axis=1)
-    start_idx = int(np.argmin(dists))
-    return boundary_pts[start_idx:] + boundary_pts[:start_idx]
+    """Start the ring at the vertex nearest the given IV point."""
+    target = np.array([iv_pt.x, iv_pt.y, iv_pt.z])
+    arr = np.asarray(boundary_pts, dtype=np.float64)
+    k = int(np.argmin(((arr - target) ** 2).sum(axis=1)))
+    return boundary_pts[k:] + boundary_pts[:k]
 
 
 def _adjust_start_point_by_z(boundary_pts: list) -> list:
-    start_idx = int(np.argmax([pt[2] for pt in boundary_pts]))
-    return boundary_pts[start_idx:] + boundary_pts[:start_idx]
+    """Start the ring at its highest-z vertex."""
+    arr = np.asarray(boundary_pts, dtype=np.float64)
+    k = int(np.argmax(arr[:, 2]))
+    return boundary_pts[k:] + boundary_pts[:k]
+
+
+def _ring_reversed(boundary_pts: list) -> list:
+    """Reverse the ring's direction keeping its start point."""
+    return [boundary_pts[0]] + boundary_pts[:0:-1]
+
+
+def _fix_ring_direction_by_distance(boundary_pts: list, iv_pts, point_step: int) -> list:
+    """Keep whichever ring direction pairs boundary vertices more closely
+    with the (strided) IV contour.  Parity: manipulating.py:1111-1137."""
+    iv_arr = np.array(
+        [(p.x, p.y, p.z) for p in iv_pts[0::point_step][: len(boundary_pts)]],
+        dtype=np.float64,
+    )
+    fwd = np.asarray(boundary_pts, dtype=np.float64)
+    rev = np.asarray(_ring_reversed(boundary_pts), dtype=np.float64)
+    m = min(len(iv_arr), len(fwd))
+
+    def paired_dist(b):
+        return float(np.sqrt(((b[:m] - iv_arr[:m]) ** 2).sum(axis=1)).sum())
+
+    return (
+        _ring_reversed(boundary_pts)
+        if paired_dist(rev) < paired_dist(fwd)
+        else boundary_pts
+    )
+
+
+def _fix_ring_direction_by_winding(boundary_pts: list, iv_pts) -> list:
+    """Match the boundary ring's winding to the IV contour's Newell
+    normal.  Parity: manipulating.py:1140-1157."""
+    normal = _newell_normal([(p.x, p.y, p.z) for p in iv_pts])
+    if _signed_area_projected(boundary_pts, normal) < 0:
+        return _ring_reversed(boundary_pts)
+    return boundary_pts
+
+
+def _stitch_boundary_ring(
+    boundary_pts: list,
+    iv_pts,
+    step: int,
+    outward_direction: Optional[np.ndarray] = None,
+) -> Mesh:
+    """Triangulate between a CCTA boundary ring and an IV lumen ring.
+
+    Each boundary vertex owns a contiguous segment of the (denser) IV ring;
+    the segment's first half fans to the owning vertex, the second half to
+    its successor, and one bridging triangle closes each segment.  Parity:
+    manipulating.py:1160-1255."""
+    n_b = len(boundary_pts)
+    n_iv = len(iv_pts)
+    extra = n_iv % n_b
+
+    verts = np.vstack(
+        [
+            np.asarray(boundary_pts, dtype=np.float64),
+            np.array([(p.x, p.y, p.z) for p in iv_pts], dtype=np.float64),
+        ]
+    )
+
+    seg_lens = np.full(n_b, step, dtype=np.int64)
+    seg_lens[:extra] += 1
+    seg_starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+
+    tris: List[Tuple[int, int, int]] = []
+    for b, (s, ln) in enumerate(zip(seg_starts.tolist(), seg_lens.tolist())):
+        b_next = (b + 1) % n_b
+        mid = s + ln // 2
+        for i in range(s, s + ln - 1):
+            owner = b if i < mid else b_next
+            tris.append((n_b + i, n_b + (i + 1) % n_iv, owner))
+        tris.append((b_next, b, n_b + mid))
+
+    print(
+        f"stitched ring: {len(tris)} triangles "
+        f"({n_b} boundary x {n_iv} IV vertices, step {step}, extra {extra})"
+    )
+
+    patch = Mesh(verts, np.array(tris, dtype=np.int64))
+    if outward_direction is not None:
+        normals = patch.face_normals
+        ok = ~np.isnan(normals).any(axis=1)
+        if ok.any() and float(normals[ok].mean(axis=0) @ outward_direction) < 0:
+            patch.faces = patch.faces[:, ::-1]
+            patch._invalidate()
+    return patch
+
+
+def _enforce_layer_gap_from_plane(
+    mesh: Mesh,
+    seed_indices,
+    plane_origin: np.ndarray,
+    plane_normal: np.ndarray,
+    layer_step_mm: float = 0.1,
+    n_rings: int = 2,
+) -> Mesh:
+    """Push the rings adjacent to the clamped boundary radially outward
+    within the IV plane (ring k by k*step).  Parity:
+    manipulating.py:866-916."""
+    adj = build_adjacency_map(mesh.faces)
+    moved = mesh.vertices.copy()
+    seen = set(seed_indices)
+    ring = set(seed_indices)
+    for depth in range(1, n_rings + 1):
+        ring = {nb for vi in ring for nb in adj.get(vi, ()) if nb not in seen}
+        if not ring:
+            break
+        seen |= ring
+        idx = np.fromiter(ring, dtype=np.int64, count=len(ring))
+        p = moved[idx]
+        in_plane = p - ((p - plane_origin) @ plane_normal)[:, None] * plane_normal[None, :]
+        radial = in_plane - plane_origin
+        norm = np.linalg.norm(radial, axis=1)
+        ok = norm >= 1e-10
+        scale = np.where(ok, depth * layer_step_mm / np.where(ok, norm, 1.0), 0.0)
+        moved[idx] = p + radial * scale[:, None]
+    return Mesh(moved, mesh.faces)
+
+
+def _prepare_prox_dist_boundary_pts(
+    mesh: Mesh,
+    results: dict,
+    prox_centroid,
+    dist_centroid,
+    proximal_is_ostium: bool = True,
+    proximal_iv_frame_pts=None,
+    ostium_angle_threshold_deg: float = 45.0,
+    clamp_overshoot: float = 1.0,
+):
+    """Split the open boundary into proximal/distal rings, then (ostium
+    side) plane-project + relax + optionally clamp to the IV plane.
+    Parity: manipulating.py:919-990."""
+    boundary = np.asarray(results["boundary_points"], dtype=np.float64).reshape(-1, 3)
+    d_prox = ((boundary - np.asarray(prox_centroid)) ** 2).sum(axis=1)
+    d_dist = ((boundary - np.asarray(dist_centroid)) ** 2).sum(axis=1)
+    to_prox = d_prox <= d_dist
+    prox_ring = [tuple(p) for p in boundary[to_prox]]
+    dist_ring = [tuple(p) for p in boundary[~to_prox]]
+
+    if proximal_is_ostium:
+        relaxed = _smooth_ring_laplacian(_project_to_best_fit_plane(prox_ring))
+
+        clamp_origin = clamp_normal = None
+        if proximal_iv_frame_pts is not None and len(relaxed) >= 3:
+            _, ring_normal, _, _ = _plane_basis(np.asarray(relaxed, dtype=np.float64))
+            iv_arr = np.array(
+                [(p.x, p.y, p.z) for p in proximal_iv_frame_pts], dtype=np.float64
+            )
+            _, iv_normal, _, _ = _plane_basis(iv_arr)
+            tilt = np.degrees(
+                np.arccos(np.clip(abs(float(ring_normal @ iv_normal)), 0.0, 1.0))
+            )
+            if tilt >= ostium_angle_threshold_deg:
+                clamp_origin = np.asarray(prox_centroid, dtype=np.float64)
+                clamp_normal = iv_normal
+                relaxed = _clamp_to_plane(
+                    relaxed, clamp_origin, clamp_normal, overshoot=clamp_overshoot
+                )
+
+        # write the reshaped ring back into the mesh
+        lookup = VertexLookup(mesh.vertices)
+        old_idx = lookup.find(prox_ring)
+        new_vertices = mesh.vertices.copy()
+        touched = []
+        for i, new_pt in zip(old_idx.tolist(), relaxed):
+            if i >= 0:
+                new_vertices[i] = new_pt
+                touched.append(i)
+        mesh = Mesh(new_vertices, mesh.faces)
+        if clamp_normal is not None and touched:
+            mesh = _enforce_layer_gap_from_plane(
+                mesh, touched, clamp_origin, clamp_normal
+            )
+        prox_ordered = relaxed
+    else:
+        prox_ordered = order_points_list(mesh, prox_ring)
+
+    dist_ordered = order_points_list(mesh, dist_ring)
+    return prox_ordered, dist_ordered, mesh
 
 
 def stitch_ccta_to_intravascular(
@@ -392,335 +661,65 @@ def stitch_ccta_to_intravascular(
     from .._converters import geometry_to_trimesh
 
     iv_mesh = iv_mesh.downsample(n_points_iv_cont)
-    iv_mesh_points = [
-        (p.x, p.y, p.z) for frame in iv_mesh.frames for p in frame.lumen.points
+    frames = iv_mesh.frames
+    iv_all_points = [
+        (p.x, p.y, p.z) for frame in frames for p in frame.lumen.points
     ]
-    proximal_centroid = iv_mesh.frames[0].centroid
-    distal_centroid = iv_mesh.frames[-1].centroid
-    proximal_points = iv_mesh.frames[0].lumen.points
-    distal_points = iv_mesh.frames[-1].lumen.points
 
-    prox_boundary_pts, dist_boundary_pts, mesh = _prepare_prox_dist_boundary_pts(
+    prox_ring, dist_ring, mesh = _prepare_prox_dist_boundary_pts(
         mesh,
         results,
-        proximal_centroid,
-        distal_centroid,
+        frames[0].centroid,
+        frames[-1].centroid,
         proximal_is_ostium=proximal_is_ostium,
-        proximal_iv_frame_pts=iv_mesh.frames[0].lumen.points,
+        proximal_iv_frame_pts=frames[0].lumen.points,
         clamp_overshoot=clamp_overshoot,
     )
-    # a boundary ring denser than the IV contour walks it with step 1
-    prox_point_step = max(len(proximal_points) // len(prox_boundary_pts), 1)
-    dist_point_step = max(len(distal_points) // len(dist_boundary_pts), 1)
 
-    if prox_start_mode == "highest_z" or dist_start_mode == "highest_z":
+    if "highest_z" in (prox_start_mode, dist_start_mode):
         iv_mesh = iv_mesh.sort_frame_points()
-        proximal_points = iv_mesh.frames[0].lumen.points
-        distal_points = iv_mesh.frames[-1].lumen.points
-    if prox_start_mode == "highest_z":
-        prox_boundary_pts = _adjust_start_point_by_z(prox_boundary_pts)
-    else:
-        prox_boundary_pts = _rotate_to_nearest_iv(prox_boundary_pts, proximal_points[0])
-    if dist_start_mode == "highest_z":
-        dist_boundary_pts = _adjust_start_point_by_z(dist_boundary_pts)
-    else:
-        dist_boundary_pts = _rotate_to_nearest_iv(dist_boundary_pts, distal_points[0])
+        frames = iv_mesh.frames
+    prox_iv = frames[0].lumen.points
+    dist_iv = frames[-1].lumen.points
+    prox_step = max(len(prox_iv) // len(prox_ring), 1)
+    dist_step = max(len(dist_iv) // len(dist_ring), 1)
 
-    prox_c = np.array(iv_mesh.frames[0].centroid)
-    dist_c = np.array(iv_mesh.frames[-1].centroid)
-    prox_outward = prox_c - dist_c
-    dist_outward = dist_c - prox_c
+    def orient(ring, iv_points, start_mode, step):
+        if start_mode == "highest_z":
+            ring = _adjust_start_point_by_z(ring)
+            return _fix_ring_direction_by_winding(ring, iv_points)
+        ring = _rotate_to_nearest_iv(ring, iv_points[0])
+        return _fix_ring_direction_by_distance(ring, iv_points, step)
 
-    if prox_start_mode == "highest_z":
-        prox_boundary_pts = _fix_ring_direction_by_winding(prox_boundary_pts, proximal_points)
-    else:
-        prox_boundary_pts = _fix_ring_direction_by_distance(
-            prox_boundary_pts, proximal_points, prox_point_step
-        )
-    if dist_start_mode == "highest_z":
-        dist_boundary_pts = _fix_ring_direction_by_winding(dist_boundary_pts, distal_points)
-    else:
-        dist_boundary_pts = _fix_ring_direction_by_distance(
-            dist_boundary_pts, distal_points, dist_point_step
-        )
+    prox_ring = orient(prox_ring, prox_iv, prox_start_mode, prox_step)
+    dist_ring = orient(dist_ring, dist_iv, dist_start_mode, dist_step)
 
-    prox_patch = _stitch_boundary_ring(
-        prox_boundary_pts, proximal_points, prox_point_step, prox_outward
+    prox_c = np.asarray(frames[0].centroid)
+    dist_c = np.asarray(frames[-1].centroid)
+    prox_patch = _stitch_boundary_ring(prox_ring, prox_iv, prox_step, prox_c - dist_c)
+    dist_patch = _stitch_boundary_ring(dist_ring, dist_iv, dist_step, dist_c - prox_c)
+
+    iv_surface = geometry_to_trimesh(iv_mesh)
+    iv_surface.update_faces(iv_surface.unique_faces())
+    iv_surface.update_faces(iv_surface.nondegenerate_faces())
+    _fast_fix_normals(iv_surface)
+
+    fused = concatenate([mesh, prox_patch, dist_patch, iv_surface])
+    fused.merge_vertices(digits=3)  # trimesh.tol.merge = 0.001 analog
+    if not fused.is_watertight:
+        fused.fill_holes()
+    fused.update_faces(fused.unique_faces())
+    fused.update_faces(fused.nondegenerate_faces())
+    fused.remove_unreferenced_vertices()
+    _fast_fix_normals(fused)
+
+    updated = dict(results)
+    invalidate_idx(updated)
+    updated["mesh"] = fused
+    updated["prox_boundary_points"] = prox_ring
+    updated["dist_boundary_points"] = dist_ring
+    updated["anomalous_points"] = iv_all_points
+    updated["rca_points"] = (
+        iv_all_points + list(results["distal_points"]) + list(results["proximal_points"])
     )
-    dist_patch = _stitch_boundary_ring(
-        dist_boundary_pts, distal_points, dist_point_step, dist_outward
-    )
-    test_mesh = geometry_to_trimesh(iv_mesh)
-    test_mesh.update_faces(test_mesh.unique_faces())
-    test_mesh.update_faces(test_mesh.nondegenerate_faces())
-    _fast_fix_normals(test_mesh)
-    mesh = concatenate([mesh, prox_patch, dist_patch, test_mesh])
-    mesh.merge_vertices(digits=3)  # trimesh.tol.merge = 0.001 analog
-    if not mesh.is_watertight:
-        mesh.fill_holes()
-    mesh.update_faces(mesh.unique_faces())
-    mesh.update_faces(mesh.nondegenerate_faces())
-    mesh.remove_unreferenced_vertices()
-    _fast_fix_normals(mesh)
-
-    results["prox_boundary_points"] = prox_boundary_pts
-    results["dist_boundary_points"] = dist_boundary_pts
-    results["anomalous_points"] = iv_mesh_points
-    results["rca_points"] = (
-        iv_mesh_points + results["distal_points"] + results["proximal_points"]
-    )
-    results["mesh"] = mesh
-    return results
-
-
-def _enforce_layer_gap_from_plane(
-    mesh: Mesh,
-    seed_indices,
-    plane_origin: np.ndarray,
-    plane_normal: np.ndarray,
-    layer_step_mm: float = 0.1,
-    n_rings: int = 2,
-) -> Mesh:
-    """Push neighbouring rings radially outward within the IV plane.
-    Parity: manipulating.py:866-916."""
-    adj_map = build_adjacency_map(mesh.faces)
-    new_vertices = mesh.vertices.copy()
-
-    frontier = set(seed_indices)
-    visited = set(seed_indices)
-    for ring in range(1, n_rings + 1):
-        push_dist = ring * layer_step_mm
-        next_frontier = set()
-        for vi in frontier:
-            for nb in adj_map.get(vi, ()):
-                if nb not in visited:
-                    next_frontier.add(nb)
-        for vi in next_frontier:
-            p = new_vertices[vi]
-            p_proj = p - float(np.dot(p - plane_origin, plane_normal)) * plane_normal
-            radial = p_proj - plane_origin
-            r_norm = np.linalg.norm(radial)
-            if r_norm < 1e-10:
-                continue
-            new_vertices[vi] = p + (push_dist / r_norm) * radial
-        visited.update(next_frontier)
-        frontier = next_frontier
-        if not frontier:
-            break
-    return Mesh(new_vertices, mesh.faces)
-
-
-def _prepare_prox_dist_boundary_pts(
-    mesh: Mesh,
-    results: dict,
-    prox_centroid,
-    dist_centroid,
-    proximal_is_ostium: bool = True,
-    proximal_iv_frame_pts=None,
-    ostium_angle_threshold_deg: float = 45.0,
-    clamp_overshoot: float = 1.0,
-):
-    """Split / project / smooth / clamp the boundary rings.
-    Parity: manipulating.py:919-990."""
-    proximal_boundary_pts = []
-    distal_boundary_pts = []
-    for pt in results["boundary_points"]:
-        d_prox = np.linalg.norm(np.array(prox_centroid) - np.array(pt))
-        d_dist = np.linalg.norm(np.array(dist_centroid) - np.array(pt))
-        if d_prox <= d_dist:
-            proximal_boundary_pts.append(pt)
-        else:
-            distal_boundary_pts.append(pt)
-
-    if proximal_is_ostium:
-        prox_projected = _project_to_best_fit_plane(proximal_boundary_pts)
-        prox_boundary_pts_ord = _smooth_ring_laplacian(prox_projected)
-
-        iv_origin = iv_normal = None
-        clamping_applied = False
-        if proximal_iv_frame_pts is not None and len(prox_boundary_pts_ord) >= 3:
-            boundary_arr = np.array(prox_boundary_pts_ord, dtype=np.float64)
-            iv_arr = np.array(
-                [[p.x, p.y, p.z] for p in proximal_iv_frame_pts], dtype=np.float64
-            )
-            boundary_normal = _plane_normal_svd(boundary_arr)
-            iv_normal = _plane_normal_svd(iv_arr)
-            if _angle_between_planes_deg(boundary_normal, iv_normal) >= ostium_angle_threshold_deg:
-                iv_origin = np.array(prox_centroid, dtype=np.float64)
-                prox_boundary_pts_ord = _clamp_to_plane(
-                    prox_boundary_pts_ord, iv_origin, iv_normal, overshoot=clamp_overshoot
-                )
-                clamping_applied = True
-
-        coord_to_idx = {tuple(v): i for i, v in enumerate(mesh.vertices)}
-        new_vertices = mesh.vertices.copy()
-        fixed_indices = set()
-        for old_pt, new_pt in zip(proximal_boundary_pts, prox_boundary_pts_ord):
-            idx = coord_to_idx.get(tuple(old_pt))
-            if idx is not None:
-                new_vertices[idx] = new_pt
-                fixed_indices.add(idx)
-        mesh = Mesh(new_vertices, mesh.faces)
-
-        if clamping_applied and fixed_indices:
-            mesh = _enforce_layer_gap_from_plane(mesh, fixed_indices, iv_origin, iv_normal)
-    else:
-        prox_boundary_pts_ord = order_points_list(mesh, proximal_boundary_pts)
-
-    dist_boundary_pts_ord = order_points_list(mesh, distal_boundary_pts)
-    return prox_boundary_pts_ord, dist_boundary_pts_ord, mesh
-
-
-def order_points_list(mesh: Mesh, points: list, coord_to_idx: dict = None) -> list:
-    """Order boundary points into a connected ring by walking mesh edges,
-    with a plane-fit CCW fallback.  Parity: manipulating.py:993-1071.
-    ``coord_to_idx`` lets repeated callers share one vertex-lookup table."""
-    if len(points) <= 1:
-        return list(points)
-
-    if coord_to_idx is None:
-        coord_to_idx = {tuple(coord): i for i, coord in enumerate(mesh.vertices.tolist())}
-    boundary_indices = []
-    idx_to_pt = {}
-    for pt in points:
-        idx = coord_to_idx.get(tuple(pt))
-        if idx is not None:
-            boundary_indices.append(idx)
-            idx_to_pt[idx] = pt
-    if not boundary_indices:
-        return list(points)
-
-    boundary_set = set(boundary_indices)
-    # adjacency restricted to faces touching the boundary — same
-    # boundary-filtered neighbor sets as the full map, far cheaper
-    touching = np.isin(mesh.faces, np.fromiter(boundary_set, dtype=np.int64)).any(axis=1)
-    adj_map = build_adjacency_map(mesh.faces[touching])
-    boundary_adj = {
-        i: [n for n in adj_map.get(i, ()) if n in boundary_set] for i in boundary_indices
-    }
-
-    start = boundary_indices[0]
-    ordered = [start]
-    visited = {start}
-    current = start
-    while True:
-        candidates = [n for n in boundary_adj[current] if n not in visited]
-        if not candidates:
-            break
-        current = candidates[0]
-        ordered.append(current)
-        visited.add(current)
-
-    if len(visited) == len(boundary_indices):
-        return [idx_to_pt[i] for i in ordered]
-
-    pts_array = np.array([idx_to_pt[i] for i in boundary_indices], dtype=np.float64)
-    centroid = pts_array.mean(axis=0)
-    centered = pts_array - centroid
-    _, _, Vt = np.linalg.svd(centered)
-    normal = Vt[-1]
-    u = Vt[0]
-    v = np.cross(normal, u)
-    angles = np.arctan2(centered @ v, centered @ u)
-    order = np.argsort(angles)
-    return [idx_to_pt[boundary_indices[k]] for k in order]
-
-
-def _signed_area_projected(pts: list, normal: np.ndarray) -> float:
-    """Parity: manipulating.py:1074-1088."""
-    ref = np.array([1.0, 0.0, 0.0]) if abs(normal[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
-    u = np.cross(normal, ref)
-    u /= np.linalg.norm(u)
-    v = np.cross(normal, u)
-    arr = np.array(pts)
-    us = arr @ u
-    vs = arr @ v
-    return float(0.5 * np.sum(us * np.roll(vs, -1) - np.roll(us, -1) * vs))
-
-
-def _newell_normal(pts: list) -> np.ndarray:
-    """Parity: manipulating.py:1091-1108."""
-    arr = np.array(pts)
-    nxt = np.roll(arr, -1, axis=0)
-    normal = np.array(
-        [
-            np.sum((arr[:, 1] - nxt[:, 1]) * (arr[:, 2] + nxt[:, 2])),
-            np.sum((arr[:, 2] - nxt[:, 2]) * (arr[:, 0] + nxt[:, 0])),
-            np.sum((arr[:, 0] - nxt[:, 0]) * (arr[:, 1] + nxt[:, 1])),
-        ]
-    )
-    length = np.linalg.norm(normal)
-    return normal / length if length > 1e-10 else np.array([0.0, 0.0, 1.0])
-
-
-def _fix_ring_direction_by_distance(boundary_pts: list, iv_pts, point_step: int) -> list:
-    """Parity: manipulating.py:1111-1137."""
-    iv_sub = iv_pts[0::point_step][: len(boundary_pts)]
-    reversed_pts = [boundary_pts[0]] + list(reversed(boundary_pts[1:]))
-
-    def total_dist(bpts):
-        n = min(len(bpts), len(iv_sub))
-        return sum(
-            np.linalg.norm(
-                np.array(bpts[i]) - np.array([iv_sub[i].x, iv_sub[i].y, iv_sub[i].z])
-            )
-            for i in range(n)
-        )
-
-    return reversed_pts if total_dist(reversed_pts) < total_dist(boundary_pts) else boundary_pts
-
-
-def _fix_ring_direction_by_winding(boundary_pts: list, iv_pts) -> list:
-    """Parity: manipulating.py:1140-1157."""
-    iv_arr = [[p.x, p.y, p.z] for p in iv_pts]
-    normal = _newell_normal(iv_arr)
-    if _signed_area_projected(boundary_pts, normal) < 0:
-        return [boundary_pts[0]] + list(reversed(boundary_pts[1:]))
-    return boundary_pts
-
-
-def _stitch_boundary_ring(
-    boundary_pts: list,
-    iv_pts,
-    step: int,
-    outward_direction: Optional[np.ndarray] = None,
-) -> Mesh:
-    """Fan-triangulate between a CCTA boundary ring and an IV lumen ring.
-    Parity: manipulating.py:1160-1255."""
-    n_boundary = len(boundary_pts)
-    n_iv = len(iv_pts)
-    remainder = n_iv % n_boundary
-
-    b_arr = np.array(boundary_pts, dtype=np.float64)
-    iv_arr = np.array([(p.x, p.y, p.z) for p in iv_pts], dtype=np.float64)
-    vertices = np.vstack([b_arr, iv_arr])
-
-    faces = []
-    iv_start = 0
-    for b in range(n_boundary):
-        b_next = (b + 1) % n_boundary
-        seg_len = step + 1 if b < remainder else step
-        iv_end = iv_start + seg_len
-        mid = iv_start + seg_len // 2
-        for i in range(iv_start, mid):
-            faces.append((n_boundary + i, n_boundary + (i + 1) % n_iv, b))
-        for i in range(mid, iv_end - 1):
-            faces.append((n_boundary + i, n_boundary + (i + 1) % n_iv, b_next))
-        faces.append((b_next, b, n_boundary + mid))
-        iv_start = iv_end
-
-    print(
-        f"Stitching: {len(faces)}/{n_iv} triangles created "
-        f"(n_boundary={n_boundary}, n_iv={n_iv}, step={step}, remainder={remainder})"
-    )
-
-    patch = Mesh(vertices, np.array(faces, dtype=np.int64))
-    if outward_direction is not None:
-        face_normals = patch.face_normals
-        valid = ~np.isnan(face_normals).any(axis=1)
-        if valid.any():
-            avg_normal = face_normals[valid].mean(axis=0)
-            if np.dot(avg_normal, outward_direction) < 0:
-                patch.faces = patch.faces[:, ::-1]
-                patch._invalidate()
-    return patch
+    return updated
