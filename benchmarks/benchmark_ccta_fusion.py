@@ -114,8 +114,13 @@ def main() -> None:
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     RESULTS_DIR.mkdir(parents=True, exist_ok=True)
 
-    # median of REPEATS full runs: the host's page-fault latency is
-    # erratic and single runs swing 2-3x
+    # bench.py protocol: warmup runs excluded (jit compiles + page faults),
+    # then median of REPEATS measured runs — the host's page-fault latency
+    # is erratic and single runs swing 2-3x
+    warmup = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    for r in range(warmup):
+        mesh, stitched, timings = run_once(scale)
+        print(f"warmup {r + 1}/{warmup}: {sum(timings.values()):.1f}s")
     runs = []
     for r in range(REPEATS):
         mesh, stitched, timings = run_once(scale)

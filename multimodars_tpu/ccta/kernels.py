@@ -21,12 +21,18 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..config import config
 from ..models.centerline import PyCenterline
+from ..utils.device import to_device
 from ..models.contour import PyContour
 from ..models.frame import PyFrame
 from .mesh import fix_faces_winding
+
+# device routing threshold for the batched morph sweep: below this many
+# point pairs per candidate, the 41-candidate host loop beats a dispatch
+_SWEEP_DEVICE_PAIRS = int(os.environ.get("MMTPU_CCTA_SWEEP_DEVICE_PAIRS", 60_000))
 
 Coords3 = Tuple[float, float, float]
 
@@ -56,20 +62,49 @@ def _count_within_block(block, b_arr, r2):
     return (d2 <= r2).sum(axis=1)
 
 
-# Below this many pairwise evaluations the kernels run as plain numpy on
-# the host (gram/BLAS form): a device dispatch — and above all an XLA
-# compile, which on tunneled/remote TPU backends can take tens of seconds
-# per shape — costs orders of magnitude more than the arithmetic for the
-# point-set sizes CCTA labeling sees (tens of thousands x hundreds).
-# Lower this on hosts with local TPUs and hot compile caches.
-_DEVICE_PAIR_THRESHOLD = int(os.environ.get("MMTPU_CCTA_DEVICE_PAIRS", 1_000_000_000))
+# Above this many pairwise evaluations min_sqdist runs on the device
+# (bucket-padded shapes keep the jit cache small; winning distances are
+# recomputed exactly in f64 on the host).  Below it, the BLAS/gram and
+# column-sweep host paths win because a dispatch costs ~30 ms over a
+# tunneled backend.
+_DEVICE_PAIR_THRESHOLD = int(os.environ.get("MMTPU_CCTA_DEVICE_PAIRS", 5_000_000))
+
+# the native grid-DDA ray kernel beats the dense device Möller–Trumbore up
+# to very large ray x face products (it skips empty space); only beyond
+# this does the dense device batch win
+_RAY_NATIVE_THRESHOLD = int(os.environ.get("MMTPU_CCTA_RAY_NATIVE_PAIRS", 1_000_000_000))
+
+
+def _min_sqdist_device(a: np.ndarray, b: np.ndarray):
+    """Device nearest-neighbour pass: N chunked, M padded to a 1024 bucket
+    with +inf sentinel rows; argmins come back and the winning distances
+    are recomputed exactly in f64 so threshold comparisons stay exact."""
+    dtype = config.compute_dtype
+    a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
+    b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
+    m_pad = max(((len(b64) + 1023) // 1024) * 1024, 1024)
+    b_padded = np.full((m_pad, 3), np.inf)
+    b_padded[: len(b64)] = b64
+    b_d = to_device(b_padded, dtype)
+    args = np.empty(len(a64), dtype=np.int64)
+    for start in range(0, len(a64), _CHUNK):
+        blk = a64[start : start + _CHUNK]
+        n_pad = max(((len(blk) + 2047) // 2048) * 2048, 2048)
+        blk_padded = np.zeros((n_pad, 3))
+        blk_padded[: len(blk)] = blk
+        _, g = _min_sqdist_block(to_device(blk_padded, dtype), b_d)
+        args[start : start + len(blk)] = np.asarray(g, dtype=np.int64)[: len(blk)]
+    mins = ((a64 - b64[args]) ** 2).sum(axis=1)
+    return mins, args
 
 
 def min_sqdist(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Per-row min squared distance (and argmin) from a (N,3) to b (M,3)."""
     if len(a) == 0 or len(b) == 0:
         return np.full(len(a), np.inf), np.zeros(len(a), dtype=np.int64)
-    if len(a) * len(b) <= _DEVICE_PAIR_THRESHOLD:
+    if len(a) * len(b) > _DEVICE_PAIR_THRESHOLD and len(b) > 128:
+        return _min_sqdist_device(a, b)
+    if True:
         a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
         b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
         if len(b64) <= 128:
@@ -121,15 +156,6 @@ def min_sqdist(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
             args[start : start + chunk] = am
         mins = ((a64 - b64[args]) ** 2).sum(axis=1)
         return mins, args
-    dtype = config.compute_dtype
-    b_d = jnp.asarray(b, dtype=dtype)
-    mins, args = [], []
-    for start in range(0, len(a), _CHUNK):
-        block = jnp.asarray(a[start : start + _CHUNK], dtype=dtype)
-        m, g = _min_sqdist_block(block, b_d)
-        mins.append(np.asarray(m, dtype=np.float64))
-        args.append(np.asarray(g, dtype=np.int64))
-    return np.concatenate(mins), np.concatenate(args)
 
 
 def _count_within_radius_grid(a64, b64, radius):
@@ -458,7 +484,7 @@ def occlusion_remove_mask(
     v2 = jnp.asarray(tri[:, 2], dtype=dtype)
     faces_to_exclude = set()
     native = None
-    if len(origins) * len(tri) <= _DEVICE_PAIR_THRESHOLD:
+    if len(origins) * len(tri) <= _RAY_NATIVE_THRESHOLD:
         from ..io.native import ray_occlusion_native
 
         native = ray_occlusion_native(origins, directions, tri.reshape(-1, 9))
@@ -466,7 +492,7 @@ def occlusion_remove_mask(
         n_hits, closest_face = native
         faces_to_exclude.update(closest_face[n_hits >= 3].tolist())
     else:
-        use_device = len(origins) * len(tri) > _DEVICE_PAIR_THRESHOLD
+        use_device = len(origins) * len(tri) > _RAY_NATIVE_THRESHOLD
         RAY_CHUNK = 4096 if use_device else max(1, 1_000_000 // max(len(tri), 1))
         for rs in range(0, len(origins), RAY_CHUNK):
             if use_device:
@@ -495,8 +521,12 @@ def occlusion_remove_mask(
 
     if faces_to_exclude:
         excluded_vertices = tri[sorted(faces_to_exclude)].reshape(-1, 3)
-        d2, _ = min_sqdist(pts, excluded_vertices)
-        remove_mask = d2 <= DISTANCE_THRESHOLD
+        # membership query, not a nearest-neighbour one: the exact grid
+        # counter answers "any excluded vertex within sqrt(0.5) mm" directly
+        remove_mask = (
+            count_within_radius(pts, excluded_vertices, math.sqrt(DISTANCE_THRESHOLD))
+            > 0
+        )
     else:
         remove_mask = np.zeros(len(pts), dtype=bool)
 
@@ -827,26 +857,83 @@ def _symmetric_nn_distance(a: np.ndarray, b: np.ndarray) -> float:
     return float(math.sqrt((d_ab.mean() + d_ba.mean()) / 2.0))
 
 
+@jax.jit
+def _sweep_cost_table(points, unit, pmask, reference, rmask, xs):
+    """Symmetric-NN cost of every morph candidate in one fused program.
+
+    points/unit: [N, 3] (padded); pmask [N]; reference [M, 3] (padded);
+    rmask [M]; xs [K].  Returns [K] RMS symmetric mean-NN distances —
+    the whole reference grid sweep (scale_coronary.rs:65-130) as a single
+    device launch instead of 2K nearest-neighbour passes.
+    """
+    inf = jnp.asarray(jnp.inf, points.dtype)
+    n_p = jnp.maximum(pmask.sum(), 1)
+    n_r = jnp.maximum(rmask.sum(), 1)
+
+    def cost(k):
+        moved = points + unit * xs[k]
+        d2 = ((moved[:, None, :] - reference[None, :, :]) ** 2).sum(-1)  # [N, M]
+        fwd = jnp.where(rmask[None, :], d2, inf).min(axis=1)  # moved -> ref
+        bwd = jnp.where(pmask[:, None], d2, inf).min(axis=0)  # ref -> moved
+        fwd_mean = jnp.where(pmask, fwd, 0.0).sum() / n_p
+        bwd_mean = jnp.where(rmask, bwd, 0.0).sum() / n_r
+        return jnp.sqrt((fwd_mean + bwd_mean) / 2.0)
+
+    return lax.map(cost, jnp.arange(xs.shape[0]))
+
+
+def _pad_rows(arr: np.ndarray, quantum: int):
+    """Pad rows to a multiple of ``quantum`` (bucketed shapes keep the jit
+    cache small); returns (padded, mask)."""
+    n = len(arr)
+    target = max(((n + quantum - 1) // quantum) * quantum, quantum)
+    mask = np.zeros(target, dtype=bool)
+    mask[:n] = True
+    if target == n:
+        return arr, mask
+    out = np.zeros((target,) + arr.shape[1:], dtype=arr.dtype)
+    out[:n] = arr
+    return out, mask
+
+
 def _grid_sweep_scaling(points: np.ndarray, reference: np.ndarray, cl_pos: np.ndarray) -> float:
     """Sweep x in [-2, 2] step 0.1 of the morphing and keep the x minimising
     the symmetric NN distance (strictly-less, first wins).
-    Parity: scale_coronary.rs:65-130 — all candidates evaluated as a batch of
-    morphs against a shared nearest-centerline lookup."""
+    Parity: scale_coronary.rs:65-130 — the candidate axis and both NN
+    directions run as one batched device launch."""
     start, end, step = -2.0, 2.0, 0.1
     steps = int(round((end - start) / step))
+    if len(points) == 0:
+        return float("inf")
     # the nearest-centerline direction is scaling-invariant: precompute once
-    _, nearest = min_sqdist(points, cl_pos) if len(points) else (None, None)
+    _, nearest = min_sqdist(points, cl_pos)
+    rel = points - cl_pos[nearest]
+    norms = np.linalg.norm(rel, axis=1)
+    ok = norms > 0.0
+    unit = np.where(ok[:, None], rel / np.where(ok, norms, 1.0)[:, None], 0.0)
+    xs = start + step * np.arange(steps + 1)
+
+    if len(points) * max(len(reference), 1) >= _SWEEP_DEVICE_PAIRS:
+        dtype = config.compute_dtype
+        pts_p, pmask = _pad_rows(np.ascontiguousarray(points), 2048)
+        unit_p, _ = _pad_rows(np.ascontiguousarray(unit), 2048)
+        ref_p, rmask = _pad_rows(np.ascontiguousarray(reference), 256)
+        costs = np.asarray(
+            _sweep_cost_table(
+                to_device(pts_p, dtype),
+                to_device(unit_p, dtype),
+                to_device(pmask),
+                to_device(ref_p, dtype),
+                to_device(rmask),
+                to_device(xs, dtype),
+            ),
+            dtype=np.float64,
+        )
+        return float(xs[int(np.argmin(costs))])
+
     best_x = float("inf")
     min_dist = float("inf")
-    if len(points):
-        rel = points - cl_pos[nearest]
-        norms = np.linalg.norm(rel, axis=1)
-        ok = norms > 0.0
-        unit = np.where(ok[:, None], rel / np.where(ok, norms, 1.0)[:, None], 0.0)
-    if len(points) == 0:
-        return best_x
-    for i in range(steps + 1):
-        x = start + i * step
+    for x in xs.tolist():
         moved = points + unit * x
         dist = _symmetric_nn_distance(reference, moved)
         if dist < min_dist:

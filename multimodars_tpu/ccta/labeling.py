@@ -26,7 +26,7 @@ from .kernels import (
     reclassify_labels,
 )
 from .mesh import Mesh
-from .regions import VertexLookup, mask_of, store_regions
+from .regions import VertexLookup, mask_of, mesh_lookup, store_regions
 
 # label codes of the reclassification pass (label_coronary.rs:328-420)
 _AORTA, _RCA, _LCA, _RCA_REMOVED, _LCA_REMOVED = 0, 1, 2, 3, 4
@@ -244,7 +244,7 @@ def _keep_largest_connected_component(mesh: Mesh, points):
     reference-mirroring test surface)."""
     if len(points) < 2:
         return points
-    lookup = VertexLookup(mesh.vertices)
+    lookup = mesh_lookup(mesh)
     idx = lookup.find_present(points)
     if len(idx) == 0:
         return points

@@ -31,6 +31,7 @@ from .kernels import (
 from .mesh import Mesh, concatenate
 from .regions import (
     VertexLookup,
+    mesh_lookup,
     get_idx,
     invalidate_idx,
     store_regions,
@@ -198,7 +199,7 @@ def _rebuild_submesh(mesh: Mesh, keep_mask: np.ndarray) -> Tuple[Mesh, np.ndarra
 
 def _remap_region_indices(results: dict, old_mesh: Mesh, new_mesh: Mesh, remap: np.ndarray, cleared, boundary_idx_new):
     """Carry every region through a topology change via the index map."""
-    lookup = VertexLookup(old_mesh.vertices)
+    lookup = mesh_lookup(old_mesh)
     updated = dict(results)
     updated["mesh"] = new_mesh
     invalidate_idx(updated)
@@ -222,7 +223,7 @@ def remove_labeled_points_from_mesh(results: dict, region_keys="anomalous_points
         region_keys = [region_keys]
     mesh: Mesh = results["mesh"]
     n = len(mesh.vertices)
-    lookup = VertexLookup(mesh.vertices)
+    lookup = mesh_lookup(mesh)
 
     remove = np.zeros(n, dtype=bool)
     n_requested = 0
@@ -253,7 +254,7 @@ def keep_labeled_points_from_mesh(results: dict, region_key) -> dict:
     region_keys = [region_key] if isinstance(region_key, str) else list(region_key)
     mesh: Mesh = results["mesh"]
     n = len(mesh.vertices)
-    lookup = VertexLookup(mesh.vertices)
+    lookup = mesh_lookup(mesh)
 
     keep = np.zeros(n, dtype=bool)
     for key in region_keys:
@@ -271,7 +272,7 @@ def sync_results_to_mesh(results: dict, old_mesh: Mesh, new_mesh: Mesh) -> dict:
     """Refresh coordinate lists after vertex positions moved (same
     topology).  With index-carried regions this is a re-materialisation,
     not a search.  Parity: manipulating.py:676-724."""
-    lookup = VertexLookup(old_mesh.vertices)
+    lookup = mesh_lookup(old_mesh)
     updated = dict(results)
     regions = {}
     for key in (*_RESULT_POINT_KEYS, "anomalous_points", "boundary_points"):
@@ -301,7 +302,7 @@ def scale_region_centerline_morphing(
     if isinstance(region_points, np.ndarray) and region_points.dtype.kind == "i":
         idx = region_points
     else:
-        idx = VertexLookup(scaled.vertices).find_present(region_points)
+        idx = mesh_lookup(scaled).find_present(region_points)
     if len(idx) == 0:
         print("Warning: No vertices found for scaling region")
         return scaled
@@ -418,7 +419,7 @@ def order_points_list(mesh: Mesh, points: list, coord_to_idx: dict = None) -> li
             [coord_to_idx.get(tuple(p), -1) for p in points], dtype=np.int64
         )
     else:
-        all_idx = VertexLookup(mesh.vertices).find(points)
+        all_idx = mesh_lookup(mesh).find(points)
     pairs = [(int(i), p) for i, p in zip(all_idx, points) if i >= 0]
     if not pairs:
         return list(points)
@@ -625,7 +626,7 @@ def _prepare_prox_dist_boundary_pts(
                 )
 
         # write the reshaped ring back into the mesh
-        lookup = VertexLookup(mesh.vertices)
+        lookup = mesh_lookup(mesh)
         old_idx = lookup.find(prox_ring)
         new_vertices = mesh.vertices.copy()
         touched = []

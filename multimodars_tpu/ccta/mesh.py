@@ -117,13 +117,16 @@ class Mesh:
 
     def boundary_edges(self) -> np.ndarray:
         """Edges referenced by exactly one face, as (n, 2) vertex pairs in
-        face winding order."""
-        es = self.edges_sorted
-        uniq, inverse, counts = np.unique(
-            es, axis=0, return_inverse=True, return_counts=True
-        )
-        boundary_mask = counts[inverse] == 1
-        return self.edges[boundary_mask]
+        face winding order (cached until the mesh mutates — is_watertight
+        and fill_holes interrogate the same state back to back)."""
+        if "boundary_edges" not in self._cache:
+            es = self.edges_sorted
+            uniq, inverse, counts = np.unique(
+                es, axis=0, return_inverse=True, return_counts=True
+            )
+            boundary_mask = counts[inverse] == 1
+            self._cache["boundary_edges"] = self.edges[boundary_mask]
+        return self._cache["boundary_edges"]
 
     def boundary_loops(self) -> List[List[int]]:
         """Ordered closed vertex loops of the boundary."""

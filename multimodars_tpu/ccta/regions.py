@@ -92,6 +92,21 @@ class VertexLookup:
         return idx[idx >= 0]
 
 
+def mesh_lookup(mesh) -> VertexLookup:
+    """Per-mesh memoised VertexLookup (the structured argsort over 50k+
+    vertices costs ~20 ms — callers share it through the mesh's cache,
+    which every topology/position mutation already clears)."""
+    cache = getattr(mesh, "_cache", None)
+    if cache is None:
+        return VertexLookup(mesh.vertices)
+    hit = cache.get("vertex_lookup")
+    if isinstance(hit, tuple) and hit[0] is mesh.vertices:
+        return hit[1]
+    lk = VertexLookup(mesh.vertices)
+    cache["vertex_lookup"] = (mesh.vertices, lk)
+    return lk
+
+
 def as_points(vertices: np.ndarray, idx: np.ndarray) -> list:
     """Materialise index array -> reference-compatible list of tuples."""
     return [tuple(row) for row in vertices[np.asarray(idx, dtype=np.int64)].tolist()]
@@ -103,15 +118,11 @@ def get_idx(
     """Region's vertex indices: side channel when valid, else lookup."""
     mesh = results["mesh"]
     side = results.get(_IDX_KEY)
-    if (
-        side is not None
-        and results.get(_IDX_MESH_KEY) is id(mesh)
-        and key in side
-    ):
+    if side is not None and results.get(_IDX_MESH_KEY) is mesh and key in side:
         return side[key]
     pts = results.get(key) or []
     if lookup is None:
-        lookup = VertexLookup(mesh.vertices)
+        lookup = mesh_lookup(mesh)
     return lookup.find_present(pts)
 
 
@@ -122,14 +133,14 @@ def store_regions(results: dict, regions: Dict[str, np.ndarray]) -> dict:
     mesh = results["mesh"]
     verts = mesh.vertices
     side = dict(results.get(_IDX_KEY) or {})
-    if results.get(_IDX_MESH_KEY) is not id(mesh):
+    if results.get(_IDX_MESH_KEY) is not mesh:
         side = {}
     for key, idx in regions.items():
         idx = np.asarray(idx, dtype=np.int64)
         side[key] = idx
         results[key] = as_points(verts, idx)
     results[_IDX_KEY] = side
-    results[_IDX_MESH_KEY] = id(mesh)
+    results[_IDX_MESH_KEY] = mesh
     return results
 
 
