@@ -23,3 +23,40 @@ for _name, _mod in (
     ("parallel", parallel), ("pipelines", pipelines), ("utils", utils),
 ):
     _sys.modules[__name__ + "." + _name] = _mod
+
+
+# Deep dotted imports ("from multimodars.ccta.fixing_functions import x")
+# resolve submodules by NAME through the parent's __path__, which would
+# re-execute the module under the alias package and break its relative
+# imports.  A meta-path alias finder hands back the one true
+# multimodars_tpu module object instead.
+import importlib as _importlib  # noqa: E402
+import importlib.abc as _importlib_abc  # noqa: E402
+import importlib.util as _importlib_util  # noqa: E402
+
+
+class _AliasLoader(_importlib_abc.Loader):
+    def __init__(self, real_name: str):
+        self._real_name = real_name
+
+    def create_module(self, spec):
+        return _importlib.import_module(self._real_name)
+
+    def exec_module(self, module):  # already executed under its real name
+        pass
+
+
+class _AliasFinder(_importlib_abc.MetaPathFinder):
+    def find_spec(self, name, path=None, target=None):
+        if not name.startswith("multimodars."):
+            return None
+        real = "multimodars_tpu." + name.split(".", 1)[1]
+        try:
+            if _importlib_util.find_spec(real) is None:
+                return None
+        except (ImportError, ValueError):
+            return None
+        return _importlib_util.spec_from_loader(name, _AliasLoader(real))
+
+
+_sys.meta_path.insert(0, _AliasFinder())

@@ -270,15 +270,22 @@ class Mesh:
             self.vertices[uniq[:, 0]] - self.vertices[uniq[:, 1]], axis=1
         )
 
+    @property
     def volume(self) -> float:
         """Signed volume via the divergence theorem."""
         t = self.triangles
         return float(np.einsum("ij,ij->i", t[:, 0], np.cross(t[:, 1], t[:, 2])).sum() / 6.0)
 
+    def invert(self) -> None:
+        """Flip every face's winding (trimesh.Trimesh.invert analog)."""
+        if len(self.faces):
+            self.faces = self.faces[:, ::-1]
+            self._invalidate()
+
     def fix_inversion(self) -> None:
         """Flip all faces if the signed volume is negative
         (trimesh.repair.fix_inversion analog, multibody=False)."""
-        if len(self.faces) and self.volume() < 0.0:
+        if len(self.faces) and self.volume < 0.0:
             self.faces = self.faces[:, ::-1]
             self._invalidate()
 

@@ -196,9 +196,9 @@ class TestFixNormalsAndWinding:
         mesh.fill_holes()
         mesh.faces = mesh.faces[:, ::-1]  # invert
         mesh._invalidate()
-        assert mesh.volume() < 0
+        assert mesh.volume < 0
         _fast_fix_normals(mesh)
-        assert mesh.volume() > 0
+        assert mesh.volume > 0
 
 
 class TestManualHoleFill:

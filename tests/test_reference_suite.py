@@ -2,9 +2,9 @@
 
 The upstream tests import ``multimodars`` — resolved to our shim — and use
 the reference checkout's bundled fixtures. Strongest available parity
-check: every test the reference can run against itself must pass here.
-(test_ccta.py is excluded: it imports the external ``trimesh`` package,
-which is deliberately not a dependency of this framework.)
+check: every test the reference can run against itself must pass here,
+with zero exclusions: ``import trimesh`` resolves to the
+``multimodars_tpu/compat`` facade over the package-native Mesh.
 """
 
 import os
@@ -25,12 +25,14 @@ def test_reference_test_suite_passes():
     driver = f"""
 import os, sys
 sys.path.insert(0, {repo_root!r})
+sys.path.insert(1, os.path.join({repo_root!r}, "multimodars_tpu", "compat"))
 import multimodars
+import trimesh  # the compat facade over the native Mesh
 os.chdir({str(REFERENCE)!r})
 sys.path = [p for p in sys.path if p not in ("", os.getcwd())]
 import pytest
 raise SystemExit(pytest.main([
-    "tests/", "-q", "-p", "no:cacheprovider", "--ignore=tests/test_ccta.py",
+    "tests/", "-q", "-p", "no:cacheprovider",
 ]))
 """
     env = dict(os.environ)
