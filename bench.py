@@ -9,6 +9,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline = rust_baseline_seconds / our_seconds (higher is better).
 """
 
+import os
+
+# this host faults fresh pages pathologically slowly; the opt-in glibc
+# tuning keeps benchmark timings stable (see multimodars_tpu/config.py)
+os.environ.setdefault("MMTPU_HOST_MALLOC_TUNING", "1")
+
 import json
 import math
 import sys

@@ -19,6 +19,12 @@ matplotlib is importable).
 
 from __future__ import annotations
 
+import os
+
+# this host faults fresh pages pathologically slowly; the opt-in glibc
+# tuning keeps benchmark timings stable (see multimodars_tpu/config.py)
+os.environ.setdefault("MMTPU_HOST_MALLOC_TUNING", "1")
+
 import json
 import statistics
 import sys

@@ -14,6 +14,12 @@ Output: benchmarks/results/ccta_fusion.json
 
 from __future__ import annotations
 
+import os
+
+# this host faults fresh pages pathologically slowly; the opt-in glibc
+# tuning keeps benchmark timings stable (see multimodars_tpu/config.py)
+os.environ.setdefault("MMTPU_HOST_MALLOC_TUNING", "1")
+
 import contextlib
 import io
 import json

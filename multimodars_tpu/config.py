@@ -11,8 +11,13 @@ TPUs have no native f64, so we split precision by role:
   over the angle grid are robust to it because the cost landscape's local
   curvature near the optimum exceeds the noise floor by orders of magnitude.
 
-``jax_enable_x64`` is switched on at import so CPU test runs reproduce the
-reference's f64 semantics exactly.
+IMPORT-TIME SIDE EFFECT (documented prominently): importing this package
+enables ``jax_enable_x64`` for the whole process, because the reference's
+f64 semantics are part of the API contract this library reproduces (CPU
+runs must match the Rust implementation bit-for-bit).  The switch is
+skipped when the application has already expressed a choice via the
+``JAX_ENABLE_X64`` environment variable; device kernels pick their own
+dtype through :data:`config.compute_dtype` regardless.
 """
 
 from __future__ import annotations
@@ -21,33 +26,37 @@ import os
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+if "JAX_ENABLE_X64" not in os.environ:
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: XLA compiles over a tunneled/remote backend
 # can take tens of seconds per kernel; caching executables on disk makes
 # every process after the first start warm.  Opt out with
 # MMTPU_NO_COMPILE_CACHE=1 or point elsewhere with JAX_COMPILATION_CACHE_DIR.
-# Keep faulted pages on the glibc heap: some virtualized hosts fault fresh
-# anonymous pages extremely slowly (lazy snapshot restore), and the default
-# trim/mmap behaviour makes every large numpy temporary re-fault its pages.
-# With trimming off and mmap disabled for malloc, each page is faulted at
-# most once per process.  MMTPU_PREFAULT_MB=N additionally touches an N MB
-# scratch at import to absorb the cost upfront.
-try:  # pragma: no cover - platform dependent
-    import ctypes as _ctypes
+# Host heap tuning (OPT-IN via MMTPU_HOST_MALLOC_TUNING=1): some virtualized
+# hosts fault fresh anonymous pages extremely slowly (lazy snapshot
+# restore), and glibc's default trim/mmap behaviour makes every large numpy
+# temporary re-fault its pages.  With trimming off and mmap disabled for
+# malloc, each page faults at most once per process.  MMTPU_PREFAULT_MB=N
+# additionally touches an N MB scratch at import to absorb the cost
+# upfront.  This mutates process-global allocator state, so it is never
+# applied implicitly.
+if os.environ.get("MMTPU_HOST_MALLOC_TUNING", "0") == "1":
+    try:  # pragma: no cover - platform dependent
+        import ctypes as _ctypes
 
-    _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
-    _libc.mallopt(-1, 2**30)  # M_TRIM_THRESHOLD
-    _libc.mallopt(-4, 0)  # M_MMAP_MAX
-    _prefault_mb = int(os.environ.get("MMTPU_PREFAULT_MB", "0"))
-    if _prefault_mb > 0:
-        import numpy as _np
+        _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
+        _libc.mallopt(-1, 2**30)  # M_TRIM_THRESHOLD
+        _libc.mallopt(-4, 0)  # M_MMAP_MAX
+        _prefault_mb = int(os.environ.get("MMTPU_PREFAULT_MB", "0"))
+        if _prefault_mb > 0:
+            import numpy as _np
 
-        _scratch = _np.empty(_prefault_mb * 1024 * 1024 // 8)
-        _scratch.fill(0.0)
-        del _scratch
-except Exception:
-    pass
+            _scratch = _np.empty(_prefault_mb * 1024 * 1024 // 8)
+            _scratch.fill(0.0)
+            del _scratch
+    except Exception:
+        pass
 
 if os.environ.get("MMTPU_NO_COMPILE_CACHE", "0") != "1":
     try:

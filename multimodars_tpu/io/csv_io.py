@@ -65,6 +65,8 @@ def read_contour_data(path) -> List[PyContourPoint]:
                 continue
             try:
                 frame = int(row[0])
+                if frame < 0:
+                    raise ValueError(f"negative frame id {frame}")
                 x, y, z = float(row[1]), float(row[2]), float(row[3])
                 aortic = False
                 if len(row) > 4 and row[4].strip():

@@ -1,8 +1,11 @@
 """ctypes bindings for the native I/O library (native/mmio.cpp).
 
-The library is built on demand with the in-tree Makefile; every entry point
-degrades gracefully to the pure-Python implementation when the shared
-object is missing or the toolchain is unavailable.
+The shared object is not distributed (committed binaries are
+unauditable); it is compiled from source on first use with the in-tree
+Makefile — announced on stderr, disable with MMTPU_NATIVE_BUILD=never or
+prebuild with ``make -C native``.  Every entry point degrades gracefully
+to the pure-Python implementation when the library is missing or the
+toolchain is unavailable.
 """
 
 from __future__ import annotations
@@ -24,7 +27,17 @@ _load_failed = False
 
 
 def _build_library() -> bool:
+    if os.environ.get("MMTPU_NATIVE_BUILD", "auto") == "never":
+        return False
     try:
+        import sys
+
+        print(
+            f"[multimodars_tpu] building native I/O library from "
+            f"{_NATIVE_DIR}/mmio.cpp (one-time; set MMTPU_NATIVE_BUILD=never "
+            f"to use the pure-Python paths instead)",
+            file=sys.stderr,
+        )
         subprocess.run(
             ["make", "-s"],
             cwd=_NATIVE_DIR,

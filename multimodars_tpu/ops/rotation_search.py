@@ -5,7 +5,7 @@ vmapped grid sweeps.
 Reference semantics (process_utils.rs:33-75, align_within.rs:193-247):
 
 - grid = ``start + i*step`` for i = 0..=ceil((stop-start)/step), kept while
-  <= stop, each normalised to (-pi, pi]
+  <= stop, each normalised to [-pi, pi)
 - start/stop clamp the center +/- range to +/-limes
 - argmin with first-wins tie-breaking; degenerate grid -> center
 - ladder: coarse 1 deg full-range, then 0.1 deg within +/-5 deg, then
@@ -35,7 +35,8 @@ TWO_PI = 2.0 * math.pi
 
 
 def _normalize_angle(a):
-    """((a + pi) rem_euclid 2pi) - pi, mapping to (-pi, pi]."""
+    """((a + pi) rem_euclid 2pi) - pi, mapping to [-pi, pi) — same
+    rem_euclid normalisation as the reference."""
     return jnp.mod(a + math.pi, TWO_PI) - math.pi
 
 
@@ -105,7 +106,9 @@ def candidate_angles(centers, step_deg: float, range_deg: float, limes_deg: floa
 
     start = jnp.maximum(centers - rng, -limes)  # [F]
     stop = jnp.minimum(centers + rng, limes)
-    span_ok = stop > start
+    # a collapsed window (stop == start, center clamped at +/-limes) still
+    # evaluates its single grid point, like the reference's take_while
+    span_ok = stop >= start
     steps = jnp.maximum(jnp.ceil((stop - start) / step), 1.0)  # [F]
 
     i = jnp.arange(K, dtype=centers.dtype)
@@ -151,7 +154,9 @@ def search_range_batched(
     # sequential reduce with a strictly-less comparison
     best = jnp.take_along_axis(angles, best_k[:, None], axis=1)[:, 0]
     any_valid = valid.any(axis=1)
-    return jnp.where(any_valid, best, centers)
+    # fully-inverted window (center beyond limes +/- range): the clamped
+    # start angle, i.e. grid slot 0, matches the reference's clamp
+    return jnp.where(any_valid, best, angles[:, 0])
 
 
 def ladder_stages(step_deg: float, range_deg: float):

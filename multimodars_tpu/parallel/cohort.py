@@ -48,6 +48,10 @@ def batched_pairs_from_geometries(
     packed = []
     pair_counts = []
     for geometry in geometries:
+        if not geometry.frames:
+            raise ValueError("Geometry contains no frames")
+        if geometry.frames[0].lumen.n_points == 0:
+            raise ValueError("Lumen contours have no points")
         ratio = sample_size / len(geometry.frames[0].lumen.points)
         catheter0 = geometry.frames[0].extras.get("Catheter")
         ssc = (

@@ -84,9 +84,40 @@ int mm_read_contour_csv(const char* path, double** out_data, int64_t* out_rows,
         if (nfields < 4) bad = true;
         break;
       }
-      if (nfields == 4) {
-        // aortic flag: "true"/"1"
-        fields[4] = (strncasecmp(q, "true", 4) == 0 || *q == '1') ? 1.0 : 0.0;
+      // trim trailing spaces/CR for token-exact fields
+      const char* tok_end = field_end;
+      while (tok_end > q && (tok_end[-1] == ' ' || tok_end[-1] == '\r')) tok_end--;
+      if (nfields == 0) {
+        // frame id: non-negative integer only (the reference deserializes
+        // u32; '3.0', '-3' and exponents must skip the row, matching the
+        // Python fallback's int() + sign check)
+        const char* c = q;
+        if (c < tok_end && *c == '+') c++;
+        if (c == tok_end) {
+          bad = true;
+          break;
+        }
+        uint64_t fv = 0;
+        for (; c < tok_end; ++c) {
+          if (*c < '0' || *c > '9' || fv > 0xFFFFFFFFull) {
+            bad = true;
+            break;
+          }
+          fv = fv * 10u + static_cast<uint64_t>(*c - '0');
+        }
+        if (bad || fv > 0xFFFFFFFFull) {
+          bad = true;
+          break;
+        }
+        fields[0] = static_cast<double>(fv);
+      } else if (nfields == 4) {
+        // aortic flag: exact token "1" or "true" (case-insensitive), like
+        // the fallback's strip().lower() in ("true", "1")
+        size_t len = static_cast<size_t>(tok_end - q);
+        fields[4] = ((len == 1 && *q == '1') ||
+                     (len == 4 && strncasecmp(q, "true", 4) == 0))
+                        ? 1.0
+                        : 0.0;
       } else {
         char* conv_end = nullptr;
         double v = std::strtod(q, &conv_end);

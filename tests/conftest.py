@@ -4,6 +4,8 @@ analog — SURVEY.md §4)."""
 
 import os
 
+os.environ.setdefault("MMTPU_HOST_MALLOC_TUNING", "1")
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["MMTPU_COMPUTE_DTYPE"] = "float64"  # reference parity is f64
 flags = os.environ.get("XLA_FLAGS", "")

@@ -195,8 +195,9 @@ class TestEdgeCases:
 
         from multimodars_tpu.ops.rotation_search import candidate_angles
 
-        # center far outside a tiny limes -> clamped span collapses and the
-        # search returns the center untouched
+        # center far outside a tiny limes -> the clamped window inverts and
+        # the search falls back to the clamped start angle, matching the
+        # reference's clamp (process_utils.rs:33-75)
         from multimodars_tpu.ops.rotation_search import search_range_batched
 
         test = jnp.zeros((1, 4, 2))
@@ -204,4 +205,12 @@ class TestEdgeCases:
         out = search_range_batched(
             test, test, mask, mask, 1.0, 5.0, jnp.asarray([np.pi]), 0.001
         )
-        np.testing.assert_allclose(np.asarray(out), [np.pi])
+        clamped_start = max(np.pi - np.radians(5.0), -np.radians(0.001))
+        np.testing.assert_allclose(np.asarray(out), [clamped_start])
+
+        # collapsed-but-not-inverted window (stop == start) still evaluates
+        # its single grid point instead of passing the center through
+        out = search_range_batched(
+            test, test, mask, mask, 1.0, 5.0, jnp.asarray([0.0]), 0.0
+        )
+        np.testing.assert_allclose(np.asarray(out), [0.0])

@@ -68,3 +68,42 @@ def test_obj_writer_roundtrip(tmp_path):
     # vertex values round-trip exactly
     first_v = text.splitlines()[0].split()[1:]
     assert float(first_v[0]) == geom.frames[0].lumen.xyz_view()[0, 0]
+
+
+def test_native_and_fallback_accept_identical_edge_rows(tmp_path):
+    """ADVICE parity: malformed frame ids ('3.0', '-3', '1e2') and loose
+    aortic tokens ('10') must be handled identically by the native parser
+    and the pure-Python fallback."""
+    import numpy as np
+
+    from multimodars_tpu.io import native as native_mod
+    from multimodars_tpu.io.csv_io import read_contour_data
+
+    rows = (
+        "0\t1.0\t2.0\t3.0\ttrue\n"   # kept, aortic
+        "1\t1.0\t2.0\t3.0\t10\n"     # kept, NOT aortic ('10' != '1')
+        "3.0\t1.0\t2.0\t3.0\n"        # skipped: float frame id
+        "-3\t1.0\t2.0\t3.0\n"         # skipped: negative frame id
+        "1e2\t1.0\t2.0\t3.0\n"        # skipped: exponent frame id
+        "+7\t1.0\t2.0\t3.0\t1\n"     # kept, aortic ('+' sign ok, like u32)
+        "2\tx\t2.0\t3.0\n"            # skipped: bad float
+    )
+    path = tmp_path / "edge.csv"
+    path.write_text(rows)
+
+    fallback = [
+        (p.frame_index, p.x, p.y, p.z, p.aortic) for p in read_contour_data(path)
+    ]
+
+    lib = native_mod.get_library()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    arr = native_mod.read_contour_csv_native(str(path))
+    assert arr is not None
+    native = [(int(r[0]), r[1], r[2], r[3], bool(r[4])) for r in arr.tolist()]
+
+    assert native == fallback
+    assert [f for f, *_ in native] == [0, 1, 7]
+    assert [a for *_, a in native] == [True, False, True]
