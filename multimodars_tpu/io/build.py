@@ -101,6 +101,102 @@ class _BuildFallback(Exception):
     error behaviour."""
 
 
+def _prefetch_sweep(
+    lum, input_data, prefetch, diastole, image_center, radius, n_points
+):
+    """Dispatch the rotation-search device sweep from the raw grouped lumen
+    arrays, before the host finishes building the geometry.
+
+    Valid only when ``sample_size >= n_lumen_points``: then the sample set is
+    the *full* (lumen + catheter) point set, and the Hausdorff cost — a
+    min/max statistic — is exactly invariant to point order, so the CCW sort
+    can happen on the host while the transfer and sweep already run.  The
+    frame order, per-frame centroids (raw-order means, matching the funnel's
+    pre-sort ``con_centroid`` computation) and the hole gate are all derived
+    from cheap per-frame metadata, replicating _reorder_tensor_by_records /
+    _ensure_proximal_tensor / _detect_holes_tensor decisions bit-exactly.
+
+    Returns (device_handle, key) or None when the fast path doesn't apply.
+    """
+    import math as _math
+
+    sample_size = int(prefetch["sample_size"])
+    coords = lum["coords"]  # [F, P, 3] in sorted-original-frame order
+    F, P = coords.shape[:2]
+    if F < 2 or P == 0 or sample_size < P:
+        return None
+
+    cen = coords.mean(axis=1)  # [F, 3]
+    orig = lum["orig"]
+    if input_data.record:
+        phase = "D" if diastole else "S"
+        filtered = [r.frame for r in input_data.record if r.phase == phase]
+        pos_by_orig = {}
+        for i in range(F):
+            pos_by_orig.setdefault(int(orig[i]), i)
+        perm_l, taken = [], set()
+        for o in filtered:
+            i = pos_by_orig.get(int(o))
+            if i is not None and i not in taken:
+                perm_l.append(i)
+                taken.add(i)
+        perm_l.extend(
+            sorted(
+                (i for i in range(F) if i not in taken),
+                key=lambda i: int(orig[i]),
+            )
+        )
+        perm = np.asarray(perm_l, dtype=np.int64)
+        z_frame = coords[perm, 0, 2]  # record path keeps first-point z
+        orig_perm = orig[perm]
+    else:
+        perm = np.arange(F, dtype=np.int64)
+        z_frame = cen[:, 2]
+        orig_perm = orig
+    if not (orig_perm[0] > orig_perm[-1]):  # proximal at ids[-1] -> reverse
+        perm = perm[::-1]
+
+    zs = np.sort(z_frame)
+    diffs = np.abs(np.diff(zs))
+    if diffs.size:
+        baseline = float(np.median(diffs))
+        if baseline > np.finfo(np.float64).eps and (diffs >= 1.5 * baseline).any():
+            return None  # hole-filling mutates the frame list: object path
+
+    cxy = cen[perm, :2]
+    parts = [coords[perm][:, :, :2]]
+    if n_points > 0:
+        angles = 2.0 * _math.pi * np.arange(n_points) / n_points
+        ring = np.stack(
+            [
+                image_center[0] + radius * np.cos(angles),
+                image_center[1] + radius * np.sin(angles),
+            ],
+            axis=-1,
+        )
+        parts.append(np.broadcast_to(ring[None], (F, n_points, 2)))
+    pts = np.concatenate(parts, axis=1) - cxy[:, None, :]
+
+    from ..config import config
+    from ..ops.rotation_search import chain_rotation_search
+    from ..utils.device import to_device
+
+    handle = chain_rotation_search(
+        to_device(pts, config.compute_dtype),
+        None,
+        float(prefetch["step_deg"]),
+        float(prefetch["range_deg"]),
+        bool(prefetch["bruteforce"]),
+    )
+    key = (
+        float(prefetch["step_deg"]),
+        float(prefetch["range_deg"]),
+        bool(prefetch["bruteforce"]),
+        sample_size,
+    )
+    return handle, key
+
+
 def build_tensor_from_inputdata(
     input_data: InputData,
     label: str = "",
@@ -108,6 +204,7 @@ def build_tensor_from_inputdata(
     image_center=(4.5, 4.5),
     radius: float = 0.5,
     n_points: int = 20,
+    prefetch=None,
 ) -> "TensorGeometry":
     """Array-spine construction funnel: identical semantics to
     :func:`build_geometry_from_inputdata` (build.rs:9-205) on rectangular
@@ -121,25 +218,39 @@ def build_tensor_from_inputdata(
         "Calcification": input_data.calcification,
         "Sidebranch": input_data.sidebranch,
     }
+    grouped_lumen = getattr(input_data, "lumen_grouped", None)
     arrs = {}
     for k, g in groups.items():
-        if g is None:
+        if g is None or (k == "Lumen" and grouped_lumen is not None):
             continue
         a = points_to_array(g)
         if a.shape[0]:
             arrs[k] = a
-    if "Lumen" not in arrs:
+    if "Lumen" not in arrs and grouped_lumen is None:
         raise _BuildFallback("no lumen points")
 
     all_orig = set()
     for a in arrs.values():
         all_orig.update(a[:, 0].astype(np.int64).tolist())
+    if grouped_lumen is not None:
+        all_orig.update(grouped_lumen["orig"].tolist())
     if input_data.ref_point is not None:
         all_orig.add(int(input_data.ref_point.frame_index))
     sorted_orig = sorted(all_orig)
     mapping = {orig: i for i, orig in enumerate(sorted_orig)}
 
     kind_data = {}
+    if grouped_lumen is not None:
+        kind_data["Lumen"] = dict(
+            seq=np.array(
+                [mapping[int(o)] for o in grouped_lumen["orig"]], dtype=np.int64
+            ),
+            orig=grouped_lumen["orig"],
+            coords=grouped_lumen["coords"],
+            pt_frame=grouped_lumen["pt_frame"],
+            pt_index=grouped_lumen["pt_index"],
+            pt_aortic=grouped_lumen["pt_aortic"],
+        )
     for k, a in arrs.items():
         fcol = a[:, 0].astype(np.int64)
         if np.any(fcol[1:] < fcol[:-1]):  # skip the gather when pre-sorted
@@ -162,6 +273,13 @@ def build_tensor_from_inputdata(
         )
 
     lum = kind_data["Lumen"]
+
+    pending_sweep = None
+    if prefetch is not None:
+        pending_sweep = _prefetch_sweep(
+            lum, input_data, prefetch, diastole, image_center, radius, n_points
+        )
+
     F = len(lum["seq"])
     ids = lum["seq"].copy()
     orig_frame = lum["orig"].copy()
@@ -276,6 +394,8 @@ def build_tensor_from_inputdata(
     tg.ccw_sort()
     _ensure_proximal_tensor(tg)
     check_tensor_integrity(tg)
+    if pending_sweep is not None:
+        tg._pending_sweep = pending_sweep
     return tg
 
 
@@ -407,6 +527,7 @@ def build_any_from_inputdata(
     radius: float = 0.5,
     n_points: int = 20,
     verbose: bool = True,
+    prefetch=None,
 ):
     """Build through the tensor funnel where possible, returning the
     TensorGeometry directly (the align pipelines consume it without a
@@ -418,7 +539,8 @@ def build_any_from_inputdata(
         input_data = process_directory(path, None, diastole, label)
     try:
         tg = build_tensor_from_inputdata(
-            input_data, label, diastole, image_center, radius, n_points
+            input_data, label, diastole, image_center, radius, n_points,
+            prefetch=prefetch,
         )
         if verbose:
             _print_success_message(input_data, path is not None)

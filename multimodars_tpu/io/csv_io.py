@@ -210,6 +210,7 @@ class InputData:
         "ref_point",
         "diastole",
         "label",
+        "lumen_grouped",
     )
 
     def __init__(
@@ -231,6 +232,7 @@ class InputData:
         self.ref_point = ref_point
         self.diastole = diastole
         self.label = label
+        self.lumen_grouped = None  # set by from_py_input_data's fast path
 
     @staticmethod
     def from_py_input_data(py_in: PyInputData) -> "InputData":
@@ -248,8 +250,47 @@ class InputData:
                 blocks.append(block)
             return np.concatenate(blocks) if blocks else np.zeros((0, 5))
 
-        lumen = flatten(py_in.lumen)
-        return InputData(
+        def group_lumen(group):
+            """Rectangular frame-sorted lumen groups skip the flat round
+            trip: stack straight to [F, P, 3] (+ the flat view derived from
+            it in one pass), so the tensor funnel starts from grouped arrays.
+            Returns (grouped dict, flat array) or None when the shape needs
+            the generic flatten + re-group."""
+            if not group:
+                return None
+            P = group[0].n_points
+            if P == 0 or any(c.n_points != P for c in group):
+                return None
+            coords = np.stack([c.xyz_view() for c in group])
+            pt_frame = np.stack([c.frame_indices for c in group])
+            pt_aortic = np.stack([c.aortic_flags for c in group])
+            firsts = pt_frame[:, 0]
+            if not (pt_frame == firsts[:, None]).all():
+                return None  # mixed per-point frame ids: generic grouping
+            if not (firsts[1:] > firsts[:-1]).all():
+                return None  # unsorted/duplicate frames: generic grouping
+            flat = np.empty((coords.shape[0] * P, 5))
+            flat[:, 0] = pt_frame.reshape(-1)
+            flat[:, 1:4] = coords.reshape(-1, 3)
+            flat[:, 4] = pt_aortic.reshape(-1)
+            grouped = dict(
+                orig=firsts.astype(np.int64),
+                coords=coords,
+                pt_frame=pt_frame.astype(np.int64),
+                # the flat funnel drops point indices (points_to_array fills
+                # zeros for array input); keep identical semantics
+                pt_index=np.zeros(pt_frame.shape, dtype=np.int64),
+                pt_aortic=pt_aortic.astype(bool),
+            )
+            return grouped, flat
+
+        lumen_grouped = None
+        g = group_lumen(py_in.lumen)
+        if g is not None:
+            lumen_grouped, lumen = g
+        else:
+            lumen = flatten(py_in.lumen)
+        out = InputData(
             lumen=lumen if lumen is not None else np.zeros((0, 5)),
             eem=flatten(py_in.eem),
             calcification=flatten(py_in.calcification),
@@ -259,6 +300,8 @@ class InputData:
             diastole=py_in.diastole,
             label=py_in.label,
         )
+        out.lumen_grouped = lumen_grouped
+        return out
 
 
 # ---------------------------------------------------------------------------

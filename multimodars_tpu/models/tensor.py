@@ -120,6 +120,36 @@ class TensorGeometry:
             self.ref_point.y += float(d[1])
             self.ref_point.z += float(d[2])
 
+    def ccw_roll(self) -> None:
+        """Re-establish the "last highest-Y point first" start convention by
+        rolling each (already CCW-sorted) contour.
+
+        A rotation about any pivot is a rigid motion: every point's angle
+        about the (co-rotated) contour mean shifts by the same amount, so the
+        CCW *circular* order of an already-sorted contour is unchanged — only
+        the start point (Contour::sort_contour_points' last-max-Y roll,
+        contour.rs:368-405) moves.  After a whole-contour rotation this is
+        therefore equivalent to a full :meth:`ccw_sort` at a fraction of the
+        cost (no atan2, no argsort)."""
+        for k in self.kinds:
+            xyz = self.coords[k]
+            F, n = xyz.shape[:2]
+            if n == 0:
+                continue
+            y = xyz[:, :, 1]
+            start = n - 1 - np.argmax(y[:, ::-1], axis=1)  # last max
+            roll = (np.arange(n)[None, :] + start[:, None]) % n
+            self.coords[k] = np.take_along_axis(xyz, roll[:, :, None], axis=1)
+            pf = self.pt_frame[k]
+            if not (pf[:, :1] == pf).all():
+                self.pt_frame[k] = np.take_along_axis(pf, roll, axis=1)
+            pa = self.pt_aortic[k]
+            if pa.any():
+                self.pt_aortic[k] = np.take_along_axis(pa, roll, axis=1)
+            self.pt_index[k] = np.broadcast_to(
+                np.arange(n, dtype=np.int64), (F, n)
+            ).copy()
+
     def ccw_sort(self) -> None:
         """CCW-sort every contour: stable angle sort about the contour's own
         xy mean, rolled so the *last* highest-Y point is first, point indices
@@ -188,6 +218,70 @@ class TensorGeometry:
             self.ref_point.x += float(d[0])
             self.ref_point.y += float(d[1])
             self.ref_point.z += float(d[2])
+        self.centroids = self.centroids + deltas
+
+    def finish_transform(self, angles: np.ndarray, deltas: np.ndarray,
+                         additional: float) -> None:
+        """Fused alignment epilogue transform: per-frame rotation ``angles``
+        about the frame centroid, translation ``deltas``, then an extra
+        whole-geometry rotation ``additional`` about each frame's *new*
+        centroid — in one read/write pass per kind.
+
+        2-D rotations about a shared pivot commute and compose additively,
+        and the post-translate centroid is the pre-translate centroid plus
+        ``deltas``, so the composition collapses to a single rotation by
+        ``angles + additional`` about the *original* centroid followed by the
+        translation.  Semantics are exactly ``rigid_transform(angles,
+        deltas)`` followed by ``rotate_about_frame_centroids(additional)``
+        (the latter, like Frame::rotate, leaves stored contour centroids
+        untouched — they stay at their post-translate values, which are
+        computed analytically here instead of by a full mean pass)."""
+        angles = np.asarray(angles, dtype=np.float64)
+        deltas = np.asarray(deltas, dtype=np.float64)
+        total = angles + additional
+        ct = np.cos(total)[:, None]
+        st = np.sin(total)[:, None]
+        c = np.cos(angles)
+        s = np.sin(angles)
+        cx = self.centroids[:, 0][:, None]
+        cy = self.centroids[:, 1][:, None]
+        dx = deltas[:, 0][:, None]
+        dy = deltas[:, 1][:, None]
+        dz = deltas[:, 2][:, None]
+        add_z = bool(dz.any())
+        for k in self.kinds:
+            xyz = self.coords[k]
+            x = xyz[:, :, 0] - cx
+            y = xyz[:, :, 1] - cy
+            xyz[:, :, 0] = x * ct - y * st + cx + dx
+            xyz[:, :, 1] = x * st + y * ct + cy + dy
+            if add_z:
+                xyz[:, :, 2] += dz
+            # post-translate contour centroid, analytically: the mean
+            # commutes with the rigid map R_angles(. - c) + c + t
+            cc = self.con_centroid[k]
+            mx = cc[:, 0] - cx[:, 0]
+            my = cc[:, 1] - cy[:, 0]
+            new_cc = np.empty_like(cc)
+            new_cc[:, 0] = mx * c - my * s + cx[:, 0] + dx[:, 0]
+            new_cc[:, 1] = mx * s + my * c + cy[:, 0] + dy[:, 0]
+            new_cc[:, 2] = cc[:, 2] + deltas[:, 2]
+            self.con_centroid[k] = new_cc
+        if self.ref_point is not None and self.ref_pos is not None:
+            i = self.ref_pos
+            a = float(angles[i])
+            piv = (float(self.centroids[i, 0]), float(self.centroids[i, 1]))
+            if a != 0.0:
+                self.ref_point = self.ref_point.rotate(a, piv)
+            d = deltas[i]
+            self.ref_point.x += float(d[0])
+            self.ref_point.y += float(d[1])
+            self.ref_point.z += float(d[2])
+            if additional != 0.0:
+                self.ref_point = self.ref_point.rotate(
+                    additional,
+                    (piv[0] + float(d[0]), piv[1] + float(d[1])),
+                )
         self.centroids = self.centroids + deltas
 
     def smooth_xy(self) -> None:

@@ -159,6 +159,140 @@ def search_range_batched(
     return jnp.where(any_valid, best, angles[:, 0])
 
 
+# ---------------------------------------------------------------------------
+# certified lower-bound pruning
+# ---------------------------------------------------------------------------
+#
+# The fine ladder stages evaluate O(100) candidate angles at full [N, M]
+# Hausdorff cost each, but the argmin is decided by a handful of them.  A
+# directed Hausdorff whose OUTER (max) set is subsampled is a true lower
+# bound of the full cost — dropping rows from a max can only lower it, while
+# the inner min still ranges over the full opposite set.  So each stage can:
+#
+#   1. sweep ALL candidates with outer sets strided by _PRUNE_STRIDE
+#      (1/stride of the full work) to get lower bounds lb[k],
+#   2. evaluate the _PRUNE_TOP smallest-lb candidates at full cost,
+#   3. certify: if the best exact cost m is strictly below every
+#      unevaluated candidate's lb (with a relative margin covering any
+#      ulp-level divergence between the two kernels), the full argmin is
+#      provably among the evaluated ones — including first-wins tie order,
+#      because lax.top_k prefers lower indices on equal bounds and any
+#      unevaluated candidate costs strictly more than m.
+#
+# If certification fails for any pair in the batch, the whole stage falls
+# back to the exact full sweep (lax.cond — a scalar branch, so only one
+# side executes).  Results are bit-identical to the unpruned sweep either
+# way; only the work changes.  Parity: search_range (process_utils.rs:33-75).
+
+_PRUNE_MIN_K = 24
+_PRUNE_MIN_POINTS = 128
+_PRUNE_STRIDE = 4
+_PRUNE_TOP = 12
+
+
+def _prune_enabled() -> bool:
+    import os
+
+    return os.environ.get("MMTPU_NO_PRUNE", "0") != "1"
+
+
+def _directed_sq(p, q, pmask, qmask, dense):
+    """max over p rows of (min over q rows of squared distance)."""
+    dx = p[..., :, None, 0] - q[..., None, :, 0]
+    dy = p[..., :, None, 1] - q[..., None, :, 1]
+    d2 = dx * dx + dy * dy
+    if dense:
+        return d2.min(axis=-1).max(axis=-1)
+    inf = jnp.asarray(jnp.inf, d2.dtype)
+    mn = jnp.where(qmask[..., None, :], d2, inf).min(axis=-1)
+    return jnp.where(pmask, mn, -inf).max(axis=-1)
+
+
+def _lb_cost_table(test, ref, test_mask, ref_mask, angles, angles_valid,
+                   stride: int, dense: bool):
+    """Lower-bound cost table [F, K]: outer sets strided, inner sets full."""
+    K = angles.shape[1]
+    ref_sub = ref[:, ::stride]
+    rsm = ref_mask[:, ::stride]
+    tsm = test_mask[:, ::stride]
+
+    def lb_for_angle(k):
+        th = angles[:, k]
+        c = jnp.cos(th)[:, None]
+        s = jnp.sin(th)[:, None]
+        tx = test[..., 0] * c - test[..., 1] * s
+        ty = test[..., 0] * s + test[..., 1] * c
+        rot_full = jnp.stack([tx, ty], axis=-1)
+        rot_sub = rot_full[:, ::stride]
+        fwd = _directed_sq(rot_sub, ref, tsm, ref_mask, dense)
+        bwd = _directed_sq(ref_sub, rot_full, rsm, test_mask, dense)
+        lb = jnp.maximum(fwd, bwd)
+        if not dense:
+            empty = (~test_mask.any(axis=-1)) | (~ref_mask.any(axis=-1))
+            lb = jnp.where(empty, jnp.zeros_like(lb), lb)
+        return lb
+
+    costs = lax.map(lb_for_angle, jnp.arange(K)).T  # [F, K]
+    inf = jnp.asarray(jnp.inf, costs.dtype)
+    return jnp.where(angles_valid, costs, inf)
+
+
+def search_range_batched_pruned(
+    test, ref, test_mask, ref_mask,
+    step_deg: float, range_deg: float, centers, limes_deg: float,
+    dense: bool = False,
+):
+    """Bit-identical to :func:`search_range_batched` (XLA path), usually at
+    ~1/stride + T/K of the work; falls back to the exact full sweep when the
+    certificate fails."""
+    if step_deg <= 0.0:
+        return centers
+    angles, valid = candidate_angles(centers, step_deg, range_deg, limes_deg)
+    K = angles.shape[1]
+    T = min(_PRUNE_TOP, K)
+    F = angles.shape[0]
+
+    lb = _lb_cost_table(
+        test, ref, test_mask, ref_mask, angles, valid, _PRUNE_STRIDE, dense
+    )
+    _, sel_idx = lax.top_k(-lb, T)  # T smallest lb, ties -> lower index first
+    sel_idx = jnp.sort(sel_idx, axis=1)  # restore original candidate order
+    angles_sel = jnp.take_along_axis(angles, sel_idx, axis=1)
+    valid_sel = jnp.take_along_axis(valid, sel_idx, axis=1)
+    exact = rotation_cost_table(
+        test, ref, test_mask, ref_mask, angles_sel, valid_sel, dense
+    )  # [F, T]
+    m = exact.min(axis=1)
+    big = jnp.asarray(K, sel_idx.dtype)
+    k_best = jnp.where(exact == m[:, None], sel_idx, big).min(axis=1)
+    k_best = jnp.minimum(k_best, K - 1)  # all-inf rows: clamp for the gather
+    best = jnp.take_along_axis(angles, k_best[:, None], axis=1)[:, 0]
+    any_valid = valid.any(axis=1)
+    pruned_answer = jnp.where(any_valid, best, angles[:, 0])
+
+    # certificate: every unevaluated candidate's lower bound strictly above m
+    inf = jnp.asarray(jnp.inf, lb.dtype)
+    lb_rest = lb.at[jnp.arange(F)[:, None], sel_idx].set(inf)
+    lb_rest_min = lb_rest.min(axis=1)
+    margin = lb_rest_min * jnp.asarray(1e-5, lb.dtype)
+    cert = (
+        (m < lb_rest_min - margin)
+        | (m <= 0.0)  # zero-cost optimum: lb==0 ties are all selected
+        | jnp.isinf(lb_rest_min)  # nothing unevaluated (or all invalid)
+        | ~any_valid
+    )
+
+    def _fallback():
+        costs = rotation_cost_table(
+            test, ref, test_mask, ref_mask, angles, valid, dense
+        )
+        bk = jnp.argmin(costs, axis=1)
+        b = jnp.take_along_axis(angles, bk[:, None], axis=1)[:, 0]
+        return jnp.where(any_valid, b, angles[:, 0])
+
+    return lax.cond(cert.all(), lambda: pruned_answer, _fallback)
+
+
 def ladder_stages(step_deg: float, range_deg: float):
     """Static stage list (step, range, centered_on_previous) reproducing
     find_best_rotation's match arms (align_within.rs:208-246)."""
@@ -227,6 +361,7 @@ def _stage_views(test, ref, test_mask, ref_mask, stride: int):
     jax.jit,
     static_argnames=(
         "step_deg", "range_deg", "bruteforce", "use_pallas", "dense", "fast",
+        "prune",
     ),
 )
 def _multires_rotation_search_impl(
@@ -240,11 +375,27 @@ def _multires_rotation_search_impl(
     use_pallas: bool,
     dense: bool = False,
     fast: bool = True,
+    prune: bool = True,
 ):
     dtype = test.dtype
     F = test.shape[0]
     centers = jnp.zeros((F,), dtype=dtype)
     if bruteforce:
+        k_static = (
+            int(math.ceil(2.0 * range_deg / step_deg)) + 2
+            if step_deg > 0
+            else 1
+        )
+        if (
+            prune
+            and not use_pallas
+            and min(test.shape[1], ref.shape[1]) >= _PRUNE_MIN_POINTS
+            and k_static >= _PRUNE_MIN_K
+        ):
+            return search_range_batched_pruned(
+                test, ref, test_mask, ref_mask, step_deg, range_deg,
+                centers, range_deg, dense,
+            )
         return search_range_batched(
             test, ref, test_mask, ref_mask, step_deg, range_deg, centers,
             range_deg, use_pallas, dense,
@@ -256,23 +407,39 @@ def _multires_rotation_search_impl(
         and not use_pallas
         and min(test.shape[1], ref.shape[1]) >= _MIN_SUBSAMPLE_POINTS
     )
+    prune_ok = (
+        prune
+        and not use_pallas
+        and min(test.shape[1], ref.shape[1]) >= _PRUNE_MIN_POINTS
+    )
     best = centers
     for idx, (stage_step, stage_range, centered) in enumerate(stages):
         stage_centers = best if centered else centers
         stride = _STAGE1_STRIDE if (subsample and idx == 0) else 1
         t, r, tm, rm = _stage_views(test, ref, test_mask, ref_mask, stride)
-        best = search_range_batched(
-            t,
-            r,
-            tm,
-            rm,
-            stage_step,
-            stage_range,
-            stage_centers,
-            range_deg,
-            use_pallas,
-            dense,
+        k_static = (
+            int(math.ceil(2.0 * stage_range / stage_step)) + 2
+            if stage_step > 0
+            else 1
         )
+        if prune_ok and stride == 1 and k_static >= _PRUNE_MIN_K:
+            best = search_range_batched_pruned(
+                t, r, tm, rm, stage_step, stage_range, stage_centers,
+                range_deg, dense,
+            )
+        else:
+            best = search_range_batched(
+                t,
+                r,
+                tm,
+                rm,
+                stage_step,
+                stage_range,
+                stage_centers,
+                range_deg,
+                use_pallas,
+                dense,
+            )
     return best
 
 
@@ -298,21 +465,23 @@ def multires_rotation_search(
     return _multires_rotation_search_impl(
         test, ref, test_mask, ref_mask, float(step_deg), float(range_deg),
         bool(bruteforce), bool(use_pallas), fast=_fast_ladder(),
+        prune=_prune_enabled(),
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("step_deg", "range_deg", "bruteforce", "use_pallas", "fast"),
+    static_argnames=("step_deg", "range_deg", "bruteforce", "use_pallas", "fast",
+                     "prune"),
 )
 def _multires_dense_impl(
-    test, ref, step_deg, range_deg, bruteforce, use_pallas, fast
+    test, ref, step_deg, range_deg, bruteforce, use_pallas, fast, prune
 ):
     dummy_t = jnp.ones(test.shape[:2], dtype=bool)
     dummy_r = jnp.ones(ref.shape[:2], dtype=bool)
     return _multires_rotation_search_impl(
         test, ref, dummy_t, dummy_r, step_deg, range_deg, bruteforce,
-        use_pallas, dense=True, fast=fast,
+        use_pallas, dense=True, fast=fast, prune=prune,
     )
 
 
@@ -325,36 +494,39 @@ def multires_rotation_search_dense(
         use_pallas = _pallas_default()
     return _multires_dense_impl(
         test, ref, float(step_deg), float(range_deg), bool(bruteforce),
-        bool(use_pallas), fast=_fast_ladder(),
+        bool(use_pallas), fast=_fast_ladder(), prune=_prune_enabled(),
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("step_deg", "range_deg", "bruteforce", "use_pallas", "fast"),
+    static_argnames=("step_deg", "range_deg", "bruteforce", "use_pallas", "fast",
+                     "prune"),
 )
 def _chain_rotation_search_impl(
-    pts, mask, step_deg, range_deg, bruteforce, use_pallas, fast
+    pts, mask, step_deg, range_deg, bruteforce, use_pallas, fast, prune
 ):
     # consecutive-pair view formed ON DEVICE: one [F, S, 2] transfer instead
     # of two nearly-identical [F-1, S, 2] host slices
     return _multires_rotation_search_impl(
         pts[1:], pts[:-1], mask[1:], mask[:-1],
-        step_deg, range_deg, bruteforce, use_pallas, fast=fast,
+        step_deg, range_deg, bruteforce, use_pallas, fast=fast, prune=prune,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("step_deg", "range_deg", "bruteforce", "use_pallas", "fast"),
+    static_argnames=("step_deg", "range_deg", "bruteforce", "use_pallas", "fast",
+                     "prune"),
 )
 def _chain_rotation_search_dense_impl(
-    pts, step_deg, range_deg, bruteforce, use_pallas, fast
+    pts, step_deg, range_deg, bruteforce, use_pallas, fast, prune
 ):
     dummy = jnp.ones(pts.shape[:2], dtype=bool)
     return _multires_rotation_search_impl(
         pts[1:], pts[:-1], dummy[1:], dummy[:-1],
         step_deg, range_deg, bruteforce, use_pallas, dense=True, fast=fast,
+        prune=prune,
     )
 
 
@@ -374,9 +546,9 @@ def chain_rotation_search(
     if mask is None:
         return _chain_rotation_search_dense_impl(
             pts, float(step_deg), float(range_deg), bool(bruteforce),
-            bool(use_pallas), fast=_fast_ladder(),
+            bool(use_pallas), fast=_fast_ladder(), prune=_prune_enabled(),
         )
     return _chain_rotation_search_impl(
         pts, mask, float(step_deg), float(range_deg), bool(bruteforce),
-        bool(use_pallas), fast=_fast_ladder(),
+        bool(use_pallas), fast=_fast_ladder(), prune=_prune_enabled(),
     )

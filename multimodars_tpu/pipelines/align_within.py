@@ -167,11 +167,17 @@ def _wall_tensor(tg: TensorGeometry, anomalous: bool) -> None:
     src = tg.coords[src_kind]
     P = src.shape[1]
     centroids = src.mean(axis=1)  # offset_contour recomputes the centroid
-    rel = src - centroids[:, None, :]
-    length = np.sqrt((rel * rel).sum(-1))
+    # xy-only: per-frame z is constant (the funnel assigns sorted z per
+    # frame), so rel_z is exactly 0 and the 3-D radial length of
+    # offset_contour (wall.rs:52-100) reduces to the 2-D one bitwise
+    relx = src[:, :, 0] - centroids[:, None, 0]
+    rely = src[:, :, 1] - centroids[:, None, 1]
+    length = np.sqrt(relx * relx + rely * rely)
     ok = length > np.finfo(np.float64).eps
     scale = np.where(ok, 1.0 / np.where(length > 0, length, 1.0), 0.0)
-    wall_pts = src + rel * scale[:, :, None]
+    wall_pts = src.copy()
+    wall_pts[:, :, 0] += relx * scale
+    wall_pts[:, :, 1] += rely * scale
 
     tg.kinds.append("Wall")
     tg.coords["Wall"] = wall_pts
@@ -263,15 +269,65 @@ def _ref_or_proximal_idx_tensor(tg: TensorGeometry) -> int:
     return int(tg.ids[-1])
 
 
+def _take_pending_sweep(
+    geometry, step_deg: float, range_deg: float, bruteforce: bool,
+    sample_size: int,
+):
+    """Detach and return the build-time prefetched sweep handle if it matches
+    these search parameters (io.build._prefetch_sweep), else None."""
+    if not isinstance(geometry, TensorGeometry):
+        return None
+    pending = getattr(geometry, "_pending_sweep", None)
+    if pending is None:
+        return None
+    geometry._pending_sweep = None
+    handle, key = pending
+    if key != (float(step_deg), float(range_deg), bool(bruteforce), int(sample_size)):
+        return None
+    return handle
+
+
+def _classify_pre(tg: TensorGeometry):
+    """Delta-independent part of the finish classification (elliptic ratio,
+    thicknesses, farthest-pair indices — all rigid-invariant), computable
+    while the device sweep is still in flight."""
+    from ..models.contour import elliptic_ratio, farthest_pair
+
+    if tg.ref_point is None or tg.ref_pos is None:
+        return None
+    ref_idx = _ref_or_proximal_idx_tensor(tg)
+    lum_pre = tg.coords["Lumen"][ref_idx]
+    anomalous = (
+        elliptic_ratio(lum_pre) > 2.0
+        or not np.isnan(tg.aortic_th["Lumen"][ref_idx])
+        or not np.isnan(tg.pulm_th["Lumen"][ref_idx])
+    )
+    farthest = farthest_pair(lum_pre)[:2] if anomalous else None
+    return {"ref_idx": ref_idx, "anomalous": anomalous, "farthest": farthest}
+
+
 @trace("align_within.finish_tensor")
 def _finish_alignment_tensor(
     tg: TensorGeometry,
     delta: np.ndarray,
     smooth: bool,
     verbose: bool,
+    pre=None,
 ) -> Tuple[PyGeometry, List[AlignLog], bool]:
     """Array-spine version of :func:`_finish_alignment` — identical
-    semantics, one vectorised pass per stage, one object materialisation."""
+    semantics, one vectorised pass per stage, one object materialisation.
+
+    The anomaly classification and the axis rotation are computed from the
+    *pre*-transform state: the elliptic ratio and the farthest-pair indices
+    are invariant under rigid motions, and the handful of post-transform
+    positions the axis rotation needs (reference point, frame centroid, the
+    two farthest points) follow analytically.  That lets the cumulative
+    rotation, the centroid translation and the axis rotation collapse into
+    one fused coordinate pass (:meth:`TensorGeometry.finish_transform`),
+    with the CCW re-sort reduced to a start-point roll (rotations preserve
+    circular order — :meth:`TensorGeometry.ccw_roll`)."""
+    from ..models.contour import elliptic_ratio, farthest_pair
+
     F = tg.n_frames
     ref_idx = _ref_or_proximal_idx_tensor(tg)
     logs: List[AlignLog] = []
@@ -281,29 +337,73 @@ def _finish_alignment_tensor(
         txy = np.zeros((F, 3))
         txy[1:, 0] = c0[0] - tg.centroids[1:, 0]
         txy[1:, 1] = c0[1] - tg.centroids[1:, 1]
-        ids_before = tg.ids.copy()
-        tg.rigid_transform(cum, txy)
-        for i in range(1, F):
-            logs.append(
-                AlignLog(
-                    contour_id=int(ids_before[i]),
-                    matched_to=int(ids_before[i - 1]),
-                    rot_deg=math.degrees(float(delta[i - 1])),
-                    tx=float(txy[i, 0]),
-                    ty=float(txy[i, 1]),
-                    centroid=(float(tg.centroids[i, 0]), float(tg.centroids[i, 1])),
-                )
-            )
+    else:
+        cum = np.zeros(F)
+        txy = np.zeros((F, 3))
+    ids_before = tg.ids.copy()
 
-    # hole-free guaranteed by the caller (fill_holes routes to the object
-    # pipeline); classification + axis normalisation reuse the object code
-    # through a single-frame view
-    ref_frame = tg.frame_view(ref_idx)
-    anomalous = is_anomalous_coronary(ref_frame)
-    additional_rotation = angle_ref_point_to_right(ref_frame, anomalous)
+    # classification from the pre-transform reference frame (rigid-invariant)
+    if tg.ref_point is None or tg.ref_pos is None:
+        raise ValueError("No reference point found in frame")
+    lum_pre = tg.coords["Lumen"][ref_idx]
+    if pre is not None:
+        anomalous = pre["anomalous"]
+    else:
+        anomalous = (
+            elliptic_ratio(lum_pre) > 2.0
+            or not np.isnan(tg.aortic_th["Lumen"][ref_idx])
+            or not np.isnan(tg.pulm_th["Lumen"][ref_idx])
+        )
+
+    # analytic post-transform positions of the axis-defining points
+    a_ref = float(cum[ref_idx]) if F > 0 else 0.0
+    ca, sa = math.cos(a_ref), math.sin(a_ref)
+    c_ref = tg.centroids[ref_idx]
+    t_ref = txy[ref_idx]
+
+    def _xf(px: float, py: float) -> Tuple[float, float]:
+        dx0 = px - c_ref[0]
+        dy0 = py - c_ref[1]
+        return (
+            dx0 * ca - dy0 * sa + c_ref[0] + t_ref[0],
+            dx0 * sa + dy0 * ca + c_ref[1] + t_ref[1],
+        )
+
+    rp = tg.ref_point
+    rp_xy = _xf(rp.x, rp.y)
+    if anomalous:
+        if pre is not None and pre["farthest"] is not None:
+            i1, i2 = pre["farthest"]
+        else:
+            i1, i2, _ = farthest_pair(lum_pre)
+        p1c = _xf(float(lum_pre[i1, 0]), float(lum_pre[i1, 1]))
+        p2c = _xf(float(lum_pre[i2, 0]), float(lum_pre[i2, 1]))
+    else:
+        p1c = (c_ref[0] + t_ref[0], c_ref[1] + t_ref[1])
+        p2c = rp_xy
+    additional_rotation = _axis_rotation_from_coords(p1c, p2c, rp_xy, anomalous)
+
+    tg.finish_transform(cum, txy, additional_rotation)
+    if F > 1:
+        rot_deg = np.degrees(delta).tolist()
+        txs = txy[1:, 0].tolist()
+        tys = txy[1:, 1].tolist()
+        cxs = tg.centroids[1:, 0].tolist()
+        cys = tg.centroids[1:, 1].tolist()
+        ids_l = ids_before.tolist()
+        logs = [
+            AlignLog(
+                contour_id=int(ids_l[i + 1]),
+                matched_to=int(ids_l[i]),
+                rot_deg=rot_deg[i],
+                tx=txs[i],
+                ty=tys[i],
+                centroid=(cxs[i], cys[i]),
+            )
+            for i in range(F - 1)
+        ]
     if additional_rotation != 0.0:
-        tg.rotate_about_frame_centroids(np.full(F, additional_rotation))
-        tg.ccw_sort()
+        tg.ccw_roll()
 
     if anomalous:
         half = tg.coords["Lumen"].shape[1] // 2
@@ -543,21 +643,9 @@ def is_anomalous_coronary(ref_frame: PyFrame) -> bool:
     )
 
 
-def angle_ref_point_to_right(ref_frame: PyFrame, anomalous: bool) -> float:
-    """Rotation putting the reference point rightmost (non-anomalous: the
-    centroid->ref line horizontal; anomalous: the farthest-pair axis
-    vertical).  Parity: align_within.rs:256-317."""
-    ref_point = ref_frame.reference_point
-    if ref_point is None:
-        raise ValueError("No reference point found in frame")
-    if anomalous:
-        (p1, p2), _ = ref_frame.lumen.find_farthest_points()
-        p1c = (p1.x, p1.y, p1.z)
-        p2c = (p2.x, p2.y, p2.z)
-    else:
-        p1c = ref_frame.centroid
-        p2c = (ref_point.x, ref_point.y, ref_point.z)
-
+def _axis_rotation_from_coords(p1c, p2c, ref_pt_2d, anomalous: bool) -> float:
+    """Coordinate-level core of :func:`angle_ref_point_to_right`: p1c/p2c
+    are the (x, y) of the axis endpoints, ref_pt_2d the reference point."""
     line_angle = math.atan2(p2c[1] - p1c[1], p2c[0] - p1c[0])
     desired = math.pi / 2.0 if anomalous else 0.0
     rotation = (desired - line_angle) % (2.0 * math.pi)
@@ -570,7 +658,6 @@ def angle_ref_point_to_right(ref_frame: PyFrame, anomalous: bool) -> float:
         return (dx * c - dy * s + center[0], dx * s + dy * c + center[1])
 
     center = (p1c[0], p1c[1])
-    ref_pt_2d = (ref_point.x, ref_point.y)
     rotated_ref = rotate2(ref_pt_2d, center, rotation)
     all_good = True
     for op in ((p1c[0], p1c[1]), (p2c[0], p2c[1])):
@@ -586,6 +673,25 @@ def angle_ref_point_to_right(ref_frame: PyFrame, anomalous: bool) -> float:
     if not all_good:
         rotation = (rotation + math.pi) % (2.0 * math.pi)
     return rotation
+
+
+def angle_ref_point_to_right(ref_frame: PyFrame, anomalous: bool) -> float:
+    """Rotation putting the reference point rightmost (non-anomalous: the
+    centroid->ref line horizontal; anomalous: the farthest-pair axis
+    vertical).  Parity: align_within.rs:256-317."""
+    ref_point = ref_frame.reference_point
+    if ref_point is None:
+        raise ValueError("No reference point found in frame")
+    if anomalous:
+        (p1, p2), _ = ref_frame.lumen.find_farthest_points()
+        p1c = (p1.x, p1.y)
+        p2c = (p2.x, p2.y)
+    else:
+        p1c = (ref_frame.centroid[0], ref_frame.centroid[1])
+        p2c = (ref_point.x, ref_point.y)
+    return _axis_rotation_from_coords(
+        p1c, p2c, (ref_point.x, ref_point.y), anomalous
+    )
 
 
 def assign_aortic(geometry: PyGeometry) -> PyGeometry:
@@ -634,78 +740,113 @@ def align_frames_in_geometries(
     packed = []
     tensors: List[Optional[TensorGeometry]] = []
     objects: List[Optional[PyGeometry]] = []
+    pendings: List[Optional[object]] = []
     for geometry in geometries:
+        pending = (
+            None
+            if devices is not None
+            else _take_pending_sweep(
+                geometry, step_deg, range_deg, bruteforce, sample_size
+            )
+        )
+        if pending is not None:
+            objects.append(None)
+            tensors.append(geometry)
+            pendings.append(pending)
+            packed.append(None)
+            continue
         obj, tg, pts, mask = _validate_and_pack(geometry, sample_size)
         objects.append(obj)
         tensors.append(tg)
+        pendings.append(None)
         packed.append((pts, mask))
 
-    S = max(p.shape[1] for p, _ in packed)
-    # every sample slot valid at a uniform width -> the mask-free kernel
-    dense = all(
-        (m is None or bool(m.all())) and p.shape[1] == S for p, m in packed
-    )
-    tests, refs, tmasks, rmasks, pair_counts = [], [], [], [], []
-    for pts, mask in packed:
-        F, s = pts.shape[0], pts.shape[1]
-        pad_pts = np.zeros((F, S, 2), dtype=pts.dtype)
-        pad_pts[:, :s] = pts
-        tests.append(pad_pts[1:])
-        refs.append(pad_pts[:-1])
-        if not dense:
-            pad_mask = np.zeros((F, S), dtype=bool)
-            pad_mask[:, :s] = True if mask is None else mask
-            tmasks.append(pad_mask[1:])
-            rmasks.append(pad_mask[:-1])
-        pair_counts.append(F - 1)
-
-    dtype = config.compute_dtype
-    test_h = np.concatenate(tests)
-    ref_h = np.concatenate(refs)
-    if not dense:
-        tmask_h = np.concatenate(tmasks)
-        rmask_h = np.concatenate(rmasks)
-
-    n_real = test_h.shape[0]
-    sharding = None
-    if devices is not None and len(devices) > 1:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-        nd = len(devices)
-        pad = (-n_real) % nd
-        if pad:
-            test_h = np.concatenate([test_h, np.zeros((pad, S, 2), test_h.dtype)])
-            ref_h = np.concatenate([ref_h, np.zeros((pad, S, 2), ref_h.dtype)])
+    swept = [p for p in packed if p is not None]
+    delta_all = np.zeros((0,), dtype=np.float64)
+    pair_counts = [None] * len(packed)
+    if swept:
+        S = max(p.shape[1] for p, _ in swept)
+        # every sample slot valid at a uniform width -> the mask-free kernel
+        dense = all(
+            (m is None or bool(m.all())) and p.shape[1] == S for p, m in swept
+        )
+        tests, refs, tmasks, rmasks = [], [], [], []
+        for i, entry in enumerate(packed):
+            if entry is None:
+                continue
+            pts, mask = entry
+            F, s = pts.shape[0], pts.shape[1]
+            pad_pts = np.zeros((F, S, 2), dtype=pts.dtype)
+            pad_pts[:, :s] = pts
+            tests.append(pad_pts[1:])
+            refs.append(pad_pts[:-1])
             if not dense:
-                tmask_h = np.concatenate([tmask_h, np.zeros((pad, S), bool)])
-                rmask_h = np.concatenate([rmask_h, np.zeros((pad, S), bool)])
-        mesh = Mesh(np.array(devices), ("pairs",))
-        sharding = NamedSharding(mesh, P("pairs"))
+                pad_mask = np.zeros((F, S), dtype=bool)
+                pad_mask[:, :s] = True if mask is None else mask
+                tmasks.append(pad_mask[1:])
+                rmasks.append(pad_mask[:-1])
+            pair_counts[i] = F - 1
 
-    if dense:
-        # padding pairs (all-zero points) return angle 0 and are sliced away
-        delta_all = multires_rotation_search_dense(
-            to_device(test_h, dtype, sharding),
-            to_device(ref_h, dtype, sharding),
-            float(step_deg),
-            float(range_deg),
-            bool(bruteforce),
-        )
-    else:
-        delta_all = multires_rotation_search(
-            to_device(test_h, dtype, sharding),
-            to_device(ref_h, dtype, sharding),
-            to_device(tmask_h, sharding=sharding),
-            to_device(rmask_h, sharding=sharding),
-            float(step_deg),
-            float(range_deg),
-            bool(bruteforce),
-        )
-    delta_all = np.asarray(delta_all, dtype=np.float64)[:n_real]
+        dtype = config.compute_dtype
+        test_h = np.concatenate(tests)
+        ref_h = np.concatenate(refs)
+        if not dense:
+            tmask_h = np.concatenate(tmasks)
+            rmask_h = np.concatenate(rmasks)
+
+        n_real = test_h.shape[0]
+        sharding = None
+        if devices is not None and len(devices) > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            nd = len(devices)
+            pad = (-n_real) % nd
+            if pad:
+                test_h = np.concatenate([test_h, np.zeros((pad, S, 2), test_h.dtype)])
+                ref_h = np.concatenate([ref_h, np.zeros((pad, S, 2), ref_h.dtype)])
+                if not dense:
+                    tmask_h = np.concatenate([tmask_h, np.zeros((pad, S), bool)])
+                    rmask_h = np.concatenate([rmask_h, np.zeros((pad, S), bool)])
+            mesh = Mesh(np.array(devices), ("pairs",))
+            sharding = NamedSharding(mesh, P("pairs"))
+
+        if dense:
+            # padding pairs (all-zero points) return angle 0 and are sliced away
+            delta_all = multires_rotation_search_dense(
+                to_device(test_h, dtype, sharding),
+                to_device(ref_h, dtype, sharding),
+                float(step_deg),
+                float(range_deg),
+                bool(bruteforce),
+            )
+        else:
+            delta_all = multires_rotation_search(
+                to_device(test_h, dtype, sharding),
+                to_device(ref_h, dtype, sharding),
+                to_device(tmask_h, sharding=sharding),
+                to_device(rmask_h, sharding=sharding),
+                float(step_deg),
+                float(range_deg),
+                bool(bruteforce),
+            )
+        try:
+            delta_all.copy_to_host_async()
+        except Exception:
+            pass
+        delta_all = np.asarray(delta_all, dtype=np.float64)[:n_real]
 
     results = []
     offset = 0
-    for obj, tg, n_pairs in zip(objects, tensors, pair_counts):
+    for obj, tg, n_pairs, pending in zip(objects, tensors, pair_counts, pendings):
+        if pending is not None:
+            pre = _classify_pre(tg)
+            delta = np.asarray(pending, dtype=np.float64)
+            results.append(
+                _finish_alignment_tensor(
+                    tg, delta, smooth=smooth, verbose=verbose, pre=pre
+                )
+            )
+            continue
         delta = delta_all[offset : offset + n_pairs]
         offset += n_pairs
         if tg is not None:
@@ -791,19 +932,37 @@ def align_frames_in_geometry(
     sequential chain replaced by the batched relative-rotation search (see
     module docstring).
     """
+    pending = _take_pending_sweep(
+        geometry, step_deg, range_deg, bruteforce, sample_size
+    )
+    if pending is not None:
+        # the sweep was dispatched during the geometry build (io.build
+        # _prefetch_sweep) and has been computing while the host sorted and
+        # assembled; precompute the delta-independent classification before
+        # blocking on the device result
+        pre = _classify_pre(geometry)
+        delta = np.asarray(pending, dtype=np.float64)
+        return _finish_alignment_tensor(
+            geometry, delta, smooth=smooth, verbose=verbose, pre=pre
+        )
+
     obj, tg, pts, mask = _validate_and_pack(geometry, sample_size)
 
     if pts.shape[0] > 1:
-        delta = np.asarray(
-            chain_rotation_search(
-                to_device(pts, config.compute_dtype),
-                None if mask is None else to_device(mask),
-                float(step_deg),
-                float(range_deg),
-                bool(bruteforce),
-            ),
-            dtype=np.float64,
+        r = chain_rotation_search(
+            to_device(pts, config.compute_dtype),
+            None if mask is None else to_device(mask),
+            float(step_deg),
+            float(range_deg),
+            bool(bruteforce),
         )
+        # enqueue the device->host pull right behind the sweep so completion
+        # and data arrive in one tunnel round-trip instead of two
+        try:
+            r.copy_to_host_async()
+        except Exception:
+            pass
+        delta = np.asarray(r, dtype=np.float64)
     else:
         delta = np.zeros((0,), dtype=np.float64)
 

@@ -45,6 +45,7 @@ def prepare_n_geometries(
     path_b,
     mode: str,
     verbose: bool = True,
+    prefetch=None,
 ) -> List[PyGeometry]:
     """Prepare 1/2/4 geometries for Single/Pair/Full processing.
     Parity: preprocessing.rs:27-203."""
@@ -54,7 +55,7 @@ def prepare_n_geometries(
             return [
                 build_any_from_inputdata(
                     inp, None, inp.label, inp.diastole, image_center, radius, n_points,
-                    verbose=verbose,
+                    verbose=verbose, prefetch=prefetch,
                 )
             ]
         path = path_a or path_b
@@ -66,7 +67,7 @@ def prepare_n_geometries(
         return [
             build_any_from_inputdata(
                 None, path, label, diastole, image_center, radius, n_points,
-                verbose=verbose,
+                verbose=verbose, prefetch=prefetch,
             )
         ]
 
@@ -75,7 +76,7 @@ def prepare_n_geometries(
             return [
                 build_any_from_inputdata(
                     inp, None, inp.label, inp.diastole, image_center, radius, n_points,
-                    verbose=verbose,
+                    verbose=verbose, prefetch=prefetch,
                 )
                 for inp in input_data[:2]
             ]
@@ -96,6 +97,7 @@ def prepare_n_geometries(
                 radius,
                 n_points,
                 verbose=verbose,
+                prefetch=prefetch,
             )
             for idx, dia in enumerate((True, False))
         ]
@@ -105,7 +107,7 @@ def prepare_n_geometries(
             return [
                 build_any_from_inputdata(
                     inp, None, inp.label, inp.diastole, image_center, radius, n_points,
-                    verbose=verbose,
+                    verbose=verbose, prefetch=prefetch,
                 )
                 for inp in input_data[:4]
             ]
@@ -129,6 +131,7 @@ def prepare_n_geometries(
                         radius,
                         n_points,
                         verbose=verbose,
+                        prefetch=prefetch,
                     )
                 )
                 idx += 1
@@ -176,6 +179,10 @@ def full_processing(
     geometries = prepare_n_geometries(
         labels, image_center, radius, n_points, input_data, True,
         input_path_a, input_path_b, "full", verbose=verbose,
+        prefetch=dict(
+            step_deg=step_deg, range_deg=range_deg, bruteforce=bruteforce,
+            sample_size=sample_size,
+        ),
     )
     if len(geometries) != 4:
         raise ValueError(f"Full processing requires exactly 4 geometries, got {len(geometries)}")
@@ -251,6 +258,10 @@ def double_pair_processing(
     geometries = prepare_n_geometries(
         labels, image_center, radius, n_points, input_data, True,
         input_path_a, input_path_b, "full", verbose=verbose,
+        prefetch=dict(
+            step_deg=step_deg, range_deg=range_deg, bruteforce=bruteforce,
+            sample_size=sample_size,
+        ),
     )
     if len(geometries) != 4:
         raise ValueError(
@@ -310,6 +321,10 @@ def pair_processing(
     geometries = prepare_n_geometries(
         labels, image_center, radius, n_points, input_data, True,
         input_path, None, "pair", verbose=verbose,
+        prefetch=dict(
+            step_deg=step_deg, range_deg=range_deg, bruteforce=bruteforce,
+            sample_size=sample_size,
+        ),
     )
     if len(geometries) != 2:
         raise ValueError(
@@ -363,6 +378,10 @@ def single_processing(
     geoms = prepare_n_geometries(
         labels, image_center, radius, n_points, input_data, diastole,
         input_path, None, "single", verbose=verbose,
+        prefetch=dict(
+            step_deg=step_deg, range_deg=range_deg, bruteforce=bruteforce,
+            sample_size=sample_size,
+        ),
     )
     if len(geoms) != 1:
         raise ValueError(f"Single processing requires exactly 1 geometry, got {len(geoms)}")

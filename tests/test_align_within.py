@@ -128,3 +128,103 @@ def test_idealized_geometry():
         idx = i + 1.0
         assert abs(log.tx - (-0.01 * idx)) < 0.001
         assert abs(log.ty - (0.01 * idx)) < 0.001
+
+
+class TestPrunedSweepParity:
+    """The certified lower-bound pruning (ops.rotation_search
+    search_range_batched_pruned) must be bit-identical to the exact sweep
+    for every input — including adversarial near-symmetric contours where
+    the certificate fails and the exact fallback runs."""
+
+    def _random_sets(self, rng, F=6, N=160, noise=0.02):
+        theta = np.linspace(0.0, 2 * math.pi, N, endpoint=False)
+        sets = []
+        for f in range(F):
+            a = 2.0 + 0.3 * rng.standard_normal()
+            b = 1.3 + 0.2 * rng.standard_normal()
+            wob = noise * rng.standard_normal(N)
+            x = (a + wob) * np.cos(theta)
+            y = (b + wob) * np.sin(theta)
+            rot = rng.uniform(-0.3, 0.3)
+            xr = x * math.cos(rot) - y * math.sin(rot)
+            yr = x * math.sin(rot) + y * math.cos(rot)
+            sets.append(np.stack([xr, yr], -1))
+        return np.asarray(sets)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("step,rng_deg", [(0.01, 6.0), (0.1, 45.0)])
+    def test_ladder_pruned_equals_exact(self, seed, step, rng_deg, monkeypatch):
+        from multimodars_tpu.ops.rotation_search import (
+            multires_rotation_search_dense,
+        )
+
+        rng = np.random.default_rng(seed)
+        pts = self._random_sets(rng)
+        test, ref = pts[1:], pts[:-1]
+
+        pruned = np.asarray(
+            multires_rotation_search_dense(test, ref, step, rng_deg)
+        )
+        monkeypatch.setenv("MMTPU_NO_PRUNE", "1")
+        exact = np.asarray(
+            multires_rotation_search_dense(test, ref, step, rng_deg)
+        )
+        np.testing.assert_array_equal(pruned, exact)
+
+    def test_symmetric_contours_fall_back_correctly(self, monkeypatch):
+        """A perfect circle makes every candidate cost (near-)equal — the
+        certificate cannot hold, the fallback must produce the exact
+        first-wins argmin."""
+        from multimodars_tpu.ops.rotation_search import (
+            multires_rotation_search_dense,
+        )
+
+        theta = np.linspace(0.0, 2 * math.pi, 200, endpoint=False)
+        circle = np.stack([np.cos(theta), np.sin(theta)], -1)
+        pts = np.stack([circle, circle, circle])
+        test, ref = pts[1:], pts[:-1]
+        pruned = np.asarray(
+            multires_rotation_search_dense(test, ref, 0.01, 6.0)
+        )
+        monkeypatch.setenv("MMTPU_NO_PRUNE", "1")
+        exact = np.asarray(
+            multires_rotation_search_dense(test, ref, 0.01, 6.0)
+        )
+        np.testing.assert_array_equal(pruned, exact)
+
+    @pytest.mark.parametrize("seed", [3, 4])
+    def test_bruteforce_pruned_equals_exact(self, seed, monkeypatch):
+        from multimodars_tpu.ops.rotation_search import (
+            multires_rotation_search_dense,
+        )
+
+        rng = np.random.default_rng(seed)
+        pts = self._random_sets(rng, F=4)
+        test, ref = pts[1:], pts[:-1]
+        pruned = np.asarray(
+            multires_rotation_search_dense(test, ref, 0.05, 3.0, bruteforce=True)
+        )
+        monkeypatch.setenv("MMTPU_NO_PRUNE", "1")
+        exact = np.asarray(
+            multires_rotation_search_dense(test, ref, 0.05, 3.0, bruteforce=True)
+        )
+        np.testing.assert_array_equal(pruned, exact)
+
+    def test_masked_pruned_equals_exact(self, monkeypatch):
+        from multimodars_tpu.ops.rotation_search import multires_rotation_search
+
+        rng = np.random.default_rng(9)
+        pts = self._random_sets(rng, F=5, N=150)
+        test, ref = pts[1:], pts[:-1]
+        tm = np.ones(test.shape[:2], dtype=bool)
+        rm = np.ones(ref.shape[:2], dtype=bool)
+        tm[:, 140:] = False
+        rm[:, 145:] = False
+        pruned = np.asarray(
+            multires_rotation_search(test, ref, tm, rm, 0.01, 6.0)
+        )
+        monkeypatch.setenv("MMTPU_NO_PRUNE", "1")
+        exact = np.asarray(
+            multires_rotation_search(test, ref, tm, rm, 0.01, 6.0)
+        )
+        np.testing.assert_array_equal(pruned, exact)
