@@ -1,17 +1,19 @@
 """Debug visualisations for CCTA labeling / discretization.
 
 Parity of surface: ``multimodars/ccta/debug_plots.py`` of the reference
-(pyglet/trimesh scenes + plotly figures).  Interactive viewers are not
-available in this environment, so every plot function degrades gracefully:
-with plotly installed it writes standalone HTML next to the cwd; otherwise
-it prints a compact textual summary.  Signatures match the reference so
-calling code ports unchanged.
+(pyglet/trimesh interactive scenes + plotly figures).  Interactive viewers
+are not available in headless environments, so every plot function renders
+a full plotly figure when plotly is importable — written as standalone HTML
+next to the cwd (open in any browser for the same rotate/zoom/toggle
+experience as the reference's pyglet windows) — and degrades to a compact
+textual summary otherwise.  Signatures and colour coding match the
+reference so calling code ports unchanged.
 """
 
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -20,56 +22,84 @@ try:  # optional
 except ImportError:
     go = None
 
+# region colours, matching the reference's point-cloud colour coding
+# (debug_plots.py:34-132)
 _REGION_COLORS = {
-    "aorta_points": "yellow",
-    "rca_points": "blue",
-    "lca_points": "green",
+    "aorta_points": "gold",
+    "rca_points": "steelblue",
+    "lca_points": "coral",
     "rca_removed_points": "red",
     "lca_removed_points": "red",
     "proximal_points": "cyan",
     "distal_points": "magenta",
     "anomalous_points": "orange",
+    "rca_points_main": "royalblue",
+    "lca_points_main": "orangered",
 }
+
+# vessel-tree colour ramps (debug_plots.py:229-239)
+_RCA_BRANCH_COLORS = ["#4fa3e0", "#7ec8e3", "#a8d8ea", "#b8dfed"]
+_LCA_BRANCH_COLORS = ["#e07f4f", "#e3a87e", "#eac0a8", "#edd0b8"]
+
+
+class _Trace:
+    """One figure trace: points + plotly style."""
+
+    def __init__(self, pts, color=None, mode="markers", size=2, name=""):
+        self.pts = np.asarray(pts, dtype=float).reshape(-1, 3)
+        self.color = color
+        self.mode = mode
+        self.size = size
+        self.name = name
 
 
 def _cl_array(cl) -> np.ndarray:
     return np.array(
         [(p.contour_point.x, p.contour_point.y, p.contour_point.z) for p in cl.points]
-    )
+    ).reshape(-1, 3)
 
 
-def _summarize(name: str, pts) -> str:
-    arr = np.asarray(pts, dtype=float).reshape(-1, 3)
+def _summarize(trace: _Trace) -> str:
+    arr = trace.pts
     if len(arr) == 0:
-        return f"  {name}: 0 points"
+        return f"  {trace.name}: 0 points"
     lo = arr.min(axis=0)
     hi = arr.max(axis=0)
     return (
-        f"  {name}: {len(arr)} points, bbox "
+        f"  {trace.name}: {len(arr)} points, bbox "
         f"[{lo[0]:.1f},{lo[1]:.1f},{lo[2]:.1f}] - [{hi[0]:.1f},{hi[1]:.1f},{hi[2]:.1f}]"
     )
 
 
-def _emit(title: str, traces: Dict[str, np.ndarray], html_name: str) -> None:
+def _emit(title: str, traces: List[_Trace], html_name: str):
+    """Render traces: plotly HTML when available, textual summary always.
+    Returns the figure (or None) so tests and notebooks can inspect it."""
     print(f"[{title}]")
-    for name, arr in traces.items():
-        print(_summarize(name, arr))
-    if go is not None:
-        fig = go.Figure()
-        for name, arr in traces.items():
-            arr = np.asarray(arr, dtype=float).reshape(-1, 3)
-            if len(arr) == 0:
-                continue
-            fig.add_trace(
-                go.Scatter3d(
-                    x=arr[:, 0], y=arr[:, 1], z=arr[:, 2],
-                    mode="markers",
-                    marker=dict(size=2, color=_REGION_COLORS.get(name)),
-                    name=name,
-                )
+    for t in traces:
+        print(_summarize(t))
+    if go is None:
+        return None
+    fig = go.Figure()
+    for t in traces:
+        if len(t.pts) == 0:
+            continue
+        fig.add_trace(
+            go.Scatter3d(
+                x=t.pts[:, 0], y=t.pts[:, 1], z=t.pts[:, 2],
+                mode=t.mode,
+                marker=dict(size=t.size, color=t.color),
+                line=dict(color=t.color, width=3) if "lines" in t.mode else None,
+                name=t.name,
             )
-        fig.write_html(html_name)
-        print(f"  wrote {html_name}")
+        )
+    fig.update_layout(
+        title=title,
+        scene=dict(aspectmode="data"),
+        legend=dict(itemsizing="constant"),
+    )
+    fig.write_html(html_name)
+    print(f"  wrote {html_name}")
+    return fig
 
 
 def plot_results_key(
@@ -85,7 +115,9 @@ def plot_results_key(
     cl_lca=None,
     cl_aorta=None,
 ):
-    """Visualise selected labelled regions (parity: debug_plots.py:34-132)."""
+    """Visualise selected labelled regions with the reference's colour
+    coding; centerlines render as connected polylines.
+    Parity: debug_plots.py:34-132."""
     flags = {
         "aorta_points": aorta_points,
         "rca_points": rca_points,
@@ -95,69 +127,173 @@ def plot_results_key(
         "distal_points": distal_points,
         "anomalous_points": anomalous_points,
     }
-    traces = {
-        key: results.get(key, [])
+    traces = [
+        _Trace(results.get(key, []), color=_REGION_COLORS.get(key), name=key)
         for key, enabled in flags.items()
         if enabled and results.get(key)
-    }
-    for name, cl in (("cl_rca", cl_rca), ("cl_lca", cl_lca), ("cl_aorta", cl_aorta)):
+    ]
+    for name, cl, color in (
+        ("cl_rca", cl_rca, "blue"),
+        ("cl_lca", cl_lca, "green"),
+        ("cl_aorta", cl_aorta, "black"),
+    ):
         if cl is not None:
-            traces[name] = _cl_array(cl)
-    _emit("plot_results_key", traces, "plot_results_key.html")
+            traces.append(
+                _Trace(_cl_array(cl), color=color, mode="lines+markers", name=name)
+            )
+    return _emit("plot_results_key", traces, "plot_results_key.html")
 
 
 def compare_centerline_scaling(cl_before, cl_after, results: Optional[dict] = None):
-    """Parity: debug_plots.py:135-199."""
-    traces = {"before": _cl_array(cl_before), "after": _cl_array(cl_after)}
-    _emit("compare_centerline_scaling", traces, "compare_centerline_scaling.html")
+    """Before/after centerline polylines, optionally over the labelled
+    regions they were scaled against.  Parity: debug_plots.py:135-199."""
+    traces = [
+        _Trace(_cl_array(cl_before), color="gray", mode="lines+markers", name="before"),
+        _Trace(_cl_array(cl_after), color="crimson", mode="lines+markers", name="after"),
+    ]
+    if results:
+        for key in ("aorta_points", "rca_points", "lca_points"):
+            if results.get(key):
+                traces.append(
+                    _Trace(
+                        results[key], color=_REGION_COLORS.get(key), size=1, name=key
+                    )
+                )
+    return _emit(
+        "compare_centerline_scaling", traces, "compare_centerline_scaling.html"
+    )
 
 
-def plot_vessel_tree(tree):
-    """Parity: debug_plots.py:202-304."""
-    traces: Dict[str, np.ndarray] = {}
+def plot_vessel_tree(tree, pts_per_contour: int = 24):
+    """Discretized vessel tree: aorta silver, RCA main steel-blue, LCA main
+    coral, side branches in blue/orange ramps, contour centroids yellow,
+    reference triplets red/orange/magenta.  Parity: debug_plots.py:202-304."""
+    traces: List[_Trace] = []
 
-    def stack(contours):
-        rows = [c.xyz_view() for c in contours if c.n_points]
-        return np.concatenate(rows) if rows else np.zeros((0, 3))
+    def add_contours(contours, color, name):
+        rows, cents = [], []
+        for c in contours:
+            if c.n_points == 0:
+                continue
+            xyz = c.xyz_view()
+            step = max(1, len(xyz) // pts_per_contour)
+            rows.append(xyz[::step])
+            if c.centroid is not None:
+                cents.append(c.centroid)
+        if rows:
+            traces.append(_Trace(np.concatenate(rows), color=color, name=name))
+        if cents:
+            traces.append(
+                _Trace(np.asarray(cents), color="yellow", name=f"{name}_centroids")
+            )
 
-    traces["aorta"] = stack(tree.discretized_aorta)
-    traces["rca_main"] = stack(tree.discretized_rca_main)
-    traces["lca_main"] = stack(tree.discretized_lca_main)
+    def add_refs(refs, name):
+        mains, ccs, clocks = [], [], []
+        for main_ref, cc_ref, clock_ref in refs:
+            mains.append(main_ref)
+            ccs.append(cc_ref)
+            clocks.append(clock_ref)
+        for pts, color, suffix in (
+            (mains, "red", "main"),
+            (ccs, "orange", "ccw"),
+            (clocks, "magenta", "cw"),
+        ):
+            if pts:
+                traces.append(
+                    _Trace(np.asarray(pts), color=color, size=4, name=f"{name}_{suffix}")
+                )
+
+    add_contours(tree.discretized_aorta, "silver", "aorta")
+    add_contours(tree.discretized_rca_main, "steelblue", "rca_main")
     for i, branch in enumerate(tree.rca_branches):
-        traces[f"rca_side_{i + 1}"] = stack(branch)
+        add_contours(
+            branch, _RCA_BRANCH_COLORS[i % len(_RCA_BRANCH_COLORS)], f"rca_side_{i + 1}"
+        )
+    add_contours(tree.discretized_lca_main, "coral", "lca_main")
     for i, branch in enumerate(tree.lca_branches):
-        traces[f"lca_side_{i + 1}"] = stack(branch)
-    _emit("plot_vessel_tree", traces, "plot_vessel_tree.html")
+        add_contours(
+            branch, _LCA_BRANCH_COLORS[i % len(_LCA_BRANCH_COLORS)], f"lca_side_{i + 1}"
+        )
+    add_refs(tree.rca_references, "rca_ref")
+    add_refs(tree.lca_references, "lca_ref")
+    return _emit("plot_vessel_tree", traces, "plot_vessel_tree.html")
 
 
 def plot_centerline_branches(rca_cl, lca_cl, results_dict: Optional[dict] = None):
-    """Parity: debug_plots.py:307-380."""
-    traces: Dict[str, np.ndarray] = {}
-    for label, cl in (("rca", rca_cl), ("lca", lca_cl)):
-        by_branch = defaultdict(list)
+    """Per-branch polylines (branch 0 saturated, side branches lighter),
+    optionally over the labelled main-vessel point sets.
+    Parity: debug_plots.py:307-380."""
+    traces: List[_Trace] = []
+    for label, cl, ramp in (
+        ("rca", rca_cl, _RCA_BRANCH_COLORS),
+        ("lca", lca_cl, _LCA_BRANCH_COLORS),
+    ):
+        by_branch: Dict[int, list] = defaultdict(list)
         for p in cl.points:
             by_branch[p.branch_id].append(
                 (p.contour_point.x, p.contour_point.y, p.contour_point.z)
             )
-        for bid, pts in by_branch.items():
-            traces[f"{label}_branch_{bid}"] = np.array(pts)
+        for bid in sorted(by_branch):
+            color = (
+                ("steelblue" if label == "rca" else "coral")
+                if bid == 0
+                else ramp[bid % len(ramp)]
+            )
+            traces.append(
+                _Trace(
+                    np.array(by_branch[bid]),
+                    color=color,
+                    mode="lines+markers",
+                    name=f"{label}_branch_{bid}",
+                )
+            )
     if results_dict:
         for key in ("rca_points_main", "lca_points_main"):
             if results_dict.get(key):
-                traces[key] = np.asarray(results_dict[key])
-    _emit("plot_centerline_branches", traces, "plot_centerline_branches.html")
+                traces.append(
+                    _Trace(
+                        results_dict[key],
+                        color=_REGION_COLORS.get(key),
+                        size=1,
+                        name=key,
+                    )
+                )
+    return _emit(
+        "plot_centerline_branches", traces, "plot_centerline_branches.html"
+    )
 
 
 def plot_centerline_edges(cl, results: Optional[dict] = None):
-    """Parity: debug_plots.py:383-432."""
-    _emit("plot_centerline_edges", {"centerline": _cl_array(cl)}, "plot_centerline_edges.html")
+    """Centerline as a connected polyline with endpoints highlighted (the
+    reference's edge view).  Parity: debug_plots.py:383-432."""
+    pos = _cl_array(cl)
+    traces = [_Trace(pos, color="black", mode="lines+markers", name="centerline")]
+    if len(pos):
+        traces.append(
+            _Trace(pos[[0, -1]], color="red", size=5, name="endpoints")
+        )
+    if results:
+        for key, pts in results.items():
+            if pts and key in _REGION_COLORS:
+                traces.append(
+                    _Trace(pts, color=_REGION_COLORS[key], size=1, name=key)
+                )
+    return _emit("plot_centerline_edges", traces, "plot_centerline_edges.html")
 
 
 def plot_sharp_angles(cl, branch_id: int, positions: List[int]):
-    """Parity: debug_plots.py:435-495."""
+    """A branch polyline with its sharp-angle vertices highlighted.
+    Parity: debug_plots.py:435-495."""
     branch = cl.get_branch(branch_id)
     pos = _cl_array(branch)
-    traces = {"branch": pos}
+    traces = [
+        _Trace(pos, color="steelblue", mode="lines+markers", name="branch")
+    ]
     if positions:
-        traces["sharp_angles"] = pos[np.asarray(positions, dtype=int)]
-    _emit("plot_sharp_angles", traces, "plot_sharp_angles.html")
+        idx = np.asarray(positions, dtype=int)
+        idx = idx[(idx >= 0) & (idx < len(pos))]
+        if len(idx):
+            traces.append(
+                _Trace(pos[idx], color="red", size=6, name="sharp_angles")
+            )
+    return _emit("plot_sharp_angles", traces, "plot_sharp_angles.html")

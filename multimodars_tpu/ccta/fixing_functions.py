@@ -21,26 +21,25 @@ except ImportError:
 
 def manual_hole_fill(mesh: Mesh) -> Mesh:
     """Fill holes by fan-triangulating each boundary loop to its centroid.
-    Parity: fixing_functions.py:13-49."""
+    Parity: fixing_functions.py:13-49.
+
+    ``Mesh.boundary_loops`` already yields each hole as an *ordered* vertex
+    cycle (it walks the directed boundary edges), so the reference's
+    re-ordering pass is a no-op here — fan faces pair consecutive loop
+    vertices directly, and the final ``fix_normals`` establishes a
+    consistent orientation exactly as it would for any cyclic order."""
     new_vertices = list(mesh.vertices)
     new_faces = list(mesh.faces)
-    coord_to_idx = {tuple(v): i for i, v in enumerate(mesh.vertices.tolist())}
 
     for loop in mesh.boundary_loops():
-        pts = [tuple(mesh.vertices[i]) for i in loop]
-        ordered = order_points_list(mesh, pts, coord_to_idx=coord_to_idx)
-        if len(ordered) < 3:
+        n = len(loop)
+        if n < 3:
             continue
-        ordered_arr = np.array(ordered)
-        centroid = ordered_arr.mean(axis=0)
+        centroid = mesh.vertices[loop].mean(axis=0)
         centroid_idx = len(new_vertices)
         new_vertices.append(centroid)
-        n = len(ordered)
         for i in range(n):
-            i0 = coord_to_idx.get(tuple(ordered[i]))
-            i1 = coord_to_idx.get(tuple(ordered[(i + 1) % n]))
-            if i0 is not None and i1 is not None:
-                new_faces.append([i0, i1, centroid_idx])
+            new_faces.append([loop[i], loop[(i + 1) % n], centroid_idx])
 
     result = Mesh(np.array(new_vertices), np.array(new_faces, dtype=np.int64))
     result.fix_normals()

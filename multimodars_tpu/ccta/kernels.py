@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..config import config
+from ..config import config, default_backend
 from ..models.centerline import PyCenterline
 from ..utils.device import to_device
 from ..models.contour import PyContour
@@ -60,6 +60,18 @@ def _min_sqdist_block(a, b):
 def _count_within_block(block, b_arr, r2):
     d2 = ((block[:, None, :] - b_arr[None, :, :]) ** 2).sum(-1)
     return (d2 <= r2).sum(axis=1)
+
+
+@jax.jit
+def _count_band_block(block, b_arr, r2lo, r2hi):
+    """Banded neighbour count: pairs certainly inside (d2 <= r2lo) and pairs
+    inside the uncertainty band (r2lo, r2hi] whose rows need an exact f64
+    recount on the host.  Stacked into one array so each chunk costs a
+    single device->host pull."""
+    d2 = ((block[:, None, :] - b_arr[None, :, :]) ** 2).sum(-1)
+    certain = (d2 <= r2lo).sum(axis=1)
+    near = ((d2 > r2lo) & (d2 <= r2hi)).sum(axis=1)
+    return jnp.stack([certain, near])
 
 
 # Above this many pairwise evaluations min_sqdist runs on the device
@@ -274,6 +286,95 @@ def _count_within_radius_grid(a64, b64, radius):
     return counts
 
 
+def _count_rows_exact_host(a64: np.ndarray, b64: np.ndarray, r2: float) -> np.ndarray:
+    """Exact f64 neighbour counts (gram matmul + exact recheck of
+    boundary-tolerance hits) for a typically-small row subset."""
+    sb = (b64 * b64).sum(axis=1)
+    bT = np.ascontiguousarray(b64.T)
+    out = np.empty(len(a64), dtype=np.int64)
+    tol = 1e-9 * max(r2, 1.0)
+    chunk = max(1, min(len(a64), 4_000_000 // max(len(b64), 1) + 1))
+    for start in range(0, len(a64), chunk):
+        blk = a64[start : start + chunk]
+        d2 = (blk * blk).sum(axis=1)[:, None] + sb[None, :] - 2.0 * (blk @ bT)
+        near = np.abs(d2 - r2) < tol
+        if near.any():
+            ii, jj = np.nonzero(near)
+            d2[ii, jj] = ((blk[ii] - b64[jj]) ** 2).sum(axis=1)
+        out[start : start + chunk] = (d2 <= r2).sum(axis=1)
+    return out
+
+
+# device routing threshold for banded neighbour counting: the dispatch +
+# tunnel latency (~30 ms) amortizes only on large pair products
+_COUNT_DEVICE_PAIRS = int(os.environ.get("MMTPU_CCTA_COUNT_DEVICE_PAIRS", 50_000_000))
+
+
+def _count_within_radius_device(
+    a64: np.ndarray, b64: np.ndarray, radius: float, dtype=None
+) -> np.ndarray:
+    """Banded device neighbour counting with exact-parity certification.
+
+    The [N, M] distance/compare/sum pipeline runs on the accelerator in the
+    compute dtype; pairs whose squared distance lands within a rigorous
+    rounding-error band of r^2 flag their row, and flagged rows are recounted
+    exactly in f64 on the host.  Counts are therefore identical to the host
+    grid path (the R-tree analog, scale/label_coronary.rs) for every input.
+    """
+    if dtype is None:
+        dtype = config.compute_dtype
+    r2 = radius * radius
+    # center to minimise the magnitude entering the low-precision square
+    mid = 0.5 * (
+        np.minimum(a64.min(axis=0), b64.min(axis=0))
+        + np.maximum(a64.max(axis=0), b64.max(axis=0))
+    )
+    ac = a64 - mid
+    bc = b64 - mid
+    maxc = float(max(np.abs(ac).max(), np.abs(bc).max(), 1e-30))
+    eps = float(np.finfo(np.dtype(dtype)).eps)
+    # error through the rounded-input / diff / square / 3-sum chain at the
+    # boundary |d| ~ radius is <= ~(6 r maxc + 2.5 r^2) eps; factor 4 margin
+    band = (24.0 * radius * maxc + 10.0 * r2) * eps
+
+    m_pad = 1024
+    while m_pad < len(bc):
+        m_pad *= 2
+    b_pad = np.full((m_pad, 3), np.inf)
+    b_pad[: len(bc)] = bc
+    b_d = to_device(b_pad, dtype)
+    r2lo = jnp.asarray(r2 - band, dtype)
+    r2hi = jnp.asarray(r2 + band, dtype)
+
+    # dispatch every chunk before pulling any result: the pulls then cost
+    # one tunnel round-trip total instead of one per chunk
+    handles = []
+    for start in range(0, len(a64), _CHUNK):
+        blk = ac[start : start + _CHUNK]
+        n = len(blk)
+        if n < _CHUNK:
+            pad = np.full((_CHUNK, 3), np.inf)
+            pad[:n] = blk
+            blk = pad
+        handles.append((start, n, _count_band_block(to_device(blk, dtype), b_d, r2lo, r2hi)))
+
+    counts = np.empty(len(a64), dtype=np.int64)
+    near_rows = np.zeros(len(a64), dtype=bool)
+    for start, n, h in handles:
+        both = np.asarray(h)
+        counts[start : start + n] = both[0, :n].astype(np.int64)
+        near_rows[start : start + n] = both[1, :n] > 0
+    if near_rows.any():
+        # exact recount of flagged rows: the host grid (R-tree analog) is
+        # exact and touches only each row's neighbourhood candidates
+        sub = np.ascontiguousarray(a64[near_rows])
+        grid = _count_within_radius_grid(sub, b64, radius)
+        counts[near_rows] = (
+            grid if grid is not None else _count_rows_exact_host(sub, b64, r2)
+        )
+    return counts
+
+
 def count_within_radius(a: np.ndarray, b: np.ndarray, radius: float) -> np.ndarray:
     """For each row of a, the number of rows of b with squared distance
     <= radius^2 (inclusive, matching rstar's locate_within_distance)."""
@@ -283,6 +384,14 @@ def count_within_radius(a: np.ndarray, b: np.ndarray, radius: float) -> np.ndarr
     if len(a) * len(b) > 4_000_000:
         a64g = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
         b64g = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
+        if (
+            len(a) * len(b) >= _COUNT_DEVICE_PAIRS
+            and radius > 0
+            and np.isfinite(a64g).all()
+            and np.isfinite(b64g).all()
+            and default_backend() == "tpu"
+        ):
+            return _count_within_radius_device(a64g, b64g, float(radius))
         grid = _count_within_radius_grid(a64g, b64g, float(radius))
         if grid is not None:
             return grid

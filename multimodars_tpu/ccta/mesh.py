@@ -86,12 +86,23 @@ class Mesh:
     def edges_sorted(self) -> np.ndarray:
         return np.sort(self.edges, axis=1)
 
+    def _edge_keys_sorted(self) -> np.ndarray:
+        """Undirected edges as scalar keys (min * n + max), sorted — one
+        int64 sort instead of a row-wise unique over (n, 2) void views."""
+        if "edge_keys_sorted" not in self._cache:
+            e = self.edges
+            n = int(e.max()) + 1 if len(e) else 1
+            keys = np.minimum(e[:, 0], e[:, 1]) * n + np.maximum(e[:, 0], e[:, 1])
+            self._cache["edge_keys_sorted"] = (np.sort(keys), keys)
+        return self._cache["edge_keys_sorted"]
+
     @property
     def is_watertight(self) -> bool:
         """Every edge shared by exactly two faces."""
         if len(self.faces) == 0:
             return False
-        _, counts = np.unique(self.edges_sorted, axis=0, return_counts=True)
+        ks, _ = self._edge_keys_sorted()
+        uniq, counts = np.unique(ks, return_counts=True)
         return bool((counts == 2).all())
 
     def copy(self) -> "Mesh":
@@ -120,9 +131,9 @@ class Mesh:
         face winding order (cached until the mesh mutates — is_watertight
         and fill_holes interrogate the same state back to back)."""
         if "boundary_edges" not in self._cache:
-            es = self.edges_sorted
+            ks, keys = self._edge_keys_sorted()
             uniq, inverse, counts = np.unique(
-                es, axis=0, return_inverse=True, return_counts=True
+                keys, return_inverse=True, return_counts=True
             )
             boundary_mask = counts[inverse] == 1
             self._cache["boundary_edges"] = self.edges[boundary_mask]

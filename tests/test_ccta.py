@@ -472,3 +472,61 @@ class TestVesselTreePipeline:
         assert tree.rca_references
         assert tree.lca_references
         assert np.linalg.norm(np.array(tree.ao_rca)) > 0
+
+
+class TestBandedDeviceCounting:
+    """_count_within_radius_device must match the exact host grid counter
+    bit-for-bit: pairs inside the low-precision uncertainty band route their
+    rows to an exact f64 recount."""
+
+    def _clouds(self, seed, n=3000, m=4000):
+        rng = np.random.default_rng(seed)
+        a = rng.uniform(-30, 30, (n, 3))
+        b = rng.uniform(-30, 30, (m, 3))
+        return a, b
+
+    @pytest.mark.parametrize("seed,radius", [(0, 2.0), (1, 1.0), (2, 5.0)])
+    def test_matches_exact_host_f32(self, seed, radius):
+        from multimodars_tpu.ccta.kernels import (
+            _count_rows_exact_host,
+            _count_within_radius_device,
+        )
+        import jax.numpy as jnp
+
+        a, b = self._clouds(seed)
+        dev = _count_within_radius_device(a, b, radius, dtype=jnp.float32)
+        exact = _count_rows_exact_host(a, b, radius * radius)
+        np.testing.assert_array_equal(dev, exact)
+
+    def test_boundary_coincidences_f32(self):
+        """Every pair sitting within rounding noise of the r^2 boundary is
+        the worst case for the f32 band: all rows must route to the exact
+        f64 recount and match its inclusive <= semantics bit-for-bit."""
+        from multimodars_tpu.ccta.kernels import (
+            _count_rows_exact_host,
+            _count_within_radius_device,
+        )
+        import jax.numpy as jnp
+
+        # ring of points all ~radius away from the origin queries (f64
+        # cos/sin rounding puts some a few ulps above r^2, some below)
+        th = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+        b = np.stack([2.0 * np.cos(th), 2.0 * np.sin(th), np.zeros(64)], -1)
+        a = np.zeros((8, 3))
+        dev = _count_within_radius_device(a, b, 2.0, dtype=jnp.float32)
+        exact = _count_rows_exact_host(a, b, 4.0)
+        np.testing.assert_array_equal(dev, exact)
+        # sanity: the boundary split is real (not all-in/all-out)
+        assert 0 < exact[0] < 64
+
+    def test_grid_vs_device_consistency(self):
+        from multimodars_tpu.ccta.kernels import (
+            _count_within_radius_device,
+            _count_within_radius_grid,
+        )
+        import jax.numpy as jnp
+
+        a, b = self._clouds(7, n=5000, m=6000)
+        grid = _count_within_radius_grid(a, b, 1.5)
+        dev = _count_within_radius_device(a, b, 1.5, dtype=jnp.float32)
+        np.testing.assert_array_equal(dev, grid)

@@ -1,0 +1,107 @@
+"""debug_plots builders: textual fallback always works; the plotly branch is
+exercised with a stub graph_objects module (plotly is optional here)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from multimodars_tpu.ccta import debug_plots as dp
+from multimodars_tpu.models.centerline import PyCenterline, PyCenterlinePoint
+from multimodars_tpu.models.point import PyContourPoint
+
+
+def _centerline(n=8, branch=0):
+    pts = []
+    for i in range(n):
+        cp = PyContourPoint(0, i, float(i), 0.0, float(n - i), False)
+        p = PyCenterlinePoint(cp, (0.0, 0.0, -1.0))
+        p.branch_id = branch
+        pts.append(p)
+    return PyCenterline(pts)
+
+
+class _StubFig:
+    def __init__(self):
+        self.traces = []
+        self.layout = None
+        self.written = None
+
+    def add_trace(self, t):
+        self.traces.append(t)
+
+    def update_layout(self, **kw):
+        self.layout = kw
+
+    def write_html(self, name):
+        self.written = name
+
+
+def _stub_go(record):
+    mod = types.SimpleNamespace()
+
+    def Figure():
+        fig = _StubFig()
+        record.append(fig)
+        return fig
+
+    def Scatter3d(**kw):
+        return kw
+
+    mod.Figure = Figure
+    mod.Scatter3d = Scatter3d
+    return mod
+
+
+@pytest.fixture
+def stub_plotly(monkeypatch, tmp_path, capsys):
+    record = []
+    monkeypatch.setattr(dp, "go", _stub_go(record))
+    monkeypatch.chdir(tmp_path)
+    return record
+
+
+def test_plot_results_key_builds_traces(stub_plotly, capsys):
+    results = {
+        "aorta_points": [(0, 0, 0), (1, 1, 1)],
+        "rca_points": [(2, 2, 2)],
+    }
+    dp.plot_results_key(results, rca_points=True, cl_rca=_centerline())
+    out = capsys.readouterr().out
+    assert "aorta_points: 2 points" in out
+    fig = stub_plotly[0]
+    names = [t["name"] for t in fig.traces]
+    assert "aorta_points" in names and "rca_points" in names and "cl_rca" in names
+    # centerlines render as polylines, not loose markers
+    cl_trace = fig.traces[names.index("cl_rca")]
+    assert "lines" in cl_trace["mode"]
+    assert fig.written == "plot_results_key.html"
+
+
+def test_compare_centerline_scaling(stub_plotly):
+    dp.compare_centerline_scaling(_centerline(), _centerline())
+    names = [t["name"] for t in stub_plotly[0].traces]
+    assert names[:2] == ["before", "after"]
+
+
+def test_plot_centerline_branches_colors_branch0(stub_plotly):
+    dp.plot_centerline_branches(_centerline(), _centerline())
+    fig = stub_plotly[0]
+    rca0 = next(t for t in fig.traces if t["name"] == "rca_branch_0")
+    assert rca0["marker"]["color"] == "steelblue"
+
+
+def test_plot_sharp_angles_bounds_positions(stub_plotly):
+    cl = _centerline(6)
+    dp.plot_sharp_angles(cl, 0, [1, 3, 99])  # 99 out of range: dropped
+    fig = stub_plotly[0]
+    sharp = next(t for t in fig.traces if t["name"] == "sharp_angles")
+    assert len(sharp["x"]) == 2
+
+
+def test_text_fallback_without_plotly(monkeypatch, capsys):
+    monkeypatch.setattr(dp, "go", None)
+    out_fig = dp.plot_centerline_edges(_centerline())
+    assert out_fig is None
+    assert "centerline: 8 points" in capsys.readouterr().out
