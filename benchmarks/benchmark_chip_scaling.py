@@ -30,6 +30,14 @@ import os
 # tuning keeps benchmark timings stable (see multimodars_tpu/config.py)
 os.environ.setdefault("MMTPU_HOST_MALLOC_TUNING", "1")
 
+# 8 virtual CPU devices alongside the real chip so the mesh-scaling section
+# can exercise 1/2/4/8-device shardings in this same process
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
 import json
 import statistics
 import sys
@@ -98,11 +106,40 @@ def main() -> None:
     rng = np.random.default_rng(3)
     n_pairs_per = 279
     n_pts = 500
+
+    def contour_pairs(n_frames):
+        """Centered elliptic-contour stacks like a real pullback (the
+        search's cost landscape — and therefore the pruning certificates —
+        behave like production data, unlike gaussian blobs)."""
+        th = np.linspace(0, 2 * np.pi, n_pts, endpoint=False)
+        frames = []
+        rot = 0.0
+        for f in range(n_frames):
+            rot += rng.uniform(-0.08, 0.08)
+            a = 2.0 + 0.2 * np.sin(f / 17.0)
+            b = 1.4 + 0.2 * np.cos(f / 23.0)
+            wob = 0.08 * np.sin(5 * th + f / 5.0)
+            x = (a + wob) * np.cos(th)
+            y = (b + wob) * np.sin(th)
+            frames.append(
+                np.stack(
+                    [x * np.cos(rot) - y * np.sin(rot),
+                     x * np.sin(rot) + y * np.cos(rot)], -1
+                )
+            )
+        pts = np.asarray(frames)
+        return pts[1:], pts[:-1]
+
     cohort_rows = []
     for size in COHORT_SIZES:
+        tests, refs = [], []
+        for _ in range(size):
+            t, r = contour_pairs(n_pairs_per + 1)
+            tests.append(t)
+            refs.append(r)
+        test = jnp.asarray(np.concatenate(tests), jnp.float32)
+        refp = jnp.asarray(np.concatenate(refs), jnp.float32)
         F = size * n_pairs_per
-        test = jnp.asarray(rng.standard_normal((F, n_pts, 2)), jnp.float32)
-        refp = jnp.asarray(rng.standard_normal((F, n_pts, 2)), jnp.float32)
         mask = jnp.ones((F, n_pts), bool)
 
         def run_cohort(test=test, refp=refp, mask=mask):
@@ -117,17 +154,25 @@ def main() -> None:
         print(f"cohort n={size:<3d} search {sec:.3f}s  {throughput:.2f} pullbacks/s")
     payload["cohort_scaling"] = cohort_rows
 
-    # 3. virtual mesh scaling (shape only — CPU devices)
+    # 3. virtual mesh scaling (shape only — CPU devices): both parallel
+    # axes, pair data-parallelism (parallel.cohort) and angle-grid sharding
+    # (parallel.angle_shard)
+    from multimodars_tpu.parallel import angle_mesh, sharded_multires_search
+
     mesh_rows = []
+    angle_rows = []
     try:
         cpu = jax.devices("cpu")
         for nd in (1, 2, 4, 8):
             if len(cpu) < nd:
                 break
             F = 8 * n_pairs_per
-            test = jnp.asarray(rng.standard_normal((F, 64, 2)), jnp.float32)
-            refp = jnp.asarray(rng.standard_normal((F, 64, 2)), jnp.float32)
+            test_np = rng.standard_normal((F, 64, 2))
+            test = jnp.asarray(test_np, jnp.float32)
+            refp_np = rng.standard_normal((F, 64, 2))
+            refp = jnp.asarray(refp_np, jnp.float32)
             mask = jnp.ones((F, 64), bool)
+            mask_np = np.ones((F, 64), bool)
             mesh = cohort_mesh(cpu[:nd])
 
             def run_mesh(test=test, refp=refp, mask=mask, mesh=mesh):
@@ -137,10 +182,24 @@ def main() -> None:
 
             sec = _median_time(run_mesh)
             mesh_rows.append({"devices": nd, "seconds": sec})
-            print(f"mesh d={nd}  {sec:.3f}s")
+            print(f"pair-sharded mesh d={nd}  {sec:.3f}s")
+
+            # angle-grid sharding: one small pullback, a big brute grid
+            amesh = angle_mesh(cpu[:nd])
+
+            def run_angle(mesh=amesh):
+                sharded_multires_search(
+                    test_np[:32], refp_np[:32], mask_np[:32], mask_np[:32],
+                    0.05, 20.0, mesh=mesh, bruteforce=True,
+                )
+
+            sec = _median_time(run_angle)
+            angle_rows.append({"devices": nd, "seconds": sec})
+            print(f"angle-sharded mesh d={nd}  {sec:.3f}s")
     except Exception as exc:  # pragma: no cover
         print(f"mesh scaling skipped: {exc}")
     payload["virtual_mesh_scaling"] = mesh_rows
+    payload["virtual_angle_shard_scaling"] = angle_rows
 
     out = RESULTS_DIR / "chip_scaling.json"
     out.write_text(json.dumps(payload, indent=2))

@@ -1,5 +1,6 @@
 """Multi-chip scaling: device-mesh sharding of the registration workload."""
 
+from .angle_shard import angle_mesh, sharded_multires_search
 from .cohort import (
     cohort_mesh,
     cohort_relative_rotations,
@@ -7,6 +8,8 @@ from .cohort import (
 )
 
 __all__ = [
+    "angle_mesh",
+    "sharded_multires_search",
     "cohort_mesh",
     "cohort_relative_rotations",
     "batched_pairs_from_geometries",

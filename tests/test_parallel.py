@@ -5,6 +5,8 @@ import sys
 from pathlib import Path
 
 import jax
+import math
+
 import numpy as np
 import pytest
 
@@ -105,3 +107,76 @@ def test_from_array_cohort_sharded_matches_local(dummy_geom):
         assert len(l1) == len(l2)
         for f1, f2 in zip(g1.frames, g2.frames):
             np.testing.assert_allclose(f1.lumen.xyz_view(), f2.lumen.xyz_view(), atol=1e-12)
+
+
+class TestAngleShardedSearch:
+    """The angle-axis sharded ladder (parallel.angle_shard) must be
+    bit-identical to the single-device search for every mesh size."""
+
+    def _sets(self, seed=0, F=5, N=160):
+        rng = np.random.default_rng(seed)
+        th = np.linspace(0, 2 * math.pi, N, endpoint=False)
+        pts = []
+        for f in range(F + 1):
+            a = 2.0 + 0.2 * rng.standard_normal()
+            b = 1.4 + 0.2 * rng.standard_normal()
+            rot = rng.uniform(-0.4, 0.4)
+            x = a * np.cos(th)
+            y = b * np.sin(th)
+            pts.append(
+                np.stack(
+                    [x * math.cos(rot) - y * math.sin(rot),
+                     x * math.sin(rot) + y * math.cos(rot)], -1
+                )
+            )
+        pts = np.asarray(pts)
+        return pts[1:], pts[:-1]
+
+    def test_identical_across_mesh_sizes(self):
+        """Every mesh size must produce the *same bits* (the pmin-style
+        argmin is exact); vs the fused single-device jit the grid
+        construction may differ by one ulp of angle."""
+        import jax
+
+        from multimodars_tpu.ops.rotation_search import multires_rotation_search
+        from multimodars_tpu.parallel import angle_mesh, sharded_multires_search
+
+        cpus = jax.devices("cpu")
+        test, ref = self._sets()
+        tm = np.ones(test.shape[:2], bool)
+        rm = np.ones(ref.shape[:2], bool)
+        results = {}
+        for n_dev in (1, 2, 4, 8):
+            if len(cpus) < n_dev:
+                pytest.skip("not enough virtual devices")
+            results[n_dev] = sharded_multires_search(
+                test, ref, tm, rm, 0.1, 30.0, mesh=angle_mesh(cpus[:n_dev])
+            )
+        for n_dev in (2, 4, 8):
+            np.testing.assert_array_equal(results[n_dev], results[1])
+        single = np.asarray(
+            multires_rotation_search(test, ref, tm, rm, 0.1, 30.0)
+        )
+        np.testing.assert_allclose(results[1], single, rtol=0, atol=1e-13)
+
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_bruteforce_identical(self, n_dev):
+        import jax
+
+        from multimodars_tpu.ops.rotation_search import multires_rotation_search
+        from multimodars_tpu.parallel import angle_mesh, sharded_multires_search
+
+        cpus = jax.devices("cpu")
+        if len(cpus) < n_dev:
+            pytest.skip("not enough virtual devices")
+        test, ref = self._sets(seed=3, F=3)
+        tm = np.ones(test.shape[:2], bool)
+        rm = np.ones(ref.shape[:2], bool)
+        single = np.asarray(
+            multires_rotation_search(test, ref, tm, rm, 0.5, 20.0, bruteforce=True)
+        )
+        sharded = sharded_multires_search(
+            test, ref, tm, rm, 0.5, 20.0, mesh=angle_mesh(cpus[:n_dev]),
+            bruteforce=True,
+        )
+        np.testing.assert_allclose(sharded, single, rtol=0, atol=1e-13)
