@@ -14,12 +14,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import multimodars as mm
 
 REF_DATA = Path("/root/reference/examples/data")
+VENDORED = Path(__file__).resolve().parent.parent / "tests" / "data" / "fixtures"
 
 
 def main() -> None:
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("output")
-    rest = REF_DATA / "ivus_rest"
-    stress = REF_DATA / "ivus_stress"
+    data = REF_DATA if (REF_DATA / "ivus_rest").is_dir() else VENDORED
+    rest = data / "ivus_rest"
+    stress = data / "ivus_stress"
     if not rest.is_dir():
         raise SystemExit(
             "example data not found — point REF_DATA at a directory with "

@@ -15,8 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import math  # noqa: E402
+from pathlib import Path  # noqa: E402
 
 import jax  # noqa: E402
+
+# vendored golden fixtures (anonymized clinical CSV pullbacks shipped by the
+# reference); parity tests must never silently skip
+FIXTURES_DIR = Path(__file__).resolve().parent / "data" / "fixtures"
+
 import pytest  # noqa: E402
 
 # The axon TPU plugin registers itself regardless of JAX_PLATFORMS; pin all

@@ -10,7 +10,7 @@ from multimodars_tpu.pipelines.align_between import (
     rotate_geometry_around_point,
 )
 
-FIXTURES = Path("/root/reference/data/fixtures")
+FIXTURES = Path(__file__).resolve().parent / "data" / "fixtures"
 
 
 def test_align_between_simple_geometries(dummy_geom_aligned_long):

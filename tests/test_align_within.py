@@ -101,7 +101,7 @@ def test_validation_errors(dummy_geom):
         align_frames_in_geometry(dummy_geom, 1.0, 10.0, False, False, 0)
 
 
-FIXTURES_DIR = "/root/reference/data/fixtures"
+FIXTURES_DIR = str(__import__("pathlib").Path(__file__).resolve().parent / "data" / "fixtures")
 
 
 @pytest.mark.skipif(

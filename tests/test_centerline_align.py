@@ -16,7 +16,7 @@ from multimodars import (
     numpy_to_geometry,
 )
 
-FIXTURES = Path("/root/reference/data/fixtures")
+FIXTURES = Path(__file__).resolve().parent / "data" / "fixtures"
 EXAMPLES = Path("/root/reference/examples/data")
 
 AORTIC_REF_PT = (12.2605, -201.3643, 1751.0554)

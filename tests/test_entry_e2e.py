@@ -7,7 +7,7 @@ import pytest
 
 from multimodars import from_file_doublepair, from_file_full, from_file_singlepair
 
-FIXTURES = Path("/root/reference/data/fixtures")
+FIXTURES = Path(__file__).resolve().parent / "data" / "fixtures"
 
 pytestmark = pytest.mark.skipif(
     not FIXTURES.exists(), reason="reference fixtures not mounted"

@@ -1,0 +1,52 @@
+"""Executable-docs tier: every example script runs end to end in a
+subprocess (the reference's `pytest --nbmake docs/notebooks/` analog,
+CI.yml:22-45) and leaves its advertised artifacts behind."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+EXAMPLES = ROOT / "examples"
+
+
+def _run(script, args, tmp_path, timeout=480):
+    env = dict(os.environ)
+    # examples inherit the test session's CPU pinning so they never contend
+    # with a concurrently-running TPU process
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    proc = subprocess.run(
+        [sys.executable, str(EXAMPLES / script), *args],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    assert proc.returncode == 0, (
+        f"{script} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+    return proc
+
+
+def test_full_pipeline_example(tmp_path):
+    proc = _run("full_pipeline.py", [str(tmp_path / "out")], tmp_path)
+    assert "Successfully built geometry" in proc.stdout
+    written = list((tmp_path / "out").rglob("*.obj"))
+    assert written, "full_pipeline should write OBJ meshes"
+
+
+def test_cohort_serving_example(tmp_path):
+    proc = _run("cohort_serving.py", ["2"], tmp_path)
+    assert "pullback" in proc.stdout.lower() or "cohort" in proc.stdout.lower()
+
+
+def test_ccta_fusion_example(tmp_path):
+    proc = _run("ccta_fusion.py", [str(tmp_path / "ccta")], tmp_path)
+    written = list((tmp_path / "ccta").rglob("*.stl")) + list(
+        (tmp_path / "ccta").rglob("*.obj")
+    )
+    assert written, "ccta_fusion should export meshes"

@@ -15,7 +15,7 @@ from multimodars_tpu.io import (
 from multimodars_tpu.io.csv_io import InputData, process_directory
 from multimodars_tpu.models.point import PyContourPoint
 
-FIXTURES = Path("/root/reference/data/fixtures")
+FIXTURES = Path(__file__).resolve().parent / "data" / "fixtures"
 EXAMPLES = Path("/root/reference/examples/data")
 
 needs_fixtures = pytest.mark.skipif(

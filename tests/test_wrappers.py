@@ -15,7 +15,7 @@ from multimodars import (
     to_obj,
 )
 
-FIXTURES = Path("/root/reference/data/fixtures")
+FIXTURES = Path(__file__).resolve().parent / "data" / "fixtures"
 
 needs_fixtures = pytest.mark.skipif(
     not FIXTURES.exists(), reason="reference fixtures not mounted"
