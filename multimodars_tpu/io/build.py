@@ -116,7 +116,9 @@ def _prefetch_sweep(
     from cheap per-frame metadata, replicating _reorder_tensor_by_records /
     _ensure_proximal_tensor / _detect_holes_tensor decisions bit-exactly.
 
-    Returns (device_handle, key) or None when the fast path doesn't apply.
+    Returns (device_handle, key, lumen_centroids) or None when the fast
+    path doesn't apply (the centroids are the raw-order per-frame lumen
+    means, reusable by the assembly as con_centroid["Lumen"]).
     """
     import math as _math
 
@@ -194,7 +196,7 @@ def _prefetch_sweep(
         bool(prefetch["bruteforce"]),
         sample_size,
     )
-    return handle, key
+    return handle, key, cen
 
 
 def build_tensor_from_inputdata(
@@ -275,10 +277,14 @@ def build_tensor_from_inputdata(
     lum = kind_data["Lumen"]
 
     pending_sweep = None
+    prefetch_cen = None
     if prefetch is not None:
-        pending_sweep = _prefetch_sweep(
+        pf = _prefetch_sweep(
             lum, input_data, prefetch, diastole, image_center, radius, n_points
         )
+        if pf is not None:
+            pending_sweep = pf[:2]
+            prefetch_cen = pf[2]
 
     F = len(lum["seq"])
     ids = lum["seq"].copy()
@@ -326,8 +332,13 @@ def build_tensor_from_inputdata(
                 pt_frame[k][i] = d["pt_frame"][j]
                 pt_index[k][i] = d["pt_index"][j]
                 pt_aortic[k][i] = d["pt_aortic"][j]
-        cc = coords[k][present[k]].mean(axis=1)
-        con_centroid[k][present[k]] = cc
+        if k == "Lumen" and prefetch_cen is not None and present[k].all():
+            # identical to coords.mean(axis=1): the assembly adopted the
+            # same raw grouped array the prefetch averaged
+            con_centroid[k] = prefetch_cen.copy()
+        else:
+            cc = coords[k][present[k]].mean(axis=1)
+            con_centroid[k][present[k]] = cc
 
     if input_data.record:
         meas = {r.frame: (r.measurement_1, r.measurement_2) for r in input_data.record}

@@ -31,36 +31,35 @@ def logs_to_tuples(logs: List[AlignLog]):
 def dump_table(title: str, logs: List[AlignLog]) -> None:
     headers = ["Contour", "Matched To", "Rotation (°)", "Tx", "Ty", "Centroid"]
     rows = [
-        [
+        (
             str(l.contour_id),
             str(l.matched_to),
             f"{l.rot_deg:.2f}",
             f"{l.tx:.2f}",
             f"{l.ty:.2f}",
             f"({l.centroid[0]:.2f},{l.centroid[1]:.2f})",
-        ]
+        )
         for l in logs
     ]
-    widths = [len(h) for h in headers]
-    for row in rows:
-        for i, cell in enumerate(row):
-            widths[i] = max(widths[i], len(cell))
+    widths = [
+        max(len(h), max((len(r[i]) for r in rows), default=0))
+        for i, h in enumerate(headers)
+    ]
 
     total_inner = sum(widths) + 3 * len(widths) - 1
     pad = max(total_inner - len(title), 0)
-    print("\n+" + "-" * total_inner + "+")
-    print("|" + " " * (pad // 2) + title + " " * (pad - pad // 2) + "|")
     sep = "+" + "".join("-" * (w + 2) + "+" for w in widths)
-    print(sep)
-    header_cells = "|"
-    for h, w in zip(headers, widths):
-        tp = w - len(h)
-        header_cells += " " + " " * (tp // 2) + h + " " * (tp - tp // 2) + " |"
-    print(header_cells)
-    print(sep)
-    for row in rows:
-        line = "|"
-        for cell, w in zip(row, widths):
-            line += " " + cell + " " * (w - len(cell)) + " |"
-        print(line)
-    print(sep)
+    header_cells = "|" + "".join(
+        f" {h:^{w}} |" for h, w in zip(headers, widths)
+    )
+    fmt = "|" + "".join(f" {{:<{w}}} |" for w in widths)
+    lines = [
+        "\n+" + "-" * total_inner + "+",
+        "|" + " " * (pad // 2) + title + " " * (pad - pad // 2) + "|",
+        sep,
+        header_cells,
+        sep,
+    ]
+    lines.extend(fmt.format(*row) for row in rows)
+    lines.append(sep)
+    print("\n".join(lines))
