@@ -147,7 +147,8 @@ def main() -> None:
         "reference_fullworkflow_s": REFERENCE_SECONDS,
         "vs_reference": round(REFERENCE_SECONDS / total, 2),
     }
-    (RESULTS_DIR / "ccta_fusion.json").write_text(json.dumps(payload, indent=2))
+    name = "ccta_fusion.json" if scale == 3 else f"ccta_fusion_scale{scale}.json"
+    (RESULTS_DIR / name).write_text(json.dumps(payload, indent=2))
     print(json.dumps(payload, indent=2))
 
 
