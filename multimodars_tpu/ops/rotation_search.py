@@ -170,7 +170,9 @@ def search_range_batched(
 # the inner min still ranges over the full opposite set.  So each stage can:
 #
 #   1. sweep ALL candidates with outer sets strided by _PRUNE_STRIDE
-#      (1/stride of the full work) to get lower bounds lb[k],
+#      (1/stride of the full work) to get lower bounds lb[k]
+#      (stride 6 measured fastest on clinical-like contours; stride 8's
+#      weaker bounds start failing certificates and paying fallbacks),
 #   2. evaluate the _PRUNE_TOP smallest-lb candidates at full cost,
 #   3. certify: if the best exact cost m is strictly below every
 #      unevaluated candidate's lb (with a relative margin covering any
@@ -186,7 +188,7 @@ def search_range_batched(
 
 _PRUNE_MIN_K = 24
 _PRUNE_MIN_POINTS = 128
-_PRUNE_STRIDE = 4
+_PRUNE_STRIDE = 6
 _PRUNE_TOP = 12
 
 
