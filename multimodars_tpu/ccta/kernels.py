@@ -57,6 +57,20 @@ def _min_sqdist_block(a, b):
 
 
 @jax.jit
+def _min_sqdist_block2(a, b):
+    """Min + argmin + runner-up min (for the low-precision tie
+    certificate): rows whose two best candidates are closer than the f32
+    rounding band route to an exact f64 re-pick on the host."""
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    m1 = d2.min(axis=1)
+    am = d2.argmin(axis=1)
+    inf = jnp.asarray(jnp.inf, d2.dtype)
+    wo = jnp.where(jnp.arange(d2.shape[1])[None, :] == am[:, None], inf, d2)
+    m2 = wo.min(axis=1)
+    return jnp.stack([m1, m2]), am
+
+
+@jax.jit
 def _count_within_block(block, b_arr, r2):
     d2 = ((block[:, None, :] - b_arr[None, :, :]) ** 2).sum(-1)
     return (d2 <= r2).sum(axis=1)
@@ -89,23 +103,53 @@ _RAY_NATIVE_THRESHOLD = int(os.environ.get("MMTPU_CCTA_RAY_NATIVE_PAIRS", 1_000_
 
 def _min_sqdist_device(a: np.ndarray, b: np.ndarray):
     """Device nearest-neighbour pass: N chunked, M padded to a 1024 bucket
-    with +inf sentinel rows; argmins come back and the winning distances
-    are recomputed exactly in f64 so threshold comparisons stay exact."""
+    with +inf sentinel rows.  Winning distances are recomputed exactly in
+    f64, and rows whose best and runner-up candidates fall within the f32
+    rounding band (a possible argmin flip vs the exact host scan) are
+    re-picked entirely on the host — results match the host path for every
+    input."""
     dtype = config.compute_dtype
     a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
     b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
-    m_pad = max(((len(b64) + 1023) // 1024) * 1024, 1024)
+    # center to tighten the rounding band
+    mid = 0.5 * (
+        np.minimum(a64.min(axis=0), b64.min(axis=0))
+        + np.maximum(a64.max(axis=0), b64.max(axis=0))
+    )
+    ac = a64 - mid
+    bc = b64 - mid
+    maxc = float(max(np.abs(ac).max(), np.abs(bc).max(), 1e-30))
+    eps = float(np.finfo(np.dtype(dtype)).eps)
+
+    m_pad = max(((len(bc) + 1023) // 1024) * 1024, 1024)
     b_padded = np.full((m_pad, 3), np.inf)
-    b_padded[: len(b64)] = b64
+    b_padded[: len(bc)] = bc
     b_d = to_device(b_padded, dtype)
-    args = np.empty(len(a64), dtype=np.int64)
-    for start in range(0, len(a64), _CHUNK):
-        blk = a64[start : start + _CHUNK]
+
+    handles = []
+    for start in range(0, len(ac), _CHUNK):
+        blk = ac[start : start + _CHUNK]
         n_pad = max(((len(blk) + 2047) // 2048) * 2048, 2048)
         blk_padded = np.zeros((n_pad, 3))
         blk_padded[: len(blk)] = blk
-        _, g = _min_sqdist_block(to_device(blk_padded, dtype), b_d)
-        args[start : start + len(blk)] = np.asarray(g, dtype=np.int64)[: len(blk)]
+        handles.append(
+            (start, len(blk), _min_sqdist_block2(to_device(blk_padded, dtype), b_d))
+        )
+
+    args = np.empty(len(a64), dtype=np.int64)
+    ambiguous = np.zeros(len(a64), dtype=bool)
+    for start, n, (ms, g) in handles:
+        ms = np.asarray(ms, dtype=np.float64)
+        args[start : start + n] = np.asarray(g, dtype=np.int64)[:n]
+        m1 = ms[0, :n]
+        m2 = ms[1, :n]
+        band = (24.0 * np.sqrt(np.maximum(m1, 0.0)) * maxc + 10.0 * m1) * eps
+        ambiguous[start : start + n] = (m2 - m1) <= band
+    if ambiguous.any():
+        _, exact_args = _min_sqdist_host(
+            np.ascontiguousarray(a64[ambiguous]), b64
+        )
+        args[ambiguous] = exact_args
     mins = ((a64 - b64[args]) ** 2).sum(axis=1)
     return mins, args
 
@@ -116,58 +160,63 @@ def min_sqdist(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         return np.full(len(a), np.inf), np.zeros(len(a), dtype=np.int64)
     if len(a) * len(b) > _DEVICE_PAIR_THRESHOLD and len(b) > 128:
         return _min_sqdist_device(a, b)
-    if True:
-        a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
-        b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
-        if len(b64) <= 128:
-            # column sweep: temporaries stay [N]-sized (cache-resident),
-            # strict < keeps the first j like argmin
-            ax, ay, az = a64[:, 0], a64[:, 1], a64[:, 2]
-            best = np.full(len(a64), np.inf)
-            args = np.zeros(len(a64), dtype=np.int64)
-            for j in range(len(b64)):
-                d = (ax - b64[j, 0]) ** 2
-                d += (ay - b64[j, 1]) ** 2
-                d += (az - b64[j, 2]) ** 2
-                upd = d < best
-                args[upd] = j
-                best[upd] = d[upd]
-            return best, args
-        # gram form rides BLAS and keeps temporaries [chunk, M] instead of
-        # [chunk, M, 3]; per-row offsets don't change the argmin, so the
-        # combination is one fused pass; winning distances are recomputed
-        # exactly afterwards
-        sb = (b64 * b64).sum(axis=1)
-        half_sb = 0.5 * sb
-        bT = np.ascontiguousarray(b64.T)
-        args = np.empty(len(a64), dtype=np.int64)
-        scale = float(max(np.abs(sb).max(), 1.0))
-        chunk = max(1, min(len(a64), 4_000_000 // max(len(b64), 1) + 1))
-        for start in range(0, len(a64), chunk):
-            blk = a64[start : start + chunk]
-            dot = blk @ bT
-            np.subtract(half_sb[None, :], dot, out=dot)
-            am = dot.argmin(axis=1)
-            # near-ties in the gram surrogate are re-resolved with exact
-            # distances (first-wins like the reference's scan)
-            two = np.partition(dot, 1, axis=1)[:, :2] if dot.shape[1] > 1 else None
-            if two is not None:
-                tied = (two[:, 1] - two[:, 0]) < 1e-9 * scale
-                if tied.any():
-                    rows = np.nonzero(tied)[0]
-                    sub = blk[rows]
-                    d2 = (
-                        (sub * sub).sum(axis=1)[:, None]
-                        + sb[None, :]
-                        - 2.0 * (sub @ bT)
-                    )
-                    # exact recompute of candidate columns near the min
-                    jj = np.argsort(d2, axis=1, kind="stable")[:, :4]
-                    exact = ((sub[:, None, :] - b64[jj]) ** 2).sum(-1)
-                    am[rows] = jj[np.arange(len(rows)), exact.argmin(axis=1)]
-            args[start : start + chunk] = am
-        mins = ((a64 - b64[args]) ** 2).sum(axis=1)
-        return mins, args
+    a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
+    b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
+    return _min_sqdist_host(a64, b64)
+
+
+def _min_sqdist_host(a64: np.ndarray, b64: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact f64 nearest neighbours (column sweep for small b, gram matmul
+    with near-tie exact refinement otherwise)."""
+    if len(b64) <= 128:
+        # column sweep: temporaries stay [N]-sized (cache-resident),
+        # strict < keeps the first j like argmin
+        ax, ay, az = a64[:, 0], a64[:, 1], a64[:, 2]
+        best = np.full(len(a64), np.inf)
+        args = np.zeros(len(a64), dtype=np.int64)
+        for j in range(len(b64)):
+            d = (ax - b64[j, 0]) ** 2
+            d += (ay - b64[j, 1]) ** 2
+            d += (az - b64[j, 2]) ** 2
+            upd = d < best
+            args[upd] = j
+            best[upd] = d[upd]
+        return best, args
+    # gram form rides BLAS and keeps temporaries [chunk, M] instead of
+    # [chunk, M, 3]; per-row offsets don't change the argmin, so the
+    # combination is one fused pass; winning distances are recomputed
+    # exactly afterwards
+    sb = (b64 * b64).sum(axis=1)
+    half_sb = 0.5 * sb
+    bT = np.ascontiguousarray(b64.T)
+    args = np.empty(len(a64), dtype=np.int64)
+    scale = float(max(np.abs(sb).max(), 1.0))
+    chunk = max(1, min(len(a64), 4_000_000 // max(len(b64), 1) + 1))
+    for start in range(0, len(a64), chunk):
+        blk = a64[start : start + chunk]
+        dot = blk @ bT
+        np.subtract(half_sb[None, :], dot, out=dot)
+        am = dot.argmin(axis=1)
+        # near-ties in the gram surrogate are re-resolved with exact
+        # distances (first-wins like the reference's scan)
+        two = np.partition(dot, 1, axis=1)[:, :2] if dot.shape[1] > 1 else None
+        if two is not None:
+            tied = (two[:, 1] - two[:, 0]) < 1e-9 * scale
+            if tied.any():
+                rows = np.nonzero(tied)[0]
+                sub = blk[rows]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    + sb[None, :]
+                    - 2.0 * (sub @ bT)
+                )
+                # exact recompute of candidate columns near the min
+                jj = np.argsort(d2, axis=1, kind="stable")[:, :4]
+                exact = ((sub[:, None, :] - b64[jj]) ** 2).sum(-1)
+                am[rows] = jj[np.arange(len(rows)), exact.argmin(axis=1)]
+        args[start : start + chunk] = am
+    mins = ((a64 - b64[args]) ** 2).sum(axis=1)
+    return mins, args
 
 
 def _count_within_radius_grid(a64, b64, radius):
@@ -1012,7 +1061,10 @@ def _grid_sweep_scaling(points: np.ndarray, reference: np.ndarray, cl_pos: np.nd
     directions run as one batched device launch."""
     start, end, step = -2.0, 2.0, 0.1
     steps = int(round((end - start) / step))
-    if len(points) == 0:
+    if len(points) == 0 or len(reference) == 0:
+        # degenerate inputs: every candidate cost is inf — propagate the
+        # sentinel like the host scan's never-firing strict < (the device
+        # argmin would silently return xs[0] = -2.0)
         return float("inf")
     # the nearest-centerline direction is scaling-invariant: precompute once
     _, nearest = min_sqdist(points, cl_pos)
@@ -1022,7 +1074,7 @@ def _grid_sweep_scaling(points: np.ndarray, reference: np.ndarray, cl_pos: np.nd
     unit = np.where(ok[:, None], rel / np.where(ok, norms, 1.0)[:, None], 0.0)
     xs = start + step * np.arange(steps + 1)
 
-    if len(points) * max(len(reference), 1) >= _SWEEP_DEVICE_PAIRS:
+    if len(points) * len(reference) >= _SWEEP_DEVICE_PAIRS:
         dtype = config.compute_dtype
         pts_p, pmask = _pad_rows(np.ascontiguousarray(points), 2048)
         unit_p, _ = _pad_rows(np.ascontiguousarray(unit), 2048)
@@ -1038,7 +1090,23 @@ def _grid_sweep_scaling(points: np.ndarray, reference: np.ndarray, cl_pos: np.nd
             ),
             dtype=np.float64,
         )
-        return float(xs[int(np.argmin(costs))])
+        # certify the low-precision argmin: any candidate whose device cost
+        # sits within the rounding band of the minimum is re-evaluated
+        # exactly in f64; the true argmin is provably among them and the
+        # strict-less first-wins scan below reproduces the host selection
+        cmin = float(costs.min())
+        band = 2.0 * cmin * 1e-4 + 1e-12
+        cand = np.nonzero(costs <= cmin + band)[0]
+        best_x = float("inf")
+        min_dist = float("inf")
+        for k in cand.tolist():
+            x = float(xs[k])
+            moved = points + unit * x
+            dist = _symmetric_nn_distance(reference, moved)
+            if dist < min_dist:
+                min_dist = dist
+                best_x = x
+        return best_x
 
     best_x = float("inf")
     min_dist = float("inf")

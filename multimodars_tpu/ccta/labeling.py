@@ -268,7 +268,8 @@ def label_anomalous_region(
     mesh: Mesh = results["mesh"]
     verts = mesh.vertices
     n = len(verts)
-    lookup = VertexLookup(verts)
+    lookup = mesh_lookup(mesh)  # memoised; the same mesh is queried by
+    # every labeling stage and the argsort costs ~20 ms at clinical sizes
     region_idx = get_idx(results, results_key, lookup)
 
     prox_m, dist_m, anom_m = cl_region_split_masks(
@@ -339,7 +340,7 @@ def label_branches(
 
     mesh: Mesh = results["mesh"]
     verts = mesh.vertices
-    lookup = VertexLookup(verts)
+    lookup = mesh_lookup(mesh)
     region_idx = get_idx(results, results_key, lookup)
     region_pts = verts[region_idx]
 

@@ -66,7 +66,7 @@ def _plane_basis(pts: np.ndarray):
     the reference fits the same plane separately in each helper."""
     centroid = pts.mean(axis=0)
     _, _, Vt = np.linalg.svd(pts - centroid, full_matrices=False)
-    u, v_row, normal = Vt[0], Vt[1] if len(Vt) > 1 else Vt[0], Vt[-1]
+    u, normal = Vt[0], Vt[-1]
     v = np.cross(normal, u)
     return centroid, normal, u, v
 
@@ -204,10 +204,23 @@ def _remap_region_indices(results: dict, old_mesh: Mesh, new_mesh: Mesh, remap: 
     updated["mesh"] = new_mesh
     invalidate_idx(updated)
     regions = {}
-    for key in _RESULT_POINT_KEYS:
+    # every point-list region in the dict rides the index map — including
+    # caller-specified keys outside the standard set (e.g. the default
+    # "anomalous_points" of remove_labeled_points_from_mesh), which must be
+    # cleared/filtered like any other or they keep ghost coordinates of
+    # vertices that no longer exist
+    point_keys = list(_RESULT_POINT_KEYS) + [
+        k
+        for k, v in results.items()
+        if k not in _RESULT_POINT_KEYS
+        and k not in ("mesh", "boundary_points")
+        and not k.startswith("_")
+        and isinstance(v, (list, tuple, np.ndarray))
+    ]
+    for key in point_keys:
         if key in cleared:
             regions[key] = np.zeros(0, dtype=np.int64)
-        elif key in updated and updated[key]:
+        elif key in updated and len(updated[key] or ()):
             old_idx = get_idx(results, key, lookup)
             new_idx = remap[old_idx]
             regions[key] = new_idx[new_idx >= 0]

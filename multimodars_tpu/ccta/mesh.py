@@ -102,7 +102,7 @@ class Mesh:
         if len(self.faces) == 0:
             return False
         ks, _ = self._edge_keys_sorted()
-        uniq, counts = np.unique(ks, return_counts=True)
+        _, counts = np.unique(ks, return_counts=True)
         return bool((counts == 2).all())
 
     def copy(self) -> "Mesh":

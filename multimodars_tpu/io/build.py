@@ -322,7 +322,14 @@ def build_tensor_from_inputdata(
             coords[k] = np.ascontiguousarray(d["coords"])
             pt_frame[k] = d["pt_frame"]
             pt_index[k] = d["pt_index"]
-            pt_aortic[k] = d["pt_aortic"]
+            # owned copy: the grouped fast path (csv_io lumen_grouped) hands
+            # InputData-owned arrays through here, ccw_sort skips re-taking
+            # an all-False flag array, and the finish's aortic assignment
+            # then writes in place — an alias would corrupt the caller's
+            # InputData for subsequent builds.  (coords/pt_index are always
+            # replaced by ccw_sort/reorder before any in-place write;
+            # pt_frame is never mutated.)
+            pt_aortic[k] = d["pt_aortic"].copy()
         else:
             for j, i in enumerate(rows):
                 if i < 0:
@@ -407,6 +414,10 @@ def build_tensor_from_inputdata(
     check_tensor_integrity(tg)
     if pending_sweep is not None:
         tg._pending_sweep = pending_sweep
+    # freshly built by the funnel: the align pipelines may consume it in
+    # place (one-shot); a user-held TensorGeometry re-aligned later is
+    # copied first (align_within._finish-path ownership handshake)
+    tg._funnel_fresh = True
     return tg
 
 

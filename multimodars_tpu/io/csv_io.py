@@ -64,9 +64,16 @@ def read_contour_data(path) -> List[PyContourPoint]:
             if not row:
                 continue
             try:
-                frame = int(row[0])
-                if frame < 0:
-                    raise ValueError(f"negative frame id {frame}")
+                tok = row[0].strip()
+                digits = tok[1:] if tok.startswith("+") else tok
+                # u32 semantics like the reference's serde deserialize (and
+                # the native parser): plain ASCII digits only — no sign, no
+                # underscores, no floats/exponents, <= 2^32-1
+                if not (digits.isascii() and digits.isdigit()):
+                    raise ValueError(f"invalid frame id {row[0]!r}")
+                frame = int(digits)
+                if frame > 0xFFFFFFFF:
+                    raise ValueError(f"frame id out of range: {frame}")
                 x, y, z = float(row[1]), float(row[2]), float(row[3])
                 aortic = False
                 if len(row) > 4 and row[4].strip():

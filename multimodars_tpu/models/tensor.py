@@ -432,16 +432,24 @@ def _contour_view(tg: TensorGeometry, kind: str, i: int, fid: int, orig: int) ->
     return c
 
 
-def geometry_to_tensor(geometry: PyGeometry) -> TensorGeometry:
+def geometry_to_tensor(
+    geometry: PyGeometry, kinds=None, dtype=None
+) -> TensorGeometry:
     """Pack a (rectangular, integrity-checked) PyGeometry into the array
     spine.  Raises ValueError if any kind's point count varies across the
-    frames that carry it — callers fall back to the object pipeline then."""
+    frames that carry it — callers fall back to the object pipeline then.
+
+    ``kinds`` (round-1 compat): restrict packing to these contour kinds
+    (Lumen is always included).  ``dtype`` (round-1 compat): cast the
+    coordinate arrays; the spine's own math is f64, so anything else is
+    for export use only."""
     frames = geometry.frames
     F = len(frames)
+    requested = None if kinds is None else set(kinds) | {"Lumen"}
     kinds: List[str] = ["Lumen"]
     for f in frames:
         for k in f.extras.keys():
-            if k not in kinds:
+            if k not in kinds and (requested is None or k in requested):
                 kinds.append(k)
 
     coords: Dict[str, np.ndarray] = {}
@@ -461,7 +469,7 @@ def geometry_to_tensor(geometry: PyGeometry) -> TensorGeometry:
         if len(counts) != 1:
             raise ValueError(f"ragged point counts for kind {k}: {sorted(counts)}")
         P = counts.pop()
-        coords[k] = np.zeros((F, P, 3), dtype=np.float64)
+        coords[k] = np.zeros((F, P, 3), dtype=np.float64 if dtype is None else dtype)
         present[k] = np.zeros(F, dtype=bool)
         pt_frame[k] = np.zeros((F, P), dtype=np.int64)
         pt_index[k] = np.zeros((F, P), dtype=np.int64)
@@ -513,7 +521,9 @@ def geometry_to_tensor(geometry: PyGeometry) -> TensorGeometry:
     )
 
 
-def tensor_to_geometry(tensor: TensorGeometry) -> PyGeometry:
-    """Alias of :meth:`TensorGeometry.to_geometry` (kept for API parity with
-    round 1)."""
+def tensor_to_geometry(tensor: TensorGeometry, template=None) -> PyGeometry:
+    """Alias of :meth:`TensorGeometry.to_geometry`.  ``template`` (round-1
+    compat) is accepted and ignored: the spine carries every piece of
+    metadata the old template argument supplied (ids, kinds, thicknesses,
+    reference point)."""
     return tensor.to_geometry()

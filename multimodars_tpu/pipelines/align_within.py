@@ -92,6 +92,17 @@ def _pack_centered_sets(
 # tensor (array-spine) fast path
 # ---------------------------------------------------------------------------
 
+def _claim_tensor(tg: "TensorGeometry") -> "TensorGeometry":
+    """Ownership handshake: a funnel-fresh TensorGeometry (built internally
+    for this call) is consumed in place; a user-held one is copied first so
+    aligning never mutates the caller's object (the object pipeline's
+    geometry.copy() analog)."""
+    if getattr(tg, "_funnel_fresh", False):
+        tg._funnel_fresh = False
+        return tg
+    return tg.copy()
+
+
 class _TensorFallback(Exception):
     """Raised when a geometry's shape can't ride the array spine (ragged
     point counts, sparse sampling kinds, mixed wall sources); the caller
@@ -115,7 +126,47 @@ def _tensorize(geometry: PyGeometry) -> TensorGeometry:
         for c in f.all_contours():
             if c.id != f.id:
                 raise _TensorFallback("contour id differs from frame id")
+    _check_funnel_invariants(tg)
     return tg
+
+
+def _check_funnel_invariants(tg: TensorGeometry) -> None:
+    """The tensor finish relies on two properties every funnel-built
+    geometry has but an arbitrary (valid) PyGeometry may lack:
+
+    - constant per-frame z (lets the wall offset reduce to 2-D bitwise and
+      the roll-based re-sort stay planar), and
+    - CCW-sorted contours in the funnel's start convention (lets the
+      post-rotation re-sort be a pure roll, and makes the positional
+      semantics of assign_aortic / create_aortic_wall correct).
+
+    Anything else routes to the object pipeline, which re-sorts fully."""
+    for k in tg.kinds:
+        xyz = tg.coords[k]
+        if xyz.shape[1] == 0:
+            continue
+        pres = tg.present[k]
+        if not pres.any():
+            continue
+        sub = xyz[pres]
+        if not (sub[:, :, 2] == sub[:, :1, 2]).all():
+            raise _TensorFallback(f"non-constant per-frame z in {k}")
+        # replicate Contour::sort_contour_points' order (stable angle sort
+        # about the xy mean, rolled to the last highest-Y point) and require
+        # the stored order to already be it
+        x = sub[:, :, 0]
+        y = sub[:, :, 1]
+        ang = np.arctan2(
+            y - y.mean(axis=1)[:, None], x - x.mean(axis=1)[:, None]
+        )
+        order = np.argsort(ang, axis=1, kind="stable")
+        n = ang.shape[1]
+        y_sorted = np.take_along_axis(y, order, axis=1)
+        start = n - 1 - np.argmax(y_sorted[:, ::-1], axis=1)
+        roll = (np.arange(n)[None, :] + start[:, None]) % n
+        expected = np.take_along_axis(order, roll, axis=1)
+        if not (expected == np.arange(n)[None, :]).all():
+            raise _TensorFallback(f"{k} contours not in funnel CCW order")
 
 
 def _pack_centered_sets_tensor(
@@ -179,7 +230,8 @@ def _wall_tensor(tg: TensorGeometry, anomalous: bool) -> None:
     wall_pts[:, :, 0] += relx * scale
     wall_pts[:, :, 1] += rely * scale
 
-    tg.kinds.append("Wall")
+    if "Wall" not in tg.kinds:
+        tg.kinds.append("Wall")  # HashMap-insert semantics: replace if present
     tg.coords["Wall"] = wall_pts
     tg.present["Wall"] = np.ones(F, dtype=bool)
     tg.pt_frame["Wall"] = tg.pt_frame[src_kind].copy()
@@ -228,8 +280,15 @@ def _validate_and_pack(geometry, sample_size: int):
             obj = tg.to_geometry()
             pts, mask = _pack_centered_sets(obj, sample_size, ssc)
             return obj, None, pts, mask
-        pts = _pack_centered_sets_tensor(tg, sample_size, ssc)
-        return None, tg, pts, None  # None mask = dense (every slot valid)
+        try:
+            pts = _pack_centered_sets_tensor(tg, sample_size, ssc)
+        except _TensorFallback:
+            # shape the spine can't ride (e.g. sparse catheter): route to
+            # the object pipeline instead of leaking the internal exception
+            obj = tg.to_geometry()
+            pts, mask = _pack_centered_sets(obj, sample_size, ssc)
+            return obj, None, pts, mask
+        return None, _claim_tensor(tg), pts, None  # None mask = dense
 
     if not geometry.frames:
         raise ValueError("Geometry contains no frames")
@@ -839,6 +898,7 @@ def align_frames_in_geometries(
     offset = 0
     for obj, tg, n_pairs, pending in zip(objects, tensors, pair_counts, pendings):
         if pending is not None:
+            tg = _claim_tensor(tg)
             pre = _classify_pre(tg)
             delta = np.asarray(pending, dtype=np.float64)
             results.append(
@@ -940,10 +1000,11 @@ def align_frames_in_geometry(
         # _prefetch_sweep) and has been computing while the host sorted and
         # assembled; precompute the delta-independent classification before
         # blocking on the device result
-        pre = _classify_pre(geometry)
+        tg = _claim_tensor(geometry)
+        pre = _classify_pre(tg)
         delta = np.asarray(pending, dtype=np.float64)
         return _finish_alignment_tensor(
-            geometry, delta, smooth=smooth, verbose=verbose, pre=pre
+            tg, delta, smooth=smooth, verbose=verbose, pre=pre
         )
 
     obj, tg, pts, mask = _validate_and_pack(geometry, sample_size)

@@ -84,9 +84,13 @@ int mm_read_contour_csv(const char* path, double** out_data, int64_t* out_rows,
         if (nfields < 4) bad = true;
         break;
       }
-      // trim trailing spaces/CR for token-exact fields
+      // trim surrounding spaces/tabs/CR for token-exact fields (the
+      // Python fallback's str.strip())
       const char* tok_end = field_end;
-      while (tok_end > q && (tok_end[-1] == ' ' || tok_end[-1] == '\r')) tok_end--;
+      while (tok_end > q && (tok_end[-1] == ' ' || tok_end[-1] == '\t' ||
+                             tok_end[-1] == '\r'))
+        tok_end--;
+      while (q < tok_end && (*q == ' ' || *q == '\t')) q++;
       if (nfields == 0) {
         // frame id: non-negative integer only (the reference deserializes
         // u32; '3.0', '-3' and exponents must skip the row, matching the

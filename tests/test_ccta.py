@@ -530,3 +530,135 @@ class TestBandedDeviceCounting:
         grid = _count_within_radius_grid(a, b, 1.5)
         dev = _count_within_radius_device(a, b, 1.5, dtype=jnp.float32)
         np.testing.assert_array_equal(dev, grid)
+
+
+class TestRegionRemapCustomKeys:
+    """Regions outside the standard key set (e.g. the default
+    'anomalous_points') must be cleared/filtered through topology changes
+    like any other — no ghost coordinates of removed vertices."""
+
+    def _case(self):
+        from multimodars_tpu.ccta.mesh import Mesh
+
+        # 4x4 grid of two-triangle quads
+        xs, ys = np.meshgrid(np.arange(4.0), np.arange(4.0))
+        verts = np.stack([xs.ravel(), ys.ravel(), np.zeros(16)], -1)
+        faces = []
+        for r in range(3):
+            for c in range(3):
+                a = r * 4 + c
+                faces.append([a, a + 1, a + 4])
+                faces.append([a + 1, a + 5, a + 4])
+        mesh = Mesh(verts, np.asarray(faces, dtype=np.int64))
+        results = {
+            "mesh": mesh,
+            "aorta_points": [tuple(v) for v in verts[:8]],
+            "anomalous_points": [tuple(v) for v in verts[12:]],
+        }
+        return mesh, results
+
+    def test_removed_custom_key_cleared(self):
+        from multimodars_tpu.ccta.manipulating import (
+            remove_labeled_points_from_mesh,
+        )
+
+        mesh, results = self._case()
+        out = remove_labeled_points_from_mesh(results)  # default key
+        assert out["anomalous_points"] == []
+        assert len(out["mesh"].vertices) == 12
+        # surviving standard regions filtered to live vertices
+        live = {tuple(v) for v in out["mesh"].vertices.tolist()}
+        assert all(tuple(p) in live for p in out["aorta_points"])
+
+    def test_surviving_custom_key_remapped(self):
+        from multimodars_tpu.ccta.manipulating import (
+            remove_labeled_points_from_mesh,
+        )
+
+        mesh, results = self._case()
+        results["my_markers"] = [tuple(v) for v in mesh.vertices[[0, 14]].tolist()]
+        out = remove_labeled_points_from_mesh(results, region_keys="anomalous_points")
+        live = {tuple(v) for v in out["mesh"].vertices.tolist()}
+        # vertex 14 was removed with the anomalous block; 0 survives
+        assert [tuple(p) in live for p in out["my_markers"]] == [True]
+
+
+class TestTensorOwnership:
+    """Aligning a user-held TensorGeometry must not mutate it (the object
+    pipeline's geometry.copy() analog); re-aligning twice must not
+    duplicate the Wall kind."""
+
+    def test_double_align_no_duplicate_wall(self):
+        import contextlib
+        import io as _io
+
+        from multimodars_tpu.io.build import build_any_from_inputdata
+        from multimodars_tpu.io.csv_io import InputData
+        from multimodars_tpu.models.record import PyInputData
+        from multimodars_tpu.models.contour import PyContour
+        from multimodars_tpu.models.point import PyContourPoint
+        from multimodars_tpu.pipelines.align_within import (
+            align_frames_in_geometry,
+        )
+
+        rows = []
+        for f in range(4):
+            for k in range(16):
+                th = 2 * np.pi * k / 16
+                rows.append([f, 4.5 + 2 * np.cos(th), 4.5 + 1.5 * np.sin(th), f * 0.3])
+        arr = np.asarray(rows)
+        idata = InputData(
+            lumen=np.column_stack([arr, np.zeros(len(arr))]),
+            eem=None, calcification=None, sidebranch=None, record=None,
+            ref_point=PyContourPoint(0, 0, 7.5, 4.5, 0.0, False),
+            diastole=True, label="own",
+        )
+        tg = build_any_from_inputdata(idata, verbose=False)
+        kinds_before = list(tg.kinds)
+        coords_before = tg.coords["Lumen"].copy()
+        with contextlib.redirect_stdout(_io.StringIO()):
+            align_frames_in_geometry(tg, 1.0, 10.0, smooth=False,
+                                     bruteforce=False, sample_size=16,
+                                     verbose=False)
+            # tg was funnel-fresh: consumed in place (fast path) — second
+            # align must copy and must NOT append a second Wall kind
+            out2, _, _ = align_frames_in_geometry(tg, 1.0, 10.0, smooth=False,
+                                                  bruteforce=False,
+                                                  sample_size=16,
+                                                  verbose=False)
+        assert tg.kinds.count("Wall") <= 1
+        assert [k for k in out2.frames[0].extras] .count("Wall") == 1
+
+    def test_user_held_tensor_not_mutated(self):
+        import contextlib
+        import io as _io
+
+        from multimodars_tpu.io.build import build_any_from_inputdata
+        from multimodars_tpu.io.csv_io import InputData
+        from multimodars_tpu.models.point import PyContourPoint
+        from multimodars_tpu.pipelines.align_within import (
+            align_frames_in_geometry,
+        )
+
+        rows = []
+        for f in range(4):
+            for k in range(16):
+                th = 2 * np.pi * k / 16
+                rows.append([f, 4.5 + 2 * np.cos(th), 4.5 + 1.5 * np.sin(th), f * 0.3])
+        arr = np.asarray(rows)
+        idata = InputData(
+            lumen=np.column_stack([arr, np.zeros(len(arr))]),
+            eem=None, calcification=None, sidebranch=None, record=None,
+            ref_point=PyContourPoint(0, 0, 7.5, 4.5, 0.0, False),
+            diastole=True, label="own",
+        )
+        tg = build_any_from_inputdata(idata, verbose=False)
+        tg._funnel_fresh = False  # simulate a user-held object
+        coords_before = tg.coords["Lumen"].copy()
+        kinds_before = list(tg.kinds)
+        with contextlib.redirect_stdout(_io.StringIO()):
+            align_frames_in_geometry(tg, 1.0, 10.0, smooth=False,
+                                     bruteforce=False, sample_size=16,
+                                     verbose=False)
+        np.testing.assert_array_equal(tg.coords["Lumen"], coords_before)
+        assert tg.kinds == kinds_before

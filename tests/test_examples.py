@@ -16,8 +16,11 @@ EXAMPLES = ROOT / "examples"
 def _run(script, args, tmp_path, timeout=480):
     env = dict(os.environ)
     # examples inherit the test session's CPU pinning so they never contend
-    # with a concurrently-running TPU process
+    # with a concurrently-running TPU process — but NOT its 8-virtual-device
+    # XLA_FLAGS, which would force fresh slow compiles of every program for
+    # an 8-device topology the examples never use
     env.setdefault("JAX_PLATFORMS", "cpu")
+    env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [sys.executable, str(EXAMPLES / script), *args],
         cwd=tmp_path,

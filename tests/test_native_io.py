@@ -107,3 +107,54 @@ def test_native_and_fallback_accept_identical_edge_rows(tmp_path):
     assert native == fallback
     assert [f for f, *_ in native] == [0, 1, 7]
     assert [a for *_, a in native] == [True, False, True]
+
+
+class TestCsvFrameFieldParity:
+    """Native and Python CSV readers must accept/reject identical rows
+    (u32 frame semantics like the reference's serde deserialize)."""
+
+    CASES = [
+        ("3,1.0,2.0,0.5", True),
+        ("+3,1.0,2.0,0.5", True),
+        (" 3 ,1.0,2.0,0.5", True),      # strip()
+        ("3.0,1.0,2.0,0.5", False),      # float frame: reject
+        ("-3,1.0,2.0,0.5", False),       # negative: reject
+        ("1_0,1.0,2.0,0.5", False),      # underscore: reject
+        ("5000000000,1.0,2.0,0.5", False),  # > u32: reject
+        ("3,1.0,2.0,0.5,1", True),       # aortic 1
+        ("3,1.0,2.0,0.5,true", True),
+        ("3,1.0,2.0,0.5,10", True),      # '10' is a kept row, aortic False
+    ]
+
+    def _write(self, tmp_path, text):
+        p = tmp_path / "contours.csv"
+        p.write_text(text + "\n")
+        return p
+
+    @pytest.mark.parametrize("row,kept", CASES)
+    def test_python_native_agree(self, tmp_path, row, kept):
+        from multimodars_tpu.io.csv_io import read_contour_data
+        from multimodars_tpu.io.native import read_contour_csv_native
+
+        p = self._write(tmp_path, row)
+        py_rows = read_contour_data(p)
+        assert (len(py_rows) == 1) == kept
+        native = read_contour_csv_native(str(p))
+        if native is None:
+            pytest.skip("native library unavailable")
+        assert (len(native) == 1) == kept
+        if kept:
+            assert int(native[0][0]) == py_rows[0].frame_index
+            assert bool(native[0][4]) == py_rows[0].aortic
+
+    def test_aortic_padded_token_value(self, tmp_path):
+        from multimodars_tpu.io.csv_io import read_contour_data
+        from multimodars_tpu.io.native import read_contour_csv_native
+
+        p = self._write(tmp_path, "3,1.0,2.0,0.5, true ")
+        py_rows = read_contour_data(p)
+        assert py_rows[0].aortic is True
+        native = read_contour_csv_native(str(p))
+        if native is None:
+            pytest.skip("native library unavailable")
+        assert bool(native[0][4]) is True
