@@ -174,17 +174,32 @@ def _boundary_ring_indices(
     mesh_faces: np.ndarray, inside: np.ndarray, outside: np.ndarray
 ):
     """Ordered boundary vertex indices: inside-vertices adjacent to at
-    least one outside-vertex, walked per connected component."""
-    adj = build_adjacency_map(mesh_faces)
-    candidates = [
-        int(i)
-        for i in np.nonzero(inside)[0]
-        if any(outside[j] for j in adj.get(int(i), ()))
-    ]
-    ring_adj = {
-        i: [j for j in adj.get(i, ()) if inside[j] and any(outside[k] for k in adj.get(j, ()))]
-        for i in candidates
-    }
+    least one outside-vertex, walked per connected component.
+
+    Candidate detection runs on the flat edge arrays (no full-mesh
+    adjacency dict); only the tiny candidate subgraph is materialised for
+    the ring walk."""
+    faces_arr = np.asarray(mesh_faces, dtype=np.int64).reshape(-1, 3)
+    if len(faces_arr) == 0:
+        return []
+    e = np.concatenate(
+        [faces_arr[:, [0, 1]], faces_arr[:, [1, 2]], faces_arr[:, [2, 0]]]
+    )
+    e = np.concatenate([e, e[:, ::-1]])  # both directions
+    # inside vertices with at least one outside neighbour
+    touches_out = e[outside[e[:, 1]], 0]
+    n = max(len(inside), int(e.max()) + 1)
+    cand_mask = np.zeros(n, dtype=bool)
+    cand_mask[touches_out] = True
+    cand_mask &= inside[:n] if len(inside) >= n else np.pad(inside, (0, n - len(inside)))
+    candidates = [int(i) for i in np.nonzero(cand_mask)[0]]
+    # ring subgraph: candidate->candidate edges only (deduplicated)
+    sub = e[cand_mask[e[:, 0]] & cand_mask[e[:, 1]]]
+    ring_adj: Dict[int, list] = {i: [] for i in candidates}
+    if len(sub):
+        keys = np.unique(sub[:, 0] * n + sub[:, 1])
+        for a, b in zip((keys // n).tolist(), (keys % n).tolist()):
+            ring_adj[a].append(b)
     chains = _walk_ring_components(candidates, ring_adj)
     return [i for chain in chains for i in chain]
 

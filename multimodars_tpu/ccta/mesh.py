@@ -304,7 +304,20 @@ class Mesh:
     def fix_winding(self) -> None:
         """BFS winding-consistency repair (same algorithm as
         trimesh.repair.fix_winding / the reference's fix_mesh_winding,
-        ccta_py.rs:718-759)."""
+        ccta_py.rs:718-759).  Applies the native BFS's flip vector with one
+        vectorised reversal instead of round-tripping 100k faces through
+        Python lists."""
+        from ..io.native import fix_winding_native
+
+        flipped = fix_winding_native(self.faces)
+        if flipped is not None:
+            flipped = np.asarray(flipped, dtype=bool)
+            if flipped.any():
+                f = self.faces.copy()
+                f[flipped] = f[flipped][:, ::-1]
+                self.faces = f
+            self._invalidate()
+            return
         self.faces = np.array(fix_faces_winding(self.faces.tolist()), dtype=np.int64)
         self._invalidate()
 

@@ -43,9 +43,12 @@ def _interp_point(ps: PyContourPoint, pe: PyContourPoint, t: float) -> PyContour
 
 
 def _interp_thickness(a: Optional[float], b: Optional[float], t: float) -> Optional[float]:
+    """Lerp only when both sides carry a thickness; any missing side yields
+    None (interpolation.rs:143-148 — unlike fill_holes' avg_opt, which
+    falls back to the available side)."""
     if a is not None and b is not None:
         return a * (1.0 - t) + b * t
-    return a if a is not None else b
+    return None
 
 
 def _interp_contour(start: PyContour, end: PyContour, t: float) -> PyContour:
