@@ -1311,9 +1311,7 @@ def _has_full_angular_coverage(contour: PyContour) -> bool:
     rel = pts - centroid
     pu = rel @ axis_u
     pv = rel @ axis_v
-    quadrants = {
-        (bool(u >= 0.0), bool(v >= 0.0)) for u, v in zip(pu >= 0.0, pv >= 0.0)
-    }
+    quadrants = {(bool(u), bool(v)) for u, v in zip(pu >= 0.0, pv >= 0.0)}
     return len(quadrants) == 4
 
 
