@@ -217,3 +217,106 @@ class TestAlignCombined:
         # refined result should land close to the three-point alignment
         d = np.abs(_geom_to_points_array(result) - _geom_to_points_array(aligned))
         assert float(np.median(d)) < 2.0
+
+
+class TestPreprocessCenterline:
+    """Parity with the reference's preprocessing unit tests
+    (centerline_align/preprocessing.rs:283-600)."""
+
+    def _cl(self, zs, branch=0):
+        from multimodars_tpu.models.centerline import (
+            PyCenterline,
+            PyCenterlinePoint,
+        )
+        from multimodars_tpu.models.point import PyContourPoint
+
+        pts = []
+        for i, z in enumerate(zs):
+            p = PyCenterlinePoint(
+                PyContourPoint(i, i, 0.0, 0.0, float(z), False), (0.0, 0.0, -1.0)
+            )
+            p.branch_id = branch
+            pts.append(p)
+        return PyCenterline(pts)
+
+    def _mesh(self, zs):
+        from multimodars_tpu.models.contour import PyContour
+        from multimodars_tpu.models.frame import PyFrame
+        from multimodars_tpu.models.geometry import PyGeometry
+
+        frames = []
+        for i, z in enumerate(zs):
+            coords = np.array([[1.0, 0.0, z], [0.0, 1.0, z], [-1.0, 0.0, z]])
+            lumen = PyContour.from_arrays(
+                i, i, coords, (0.0, 0.3333333333333333, z),
+                np.full(3, i, dtype=np.int64), np.arange(3, dtype=np.int64),
+                np.zeros(3, dtype=bool), None, None, "Lumen",
+            )
+            frames.append(PyFrame(i, (0.0, 1.0 / 3.0, z), lumen, {}, None))
+        return PyGeometry(frames, "mesh")
+
+    def test_ensure_descending_z_preserved(self):
+        # rs test_ensure_descending_z, first case: already descending
+        from multimodars_tpu.pipelines.centerline_align import (
+            preprocess_centerline,
+        )
+
+        out = preprocess_centerline(self._cl([1.0, 0.0]), self._mesh([0.0, 0.5]))
+        zs = [p.contour_point.z for p in out.points]
+        assert zs[0] == 1.0 and zs[-1] == 0.0
+
+    def test_ensure_descending_z_reverses(self):
+        # rs test_ensure_descending_z, second case: ascending input reversed
+        from multimodars_tpu.pipelines.centerline_align import (
+            preprocess_centerline,
+        )
+
+        out = preprocess_centerline(self._cl([0.0, 1.0]), self._mesh([0.0, 0.5]))
+        zs = [p.contour_point.z for p in out.points]
+        assert zs[0] == 1.0 and zs[-1] == 0.0
+
+    def test_side_branches_stripped(self):
+        from multimodars_tpu.models.centerline import (
+            PyCenterline,
+            PyCenterlinePoint,
+        )
+        from multimodars_tpu.models.point import PyContourPoint
+        from multimodars_tpu.pipelines.centerline_align import (
+            preprocess_centerline,
+        )
+
+        main = self._cl([3.0, 2.0, 1.0, 0.0]).points
+        side = self._cl([5.0, 4.0], branch=1).points
+        cl = PyCenterline(main + side)
+        out = preprocess_centerline(cl, self._mesh([0.0, 1.0]))
+        assert all(p.branch_id == 0 for p in out.points)
+        assert max(p.contour_point.z for p in out.points) <= 3.0 + 1e-9
+
+    def test_resample_spacing_matches_mesh(self):
+        # rs test_cumulative_arc_length_and_decide_spacing: spacing = mean
+        # frame-centroid distance (here 0.5)
+        from multimodars_tpu.pipelines.centerline_align import (
+            preprocess_centerline,
+        )
+
+        out = preprocess_centerline(
+            self._cl([3.0, 2.0, 1.0, 0.0]), self._mesh([0.0, 0.5, 1.0])
+        )
+        zs = np.array([p.contour_point.z for p in out.points])
+        spacings = np.abs(np.diff(zs))
+        np.testing.assert_allclose(spacings, 0.5, atol=1e-9)
+
+    def test_interpolated_midpoint(self):
+        # rs test_build_samples_and_interpolate: sample halfway along a unit
+        # segment lerps position and keeps the tangent/radius
+        from multimodars_tpu.pipelines.centerline_align import (
+            _resample_centerline_by_contours,
+        )
+
+        cl = self._cl([3.0, 2.0, 1.0, 0.0])
+        out = _resample_centerline_by_contours(cl, self._mesh([0.0, 1.5]))
+        zs = [p.contour_point.z for p in out.points]
+        assert zs[0] == 3.0
+        assert any(abs(z - 1.5) < 1e-9 for z in zs)
+        assert all(abs(np.linalg.norm(np.asarray(p.tangent)) - 1.0) < 1e-9
+                   for p in out.points)
