@@ -479,7 +479,9 @@ class TestBandedDeviceCounting:
     bit-for-bit: pairs inside the low-precision uncertainty band route their
     rows to an exact f64 recount."""
 
-    def _clouds(self, seed, n=3000, m=4000):
+    def _clouds(self, seed, n=700, m=900):
+        # small enough that the CPU-backend compiles/compute stay cheap in
+        # the suite; the banding semantics are size-independent
         rng = np.random.default_rng(seed)
         a = rng.uniform(-30, 30, (n, 3))
         b = rng.uniform(-30, 30, (m, 3))
@@ -526,7 +528,7 @@ class TestBandedDeviceCounting:
         )
         import jax.numpy as jnp
 
-        a, b = self._clouds(7, n=5000, m=6000)
+        a, b = self._clouds(7, n=1100, m=1300)
         grid = _count_within_radius_grid(a, b, 1.5)
         dev = _count_within_radius_device(a, b, 1.5, dtype=jnp.float32)
         np.testing.assert_array_equal(dev, grid)
