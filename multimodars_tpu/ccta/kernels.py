@@ -359,19 +359,9 @@ def _count_rows_exact_host(a64: np.ndarray, b64: np.ndarray, r2: float) -> np.nd
 _COUNT_DEVICE_PAIRS = int(os.environ.get("MMTPU_CCTA_COUNT_DEVICE_PAIRS", 50_000_000))
 
 
-def _count_within_radius_device(
-    a64: np.ndarray, b64: np.ndarray, radius: float, dtype=None
-) -> np.ndarray:
-    """Banded device neighbour counting with exact-parity certification.
-
-    The [N, M] distance/compare/sum pipeline runs on the accelerator in the
-    compute dtype; pairs whose squared distance lands within a rigorous
-    rounding-error band of r^2 flag their row, and flagged rows are recounted
-    exactly in f64 on the host.  Counts are therefore identical to the host
-    grid path (the R-tree analog, scale/label_coronary.rs) for every input.
-    """
-    if dtype is None:
-        dtype = config.compute_dtype
+def _count_device_dispatch(a64, b64, radius, dtype):
+    """Dispatch phase of the banded device neighbour count: enqueue every
+    chunk's transfer + kernel, return the collect state."""
     r2 = radius * radius
     # center to minimise the magnitude entering the low-precision square
     mid = 0.5 * (
@@ -395,8 +385,6 @@ def _count_within_radius_device(
     r2lo = jnp.asarray(r2 - band, dtype)
     r2hi = jnp.asarray(r2 + band, dtype)
 
-    # dispatch every chunk before pulling any result: the pulls then cost
-    # one tunnel round-trip total instead of one per chunk
     handles = []
     for start in range(0, len(a64), _CHUNK):
         blk = ac[start : start + _CHUNK]
@@ -406,10 +394,16 @@ def _count_within_radius_device(
             pad[:n] = blk
             blk = pad
         handles.append((start, n, _count_band_block(to_device(blk, dtype), b_d, r2lo, r2hi)))
+    return dict(a64=a64, b64=b64, radius=radius, r2=r2, handles=handles)
 
+
+def _count_device_collect(state) -> np.ndarray:
+    """Collect phase: pull chunk results, recount banded rows exactly."""
+    a64 = state["a64"]
+    b64 = state["b64"]
     counts = np.empty(len(a64), dtype=np.int64)
     near_rows = np.zeros(len(a64), dtype=bool)
-    for start, n, h in handles:
+    for start, n, h in state["handles"]:
         both = np.asarray(h)
         counts[start : start + n] = both[0, :n].astype(np.int64)
         near_rows[start : start + n] = both[1, :n] > 0
@@ -417,11 +411,68 @@ def _count_within_radius_device(
         # exact recount of flagged rows: the host grid (R-tree analog) is
         # exact and touches only each row's neighbourhood candidates
         sub = np.ascontiguousarray(a64[near_rows])
-        grid = _count_within_radius_grid(sub, b64, radius)
+        grid = _count_within_radius_grid(sub, b64, state["radius"])
         counts[near_rows] = (
-            grid if grid is not None else _count_rows_exact_host(sub, b64, r2)
+            grid
+            if grid is not None
+            else _count_rows_exact_host(sub, b64, state["r2"])
         )
     return counts
+
+
+def _count_within_radius_device(
+    a64: np.ndarray, b64: np.ndarray, radius: float, dtype=None
+) -> np.ndarray:
+    """Banded device neighbour counting with exact-parity certification.
+
+    The [N, M] distance/compare/sum pipeline runs on the accelerator in the
+    compute dtype; pairs whose squared distance lands within a rigorous
+    rounding-error band of r^2 flag their row, and flagged rows are recounted
+    exactly in f64 on the host.  Counts are therefore identical to the host
+    grid path (the R-tree analog, scale/label_coronary.rs) for every input.
+    """
+    if dtype is None:
+        dtype = config.compute_dtype
+    return _count_device_collect(_count_device_dispatch(a64, b64, radius, dtype))
+
+
+def _count_device_eligible(a, b, radius) -> bool:
+    return (
+        len(a) * len(b) >= _COUNT_DEVICE_PAIRS
+        and radius > 0
+        and default_backend() == "tpu"
+    )
+
+
+def count_within_radius_multi(
+    a: np.ndarray, targets: Sequence[np.ndarray], radius: float
+) -> List[np.ndarray]:
+    """Counts of ``a`` against several target sets in one dispatch wave:
+    device-eligible targets enqueue all their work before any result is
+    pulled, so the tunnel round-trip latency is paid once per wave instead
+    of once per target."""
+    a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
+    dtype = config.compute_dtype
+    states: List[Optional[dict]] = []
+    for b in targets:
+        b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
+        if (
+            len(a64)
+            and len(b64)
+            and _count_device_eligible(a64, b64, radius)
+            and np.isfinite(a64).all()
+            and np.isfinite(b64).all()
+        ):
+            states.append(_count_device_dispatch(a64, b64, float(radius), dtype))
+        else:
+            states.append(None)
+    out: List[np.ndarray] = []
+    for b, st in zip(targets, states):
+        if st is not None:
+            out.append(_count_device_collect(st))
+        else:
+            out.append(count_within_radius(a, b, radius))
+    return out
 
 
 def count_within_radius(a: np.ndarray, b: np.ndarray, radius: float) -> np.ndarray:
@@ -888,10 +939,10 @@ def outlier_reassign_mask(
     reassigned into the reference set (scale_coronary.rs:341-404)."""
     if len(cleanup_arr) == 0:
         return np.zeros(0, dtype=bool)
-    ref_counts = count_within_radius(cleanup_arr, ref_arr, neighborhood_radius)
-    self_counts = np.maximum(
-        count_within_radius(cleanup_arr, cleanup_arr, neighborhood_radius) - 1, 0
+    ref_counts, self_raw = count_within_radius_multi(
+        cleanup_arr, [ref_arr, cleanup_arr], neighborhood_radius
     )
+    self_counts = np.maximum(self_raw - 1, 0)
     total = ref_counts + self_counts
     with np.errstate(invalid="ignore", divide="ignore"):
         ratio = np.where(total > 0, ref_counts / np.maximum(total, 1), 0.0)
