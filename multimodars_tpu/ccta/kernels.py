@@ -397,27 +397,47 @@ def _count_device_dispatch(a64, b64, radius, dtype):
     return dict(a64=a64, b64=b64, radius=radius, r2=r2, handles=handles)
 
 
+def _collect_device_counts(states) -> List[np.ndarray]:
+    """Collect phase for one or more dispatch states: all chunk outputs are
+    concatenated on the device and pulled in a single transfer (each pull
+    over the tunnel costs a full round-trip), then banded rows are
+    recounted exactly on the host."""
+    all_handles = [h for st in states for (_, _, h) in st["handles"]]
+    if not all_handles:
+        return [np.zeros(0, dtype=np.int64) for _ in states]
+    stacked = (
+        jnp.concatenate(all_handles, axis=1)
+        if len(all_handles) > 1
+        else all_handles[0]
+    )
+    flat = np.asarray(stacked)  # [2, n_chunks * _CHUNK]
+    out: List[np.ndarray] = []
+    col = 0
+    for st in states:
+        a64 = st["a64"]
+        b64 = st["b64"]
+        counts = np.empty(len(a64), dtype=np.int64)
+        near_rows = np.zeros(len(a64), dtype=bool)
+        for start, n, _h in st["handles"]:
+            counts[start : start + n] = flat[0, col : col + n].astype(np.int64)
+            near_rows[start : start + n] = flat[1, col : col + n] > 0
+            col += _CHUNK
+        if near_rows.any():
+            # exact recount of flagged rows: the host grid (R-tree analog)
+            # is exact and touches only each row's neighbourhood candidates
+            sub = np.ascontiguousarray(a64[near_rows])
+            grid = _count_within_radius_grid(sub, b64, st["radius"])
+            counts[near_rows] = (
+                grid
+                if grid is not None
+                else _count_rows_exact_host(sub, b64, st["r2"])
+            )
+        out.append(counts)
+    return out
+
+
 def _count_device_collect(state) -> np.ndarray:
-    """Collect phase: pull chunk results, recount banded rows exactly."""
-    a64 = state["a64"]
-    b64 = state["b64"]
-    counts = np.empty(len(a64), dtype=np.int64)
-    near_rows = np.zeros(len(a64), dtype=bool)
-    for start, n, h in state["handles"]:
-        both = np.asarray(h)
-        counts[start : start + n] = both[0, :n].astype(np.int64)
-        near_rows[start : start + n] = both[1, :n] > 0
-    if near_rows.any():
-        # exact recount of flagged rows: the host grid (R-tree analog) is
-        # exact and touches only each row's neighbourhood candidates
-        sub = np.ascontiguousarray(a64[near_rows])
-        grid = _count_within_radius_grid(sub, b64, state["radius"])
-        counts[near_rows] = (
-            grid
-            if grid is not None
-            else _count_rows_exact_host(sub, b64, state["r2"])
-        )
-    return counts
+    return _collect_device_counts([state])[0]
 
 
 def _count_within_radius_device(
@@ -466,10 +486,13 @@ def count_within_radius_multi(
             states.append(_count_device_dispatch(a64, b64, float(radius), dtype))
         else:
             states.append(None)
+    device_counts = _collect_device_counts([st for st in states if st is not None])
     out: List[np.ndarray] = []
+    di = 0
     for b, st in zip(targets, states):
         if st is not None:
-            out.append(_count_device_collect(st))
+            out.append(device_counts[di])
+            di += 1
         else:
             out.append(count_within_radius(a, b, radius))
     return out
