@@ -133,18 +133,28 @@ def _min_sqdist_device(a: np.ndarray, b: np.ndarray):
         blk_padded = np.zeros((n_pad, 3))
         blk_padded[: len(blk)] = blk
         handles.append(
-            (start, len(blk), _min_sqdist_block2(to_device(blk_padded, dtype), b_d))
+            (start, len(blk), n_pad, _min_sqdist_block2(to_device(blk_padded, dtype), b_d))
         )
+
+    # one device-side concat per output stream -> one pull each instead of
+    # one round-trip per chunk
+    if len(handles) > 1:
+        ms_all = np.asarray(jnp.concatenate([h[3][0] for h in handles], axis=1))
+        g_all = np.asarray(jnp.concatenate([h[3][1] for h in handles]))
+    else:
+        ms_all = np.asarray(handles[0][3][0])
+        g_all = np.asarray(handles[0][3][1])
 
     args = np.empty(len(a64), dtype=np.int64)
     ambiguous = np.zeros(len(a64), dtype=bool)
-    for start, n, (ms, g) in handles:
-        ms = np.asarray(ms, dtype=np.float64)
-        args[start : start + n] = np.asarray(g, dtype=np.int64)[:n]
-        m1 = ms[0, :n]
-        m2 = ms[1, :n]
+    col = 0
+    for start, n, n_pad, _h in handles:
+        args[start : start + n] = g_all[col : col + n].astype(np.int64)
+        m1 = ms_all[0, col : col + n].astype(np.float64)
+        m2 = ms_all[1, col : col + n].astype(np.float64)
         band = (24.0 * np.sqrt(np.maximum(m1, 0.0)) * maxc + 10.0 * m1) * eps
         ambiguous[start : start + n] = (m2 - m1) <= band
+        col += n_pad
     if ambiguous.any():
         _, exact_args = _min_sqdist_host(
             np.ascontiguousarray(a64[ambiguous]), b64
