@@ -80,7 +80,9 @@ def scale(results: dict, cl_vessel, cl_aorta, aligned_frames) -> dict:
         centerline=cl_vessel,
         diameter_adjustment_mm=distal_scaling,
     )
-    results = manipulating.sync_results_to_mesh(results, results["mesh"], scaled_distal)
+    results = manipulating.sync_results_to_mesh(
+        results, results["mesh"], scaled_distal, changed_keys=("distal_points",)
+    )
 
     scaled_aortic = manipulating.scale_region_centerline_morphing(
         mesh=results["mesh"],
@@ -88,7 +90,10 @@ def scale(results: dict, cl_vessel, cl_aorta, aligned_frames) -> dict:
         centerline=cl_aorta,
         diameter_adjustment_mm=aortic_scaling,
     )
-    results = manipulating.sync_results_to_mesh(results, results["mesh"], scaled_aortic)
+    results = manipulating.sync_results_to_mesh(
+        results, results["mesh"], scaled_aortic,
+        changed_keys=("aorta_points", "rca_removed_points", "lca_removed_points"),
+    )
 
     scaled_proximal = manipulating.scale_region_centerline_morphing(
         mesh=results["mesh"],
@@ -96,7 +101,9 @@ def scale(results: dict, cl_vessel, cl_aorta, aligned_frames) -> dict:
         centerline=cl_vessel,
         diameter_adjustment_mm=prox_scaling,
     )
-    results = manipulating.sync_results_to_mesh(results, results["mesh"], scaled_proximal)
+    results = manipulating.sync_results_to_mesh(
+        results, results["mesh"], scaled_proximal, changed_keys=("proximal_points",)
+    )
     return results
 
 

@@ -296,10 +296,16 @@ def keep_labeled_points_from_mesh(results: dict, region_key) -> dict:
     return _remap_region_indices(results, mesh, new_mesh, remap, set(), boundary_new)
 
 
-def sync_results_to_mesh(results: dict, old_mesh: Mesh, new_mesh: Mesh) -> dict:
+def sync_results_to_mesh(
+    results: dict, old_mesh: Mesh, new_mesh: Mesh, changed_keys=None
+) -> dict:
     """Refresh coordinate lists after vertex positions moved (same
     topology).  With index-carried regions this is a re-materialisation,
-    not a search.  Parity: manipulating.py:676-724."""
+    not a search.  Parity: manipulating.py:676-724.
+
+    ``changed_keys``: optional iterable naming the regions whose vertices
+    actually moved; the other regions keep their (bit-identical) public
+    tuple lists instead of rebuilding them."""
     lookup = mesh_lookup(old_mesh)
     updated = dict(results)
     regions = {}
@@ -309,7 +315,11 @@ def sync_results_to_mesh(results: dict, old_mesh: Mesh, new_mesh: Mesh) -> dict:
         regions[key] = get_idx(results, key, lookup)
     updated["mesh"] = new_mesh
     invalidate_idx(updated)
-    store_regions(updated, regions)
+    store_regions(
+        updated,
+        regions,
+        materialize=None if changed_keys is None else set(changed_keys),
+    )
     return updated
 
 

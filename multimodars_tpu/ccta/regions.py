@@ -126,10 +126,18 @@ def get_idx(
     return lookup.find_present(pts)
 
 
-def store_regions(results: dict, regions: Dict[str, np.ndarray]) -> dict:
+def store_regions(
+    results: dict, regions: Dict[str, np.ndarray], materialize=None
+) -> dict:
     """Write regions back: tuple lists for the public surface + the index
     side channel for the next pipeline stage.  Mutates and returns
-    ``results``."""
+    ``results``.
+
+    ``materialize``: when given, only these keys re-materialise their public
+    tuple list (the rest keep the existing list object) — used by vertex
+    moves that touched a known subset of regions, where the other regions'
+    coordinates are bit-identical and rebuilding 30k-tuple lists per sync
+    is pure waste."""
     mesh = results["mesh"]
     verts = mesh.vertices
     side = dict(results.get(_IDX_KEY) or {})
@@ -138,7 +146,8 @@ def store_regions(results: dict, regions: Dict[str, np.ndarray]) -> dict:
     for key, idx in regions.items():
         idx = np.asarray(idx, dtype=np.int64)
         side[key] = idx
-        results[key] = as_points(verts, idx)
+        if materialize is None or key in materialize:
+            results[key] = as_points(verts, idx)
     results[_IDX_KEY] = side
     results[_IDX_MESH_KEY] = mesh
     return results
