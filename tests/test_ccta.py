@@ -664,3 +664,29 @@ class TestTensorOwnership:
                                      verbose=False)
         np.testing.assert_array_equal(tg.coords["Lumen"], coords_before)
         assert tg.kinds == kinds_before
+
+
+class TestCountWithinRadiusMulti:
+    """One dispatch wave over several targets must equal per-target calls."""
+
+    def test_matches_single_calls(self):
+        from multimodars_tpu.ccta.kernels import (
+            count_within_radius,
+            count_within_radius_multi,
+        )
+
+        rng = np.random.default_rng(11)
+        a = rng.uniform(-10, 10, (400, 3))
+        b1 = rng.uniform(-10, 10, (300, 3))
+        b2 = a  # self-count case
+        multi = count_within_radius_multi(a, [b1, b2], 1.5)
+        np.testing.assert_array_equal(multi[0], count_within_radius(a, b1, 1.5))
+        np.testing.assert_array_equal(multi[1], count_within_radius(a, b2, 1.5))
+
+    def test_empty_target(self):
+        from multimodars_tpu.ccta.kernels import count_within_radius_multi
+
+        a = np.random.default_rng(0).uniform(-1, 1, (10, 3))
+        out = count_within_radius_multi(a, [np.zeros((0, 3)), a], 0.5)
+        np.testing.assert_array_equal(out[0], np.zeros(10, dtype=np.int64))
+        assert (out[1] >= 1).all()  # every point counts itself

@@ -4,6 +4,8 @@ calculate_branches)."""
 
 from pathlib import Path
 
+import math
+
 import numpy as np
 import pytest
 
@@ -320,3 +322,107 @@ class TestPreprocessCenterline:
         assert any(abs(z - 1.5) < 1e-9 for z in zs)
         assert all(abs(np.linalg.norm(np.asarray(p.tangent)) - 1.0) < 1e-9
                    for p in out.points)
+
+
+class TestFrameTransformation:
+    """Parity with align_algorithms.rs unit tests (rs:574-930)."""
+
+    def _contour(self, coords, centroid=None):
+        from multimodars_tpu.models.contour import PyContour
+
+        coords = np.asarray(coords, dtype=np.float64)
+        n = len(coords)
+        return PyContour.from_arrays(
+            0, 0, coords,
+            centroid if centroid is not None else tuple(coords.mean(axis=0)),
+            np.zeros(n, dtype=np.int64), np.arange(n, dtype=np.int64),
+            np.zeros(n, dtype=bool), None, None, "Lumen",
+        )
+
+    def _cl_point(self, x, y, z, tangent=(0.0, 0.0, 1.0)):
+        from multimodars_tpu.models.centerline import PyCenterlinePoint
+        from multimodars_tpu.models.point import PyContourPoint
+
+        return PyCenterlinePoint(PyContourPoint(0, 0, x, y, z, False), tangent)
+
+    def test_apply_translation_only(self):
+        # rs test_frame_transformation_apply_to_point
+        from multimodars_tpu.pipelines.centerline_align import FrameTransformation
+
+        tr = FrameTransformation(
+            0, np.array([1.0, 2.0, 3.0]), np.eye(3), np.zeros(3)
+        )
+        out = tr.apply_to_xyz(np.array([[1.0, 1.0, 1.0]]))[0]
+        np.testing.assert_allclose(out, [2.0, 3.0, 4.0], atol=1e-12)
+
+    def test_apply_with_rotation(self):
+        # rs test_frame_transformation_with_rotation: 90 deg about Z
+        from multimodars_tpu.pipelines.centerline_align import (
+            FrameTransformation,
+            rotation_matrix_axis_angle,
+        )
+
+        rot = rotation_matrix_axis_angle(np.array([0.0, 0.0, 1.0]), math.pi / 2)
+        tr = FrameTransformation(0, np.zeros(3), rot, np.zeros(3))
+        out = tr.apply_to_xyz(np.array([[1.0, 0.0, 0.0]]))[0]
+        np.testing.assert_allclose(out, [0.0, 1.0, 0.0], atol=1e-12)
+
+    def test_align_frame(self):
+        # rs test_align_frame: XY square centroid (0,0,0) onto cl (10,10,10)
+        from multimodars_tpu.pipelines.centerline_align import align_frame
+
+        c = self._contour(
+            [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], (0.0, 0.0, 0.0)
+        )
+        tr = align_frame(c, self._cl_point(10.0, 10.0, 10.0))
+        np.testing.assert_allclose(tr.translation, [10.0, 10.0, 10.0], atol=1e-12)
+        np.testing.assert_allclose(tr.pivot, [10.0, 10.0, 10.0], atol=1e-12)
+
+    def test_apply_transformation_to_contour(self):
+        # rs test_apply_transformation_to_contour: identity rotation +
+        # translation moves points and centroid
+        from multimodars_tpu.pipelines.centerline_align import (
+            FrameTransformation,
+            _apply_transform_to_contour,
+        )
+
+        c = self._contour([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]], (0.5, 0.0, 0.0))
+        tr = FrameTransformation(
+            0, np.array([2.0, 3.0, 4.0]), np.eye(3), np.zeros(3)
+        )
+        _apply_transform_to_contour(c, tr)
+        pts = c.xyz_view()
+        np.testing.assert_allclose(pts[0], [2.0, 3.0, 4.0], atol=1e-12)
+        np.testing.assert_allclose(pts[1], [3.0, 3.0, 4.0], atol=1e-12)
+        np.testing.assert_allclose(c.centroid, [2.5, 3.0, 4.0], atol=1e-12)
+
+    def test_newell_normal_unit_length(self):
+        # rs test_calculate_normal: XY triangle -> unit +-Z normal
+        from multimodars_tpu.pipelines.centerline_align import newell_normal
+
+        xyz = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        n = newell_normal(xyz, (0.0, 0.0, 0.0))
+        assert abs(np.linalg.norm(n) - 1.0) < 1e-12
+        assert abs(abs(n[2]) - 1.0) < 1e-12
+
+    def test_get_transformations_maps_sequential_cl_points(self):
+        # rs test_get_transformations: frame i -> cl point ref_idx + i
+        from multimodars_tpu.models.centerline import PyCenterline
+        from multimodars_tpu.models.frame import PyFrame
+        from multimodars_tpu.models.geometry import PyGeometry
+        from multimodars_tpu.pipelines.centerline_align import get_transformations
+
+        cl_pts = [self._cl_point(0.0, 0.0, float(5 - i)) for i in range(6)]
+        cl = PyCenterline(cl_pts)
+        frames = []
+        for i in range(2):
+            c = self._contour(
+                [[-1, -1, i], [1, -1, i], [1, 1, i], [-1, 1, i]], (0.0, 0.0, float(i))
+            )
+            frames.append(PyFrame(i, (0.0, 0.0, float(i)), c, {}, None))
+        geom = PyGeometry(frames, "g")
+        trs = get_transformations(geom, cl, (0.0, 0.0, 5.0))
+        assert len(trs) == 2
+        # frame 0 -> cl[0] at z=5, frame 1 -> cl[1] at z=4
+        np.testing.assert_allclose(trs[0].pivot, [0.0, 0.0, 5.0], atol=1e-12)
+        np.testing.assert_allclose(trs[1].pivot, [0.0, 0.0, 4.0], atol=1e-12)
