@@ -426,3 +426,124 @@ class TestFrameTransformation:
         # frame 0 -> cl[0] at z=5, frame 1 -> cl[1] at z=4
         np.testing.assert_allclose(trs[0].pivot, [0.0, 0.0, 5.0], atol=1e-12)
         np.testing.assert_allclose(trs[1].pivot, [0.0, 0.0, 4.0], atol=1e-12)
+
+
+class TestCenterlineOps:
+    """Parity with centerline.rs unit tests (rs:762-1000): reference lookup,
+    sharp angles, split/merge, tangents, cleanup_vtp_data."""
+
+    def _cl(self, coords, branch=0):
+        from multimodars_tpu.models.centerline import PyCenterline
+        from multimodars_tpu.models.point import PyContourPoint
+
+        pts = [
+            PyContourPoint(i + 1, i, float(x), float(y), float(z), False)
+            for i, (x, y, z) in enumerate(coords)
+        ]
+        return PyCenterline.from_contour_points(pts)
+
+    def _multi(self, branch_coords):
+        from multimodars_tpu.models.centerline import (
+            PyCenterline,
+            PyCenterlinePoint,
+        )
+        from multimodars_tpu.models.point import PyContourPoint
+
+        pts = []
+        starts = []
+        k = 0
+        for bid, coords in enumerate(branch_coords):
+            starts.append(k)
+            prev = None
+            for (x, y, z) in coords:
+                tangent = (1.0, 0.0, 0.0)
+                p = PyCenterlinePoint(
+                    PyContourPoint(k, k, float(x), float(y), float(z), False), tangent
+                )
+                p.branch_id = bid
+                pts.append(p)
+                k += 1
+        return PyCenterline(pts, starts)
+
+    def test_find_reference_cl_point(self):
+        cl = self._cl([(0, 0, 0), (1, 0, 0), (2, 0, 0)])
+        assert cl.find_reference_cl_point_idx((0.0, 0.0, 0.0)) == 0
+
+    def test_tangents_forward_difference(self):
+        cl = self._cl([(0, 0, 0), (1, 0, 0), (2, 0, 0)])
+        t = cl.tangents()
+        np.testing.assert_allclose(t, [[1, 0, 0]] * 3, atol=1e-12)
+
+    def test_find_sharp_angles_straight(self):
+        cl = self._cl([(0, 0, 0), (1, 0, 0), (2, 0, 0), (3, 0, 0), (4, 0, 0)])
+        assert cl.find_sharp_angles(0, 0.0) == []
+
+    def test_find_sharp_angles_v_shape(self):
+        cl = self._cl(
+            [(0, 0, 0), (1, 0, 0), (2, 0, 0), (3, 0, 0), (2.5, 0.5, 0), (2, 1, 0)]
+        )
+        assert cl.find_sharp_angles(0, 0.0) == [3]
+        assert cl.find_sharp_angles(0, 0.8) == []
+        assert cl.find_sharp_angles(5, 0.0) == []
+
+    def test_split_branch_main_longer_stays(self):
+        cl = self._cl([(float(i), 0, 0) for i in range(9)])
+        out = cl.split_branch(0, 3)
+        assert len(out.branch_start_indices) == 2
+        assert len(out.points) == 10  # junction duplicated
+        len0 = out.branch_start_indices[1]
+        assert len0 == 6, "longer segment must be branch 0"
+        assert len(out.points) - len0 == 4
+        for i, p in enumerate(out.points):
+            assert p.branch_id == (0 if i < 6 else 1)
+            assert p.contour_point.point_index == i
+
+    def test_split_branch_equal_length_first_is_main(self):
+        cl = self._cl([(float(i), 0, 0) for i in range(5)])
+        out = cl.split_branch(0, 2)
+        assert len(out.branch_start_indices) == 2
+        assert out.branch_start_indices[1] == 3, "branch 0 has 3 pts"
+
+    def test_merge_branches_result_is_main(self):
+        cl = self._cl([(float(i), 0, 0) for i in range(5)])
+        out = cl.split_branch(0, 2)
+        merged = out.merge_branches(0, 1)
+        assert len(merged.branch_start_indices) == 1
+        assert len(merged.points) == 6
+        assert all(p.branch_id == 0 for p in merged.points)
+        for i, p in enumerate(merged.points):
+            assert p.contour_point.point_index == i
+
+    def test_cleanup_vtp_trims_overlap_prefix(self):
+        main = [(0, 0, 0), (1, 0, 0), (2, 0, 0), (3, 0, 0), (4, 0, 0)]
+        side = [(0, 0, 0), (1, 0, 0), (2, 0, 0), (2, 1.5, 0), (2, 3, 0)]
+        cl = self._multi([main, side])
+        out = cl.cleanup_vtp_data(0.0, False, 0.0)
+        assert len(out.branch_start_indices) == 2, "side branch must survive"
+        b0 = [p for p in out.points if p.branch_id == 0]
+        b1 = [p for p in out.points if p.branch_id == 1]
+        assert len(b0) == 5, "main branch unchanged"
+        assert len(b1) == 3  # junction + 2 diverged points
+        j = b1[0].contour_point
+        assert abs(j.x - 2.0) < 1e-9 and abs(j.y) < 1e-9
+
+    def test_cleanup_vtp_drops_fully_overlapping_branch(self):
+        main = [(0, 0, 0), (1, 0, 0), (2, 0, 0)]
+        side = [(0, 0, 0), (1, 0, 0)]
+        out = self._multi([main, side]).cleanup_vtp_data(0.0, False, 0.0)
+        assert len(out.branch_start_indices) == 1
+
+    def test_cleanup_vtp_inlet_trim(self):
+        main = [(float(i), 0, 0) for i in range(6)]
+        out = self._multi([main]).cleanup_vtp_data(3.0, False, 0.0)
+        assert len(out.branch_start_indices) == 1
+        assert len(out.points) == 3
+        assert abs(out.points[0].contour_point.x - 3.0) < 1e-9
+
+    def test_cleanup_vtp_no_overlap_leaves_branch_intact(self):
+        main = [(0, 0, 0), (1, 0, 0), (2, 0, 0)]
+        side = [(0, 5, 0), (0, 6, 0), (0, 7, 0)]
+        out = self._multi([main, side]).cleanup_vtp_data(0.0, False, 0.0)
+        b1 = [p for p in out.points if p.branch_id == 1]
+        assert len(out.branch_start_indices) == 2
+        assert len(b1) == 3, "no trimming when no overlap"
