@@ -214,3 +214,31 @@ class TestEdgeCases:
             test, test, mask, mask, 1.0, 5.0, jnp.asarray([0.0]), 0.0
         )
         np.testing.assert_allclose(np.asarray(out), [0.0])
+
+
+def test_downsample_stride_pattern():
+    """Parity: contour.rs test_downsample_geometry — n=3 of 5 picks indices
+    0,2,4 (floor(i*m/n)); n >= m keeps everything in order."""
+    from multimodars_tpu.models import downsample_contour_points
+    from multimodars_tpu.models.point import PyContourPoint
+
+    # 6 points -> 3: step 2, indices 0,2,4 (the reference's dummy fixture)
+    pts6 = [PyContourPoint(0, i, float(i), 0.0, 0.0, False) for i in range(6)]
+    assert [p.point_index for p in downsample_contour_points(pts6, 3)] == [0, 2, 4]
+    # 5 points -> 3: step 5/3, floor(i*step) = 0,1,3
+    pts5 = [PyContourPoint(0, i, float(i), 0.0, 0.0, False) for i in range(5)]
+    assert [p.point_index for p in downsample_contour_points(pts5, 3)] == [0, 1, 3]
+    # n >= m keeps everything in order
+    assert [p.point_index for p in downsample_contour_points(pts5, 6)] == [0, 1, 2, 3, 4]
+
+
+def test_downsample_edge_cases():
+    """Parity: contour.rs test_downsample_edge_cases — n equal to m, and
+    empty inputs."""
+    from multimodars_tpu.models import downsample_contour_points
+    from multimodars_tpu.models.point import PyContourPoint
+
+    pts = [PyContourPoint(0, i, float(i), 0.0, 0.0, False) for i in range(2)]
+    assert [p.point_index for p in downsample_contour_points(pts, 2)] == [0, 1]
+    assert len(downsample_contour_points([], 3)) == 0
+    assert len(downsample_contour_points([], 0)) == 0
