@@ -53,3 +53,21 @@ def test_ccta_fusion_example(tmp_path):
         (tmp_path / "ccta").rglob("*.obj")
     )
     assert written, "ccta_fusion should export meshes"
+
+
+def test_centerline_editing_example(tmp_path):
+    proc = _run("centerline_editing.py", [str(tmp_path / "cl")], tmp_path)
+    assert "after cleanup" in proc.stdout
+    assert (tmp_path / "cl" / "rca_centerline_edited.csv").exists()
+
+
+def test_hole_filling_example(tmp_path):
+    proc = _run("hole_filling.py", [str(tmp_path / "rep")], tmp_path)
+    assert "watertight? True" in proc.stdout
+    assert (tmp_path / "rep" / "repaired.stl").exists()
+
+
+def test_centerline_registration_example(tmp_path):
+    proc = _run("centerline_registration.py", [str(tmp_path / "reg")], tmp_path)
+    assert "registered onto centerline" in proc.stdout
+    assert list((tmp_path / "reg").glob("*.obj"))
