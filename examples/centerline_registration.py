@@ -12,9 +12,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os
+
 import numpy as np
 
 import multimodars as mm
+
+STEP = float(os.environ.get("MMTPU_EXAMPLE_STEP", "0.5"))
 
 REF_DATA = Path("/root/reference/examples/data")
 ROOT = Path(__file__).resolve().parent.parent
@@ -35,6 +39,7 @@ def main() -> None:
     rest, (dia_logs, sys_logs) = mm.from_file_singlepair(
         input_path=str(ivus),
         labels=["aligned_dia", "aligned_sys"],
+        step_rotation_deg=STEP,
         write_obj=False,
     )
     print(f"aligned pair: {len(rest.geom_a.frames)} dia / "

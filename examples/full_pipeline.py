@@ -11,7 +11,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os
+
 import multimodars as mm
+
+# coarse demo step via env (the executable-docs test tier uses 1.0 so the
+# CPU-backend compile of the full ladder stays cheap; the default matches
+# the reference's benchmark configuration)
+STEP = float(os.environ.get("MMTPU_EXAMPLE_STEP", "0.1"))
 
 REF_DATA = Path("/root/reference/examples/data")
 VENDORED = Path(__file__).resolve().parent.parent / "tests" / "data" / "fixtures"
@@ -30,7 +37,7 @@ def main() -> None:
     pair_ab, pair_cd, pair_ac, pair_bd, *logs = mm.from_file_full(
         input_path_ab=str(rest),
         input_path_cd=str(stress),
-        step_rotation_deg=0.1,
+        step_rotation_deg=STEP,
         range_rotation_deg=90.0,
         write_obj=True,
         output_path_ab=str(out / "rest"),

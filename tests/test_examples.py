@@ -21,6 +21,9 @@ def _run(script, args, tmp_path, timeout=480):
     # an 8-device topology the examples never use
     env.setdefault("JAX_PLATFORMS", "cpu")
     env.pop("XLA_FLAGS", None)
+    # coarse search step: the examples demonstrate the API, not throughput;
+    # a single-stage ladder keeps the per-subprocess CPU compile cheap
+    env.setdefault("MMTPU_EXAMPLE_STEP", "1.0")
     proc = subprocess.run(
         [sys.executable, str(EXAMPLES / script), *args],
         cwd=tmp_path,
