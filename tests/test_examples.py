@@ -13,7 +13,7 @@ ROOT = Path(__file__).resolve().parent.parent
 EXAMPLES = ROOT / "examples"
 
 
-def _run(script, args, tmp_path, timeout=480):
+def _run(script, args, tmp_path, timeout=900):
     env = dict(os.environ)
     # examples inherit the test session's CPU pinning so they never contend
     # with a concurrently-running TPU process — but NOT its 8-virtual-device

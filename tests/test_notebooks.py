@@ -24,7 +24,7 @@ def test_notebook_executes(path, tmp_path):
     # execute in place (like nbmake): the notebooks' path-setup cell finds
     # the repo root by walking up from their own directory
     client = nbclient.NotebookClient(
-        nb, timeout=480, kernel_name="python3",
+        nb, timeout=900, kernel_name="python3",
         resources={"metadata": {"path": str(path.parent)}},
     )
     client.execute()
