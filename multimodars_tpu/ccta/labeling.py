@@ -186,18 +186,13 @@ def label_geometry(
         print(f"{key}: {len(results[key])}")
 
     if control_plot:
+        shown = ("aorta_points", "rca_points", "lca_points",
+                 "rca_removed_points", "proximal_points")
         plot_results_key(
             results,
-            aorta_points=True,
-            rca_points=True,
-            lca_points=True,
-            rca_removed_points=True,
-            proximal_points=True,
-            distal_points=False,
-            anomalous_points=False,
-            cl_rca=cl_rca,
-            cl_lca=cl_lca,
-            cl_aorta=cl_aorta,
+            cl_rca=cl_rca, cl_lca=cl_lca, cl_aorta=cl_aorta,
+            **{k: True for k in shown},
+            **{k: False for k in ("distal_points", "anomalous_points")},
         )
 
     return results, (cl_rca, cl_lca, cl_aorta)
@@ -310,18 +305,13 @@ def label_anomalous_region(
         print(f"  {key}: {len(results[key])}")
 
     if debug_plot:
+        shown = ("proximal_points", "distal_points", "anomalous_points")
+        hidden = ("aorta_points", "rca_points", "lca_points",
+                  "rca_removed_points")
         plot_results_key(
-            results=results,
-            aorta_points=False,
-            rca_points=False,
-            lca_points=False,
-            rca_removed_points=False,
-            proximal_points=True,
-            distal_points=True,
-            anomalous_points=True,
-            cl_rca=centerline,
-            cl_lca=None,
-            cl_aorta=None,
+            results, cl_rca=centerline,
+            **{k: True for k in shown},
+            **{k: False for k in hidden},
         )
 
     return results
