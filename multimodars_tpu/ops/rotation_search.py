@@ -186,7 +186,7 @@ def search_range_batched(
 # side executes).  Results are bit-identical to the unpruned sweep either
 # way; only the work changes.  Parity: search_range (process_utils.rs:33-75).
 
-_PRUNE_MIN_K = 24
+_PRUNE_MIN_K = 20
 _PRUNE_MIN_POINTS = 128
 _PRUNE_STRIDE = 6
 _PRUNE_TOP = 12
