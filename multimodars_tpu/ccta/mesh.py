@@ -88,12 +88,27 @@ class Mesh:
 
     def _edge_keys_sorted(self) -> np.ndarray:
         """Undirected edges as scalar keys (min * n + max), sorted — one
-        int64 sort instead of a row-wise unique over (n, 2) void views."""
+        int64 sort instead of a row-wise unique over (n, 2) void views.
+
+        Keys are built straight from the face columns (same order as
+        :attr:`edges`: the [0,1] block, then [1,2], then [2,0]) without
+        materialising the (3F, 2) edge array, and the packing base is the
+        O(1) vertex count rather than a full max() scan."""
         if "edge_keys_sorted" not in self._cache:
-            e = self.edges
-            n = int(e.max()) + 1 if len(e) else 1
-            keys = np.minimum(e[:, 0], e[:, 1]) * n + np.maximum(e[:, 0], e[:, 1])
-            self._cache["edge_keys_sorted"] = (np.sort(keys), keys)
+            f = self.faces.astype(np.int64, copy=False)
+            n = len(self.vertices) + 1
+            if len(f):
+                a, b, c = f[:, 0], f[:, 1], f[:, 2]
+                keys = np.concatenate([
+                    np.minimum(a, b) * n + np.maximum(a, b),
+                    np.minimum(b, c) * n + np.maximum(b, c),
+                    np.minimum(c, a) * n + np.maximum(c, a),
+                ])
+            else:
+                keys = np.zeros(0, dtype=np.int64)
+            order = np.argsort(keys, kind="stable")
+            self._cache["edge_key_order"] = order
+            self._cache["edge_keys_sorted"] = (keys[order], keys)
         return self._cache["edge_keys_sorted"]
 
     @property
@@ -102,8 +117,15 @@ class Mesh:
         if len(self.faces) == 0:
             return False
         ks, _ = self._edge_keys_sorted()
-        _, counts = np.unique(ks, return_counts=True)
-        return bool((counts == 2).all())
+        # every key appears exactly twice <=> sorted keys pair up (ks[0::2]
+        # == ks[1::2]) and consecutive pairs carry distinct keys — an O(n)
+        # scan instead of a full np.unique(return_counts) pass
+        if len(ks) % 2:
+            return False
+        a = ks[0::2]
+        if not bool((a == ks[1::2]).all()):
+            return False
+        return bool((a[1:] != a[:-1]).all())
 
     def copy(self) -> "Mesh":
         return Mesh(self.vertices.copy(), self.faces.copy())
@@ -132,11 +154,22 @@ class Mesh:
         and fill_holes interrogate the same state back to back)."""
         if "boundary_edges" not in self._cache:
             ks, keys = self._edge_keys_sorted()
-            uniq, inverse, counts = np.unique(
-                keys, return_inverse=True, return_counts=True
-            )
-            boundary_mask = counts[inverse] == 1
-            self._cache["boundary_edges"] = self.edges[boundary_mask]
+            # multiplicity-1 keys via run-length over the sorted keys, mapped
+            # back through the cached argsort — no binary searches
+            order = self._cache["edge_key_order"]
+            boundary_mask = np.zeros(len(keys), dtype=bool)
+            if len(ks):
+                new_run = np.r_[True, ks[1:] != ks[:-1]]
+                starts = np.nonzero(new_run)[0]
+                counts = np.diff(np.append(starts, len(ks)))
+                boundary_mask[order[starts[counts == 1]]] = True
+            # materialise only the boundary pairs (same order as
+            # self.edges[boundary_mask]: the [0,1] block, then [1,2], [2,0])
+            f = self.faces
+            m0, m1, m2 = np.split(boundary_mask, 3)
+            self._cache["boundary_edges"] = np.concatenate([
+                f[m0][:, [0, 1]], f[m1][:, [1, 2]], f[m2][:, [2, 0]],
+            ])
         return self._cache["boundary_edges"]
 
     def boundary_loops(self) -> List[List[int]]:
@@ -216,7 +249,9 @@ class Mesh:
 
     def submesh_from_faces(self, face_indices) -> "Mesh":
         faces = self.faces[np.asarray(face_indices)]
-        used = np.unique(faces)
+        used_mask = np.zeros(len(self.vertices), dtype=bool)
+        used_mask[faces.ravel()] = True
+        used = np.nonzero(used_mask)[0]
         remap = np.full(len(self.vertices), -1, dtype=np.int64)
         remap[used] = np.arange(len(used))
         return Mesh(self.vertices[used], remap[faces])
@@ -243,14 +278,27 @@ class Mesh:
         self.faces = f[ok]
         self._invalidate()
 
+    def _face_keys_sorted_rows(self) -> np.ndarray:
+        """Unordered-face scalar keys: each row sorted then packed into one
+        int64 (valid while max vertex id < 2^21 ≈ 2.1M, which covers every
+        clinical mesh; falls back to a void view otherwise)."""
+        key = np.sort(self.faces, axis=1).astype(np.int64, copy=False)
+        n = int(key.max()) + 1 if len(key) else 1
+        if n < (1 << 21):
+            return (key[:, 0] << 42) | (key[:, 1] << 21) | key[:, 2]
+        return np.ascontiguousarray(key).view(
+            np.dtype((np.void, key.dtype.itemsize * 3))
+        ).reshape(-1)
+
     def remove_duplicate_faces(self) -> None:
-        key = np.sort(self.faces, axis=1)
-        _, idx = np.unique(key, axis=0, return_index=True)
+        _, idx = np.unique(self._face_keys_sorted_rows(), return_index=True)
         self.faces = self.faces[np.sort(idx)]
         self._invalidate()
 
     def remove_unreferenced_vertices(self) -> None:
-        used = np.unique(self.faces)
+        used_mask = np.zeros(len(self.vertices), dtype=bool)
+        used_mask[self.faces.ravel()] = True
+        used = np.nonzero(used_mask)[0]
         remap = np.full(len(self.vertices), -1, dtype=np.int64)
         remap[used] = np.arange(len(used))
         self.vertices = self.vertices[used]
@@ -264,8 +312,7 @@ class Mesh:
     def unique_faces(self) -> np.ndarray:
         """Boolean mask keeping the first occurrence of each (unordered)
         face (trimesh.Trimesh.unique_faces analog)."""
-        key = np.sort(self.faces, axis=1)
-        _, first = np.unique(key, axis=0, return_index=True)
+        _, first = np.unique(self._face_keys_sorted_rows(), return_index=True)
         mask = np.zeros(len(self.faces), dtype=bool)
         mask[first] = True
         return mask
