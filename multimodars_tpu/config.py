@@ -75,6 +75,18 @@ if os.environ.get("MMTPU_NO_COMPILE_CACHE", "0") != "1":
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+# Honor JAX_PLATFORMS=cpu even when a device plugin ignores it (the axon TPU
+# plugin registers its device regardless): pin the default device to the CPU
+# platform so subprocess tiers that request a CPU backend (examples,
+# notebooks, CI) never contend for a single-client TPU tunnel.
+_requested = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
+if _requested == "cpu":
+    try:
+        if jax.default_backend() != "cpu":
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    except Exception:  # pragma: no cover - CPU platform always exists
+        pass
+
 
 def default_backend() -> str:
     try:

@@ -6,7 +6,10 @@ import os
 
 os.environ.setdefault("MMTPU_HOST_MALLOC_TUNING", "1")
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): login profiles on axon hosts export
+# JAX_PLATFORMS=axon, and inheriting that sends every test subprocess to the
+# single-client TPU tunnel — the root cause of multi-minute example stalls
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["MMTPU_COMPUTE_DTYPE"] = "float64"  # reference parity is f64
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -19,7 +19,7 @@ def _run(script, args, tmp_path, timeout=900):
     # with a concurrently-running TPU process — but NOT its 8-virtual-device
     # XLA_FLAGS, which would force fresh slow compiles of every program for
     # an 8-device topology the examples never use
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    env["JAX_PLATFORMS"] = "cpu"  # force: the host profile exports =axon
     env.pop("XLA_FLAGS", None)
     # coarse search step: the examples demonstrate the API, not throughput;
     # a single-stage ladder keeps the per-subprocess CPU compile cheap

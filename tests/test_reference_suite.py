@@ -36,7 +36,7 @@ raise SystemExit(pytest.main([
 ]))
 """
     env = dict(os.environ)
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    env["JAX_PLATFORMS"] = "cpu"  # force: the host profile exports =axon
     proc = subprocess.run(
         [sys.executable, "-c", driver],
         capture_output=True,
