@@ -113,10 +113,23 @@ def main() -> None:
     # steady-state (XLA compiles once per static (step, range) signature)
     _run_once(input_ab, input_cd, STEP_SIZES[0], False)
 
+    from multimodars_tpu.ops.rotation_search import plan_is_bruteforce
+
     results: dict[str, dict[float, float]] = {"optimized": {}, "bruteforce": {}}
+    plan_equal: list[float] = []
     for bruteforce in (False, True):
         mode = "bruteforce" if bruteforce else "optimized"
         for step in STEP_SIZES:
+            if bruteforce and plan_is_bruteforce(step, RANGE_DEG):
+                # at coarse steps the optimized ladder degenerates to the
+                # very same single full-range sweep (one shared executable);
+                # measuring the same plan twice only records cache-state
+                # noise as a fake mode difference
+                plan_equal.append(step)
+                results[mode][step] = results["optimized"][step]
+                print(f"{mode:10s} step={step:<5g} identical plan (shared "
+                      f"executable with optimized)")
+                continue
             _run_once(input_ab, input_cd, step, bruteforce)  # compile warmup
             times = [
                 _run_once(input_ab, input_cd, step, bruteforce)
@@ -140,6 +153,9 @@ def main() -> None:
             str(s): results["bruteforce"][s] / results["optimized"][s]
             for s in STEP_SIZES
         },
+        # steps where the optimized plan IS the bruteforce sweep (one shared
+        # executable; speedup recorded as exactly 1.0 by construction)
+        "plan_equal_steps": [str(s) for s in plan_equal],
         "reference_seconds_xeon6234": REFERENCE_SECONDS,
     }
     out = RESULTS_DIR / "bruteforce_stepsize.json"

@@ -319,6 +319,20 @@ def ladder_stages(step_deg: float, range_deg: float):
     ]
 
 
+def plan_is_bruteforce(step_deg: float, range_deg: float) -> bool:
+    """True when the multi-resolution plan degenerates to the single
+    full-range sweep (step >= 1 deg: ladder_stages yields one stage with the
+    user's own step and range — exactly the bruteforce grid).
+
+    Callers collapse this case onto the ``bruteforce=True`` signature so both
+    modes share one compiled executable: the reference's 'optimized' mode at
+    coarse steps IS its bruteforce sweep (align_within.rs:208-246 match arm
+    ``step if step >= 1.0``), and dispatching it under a second jit key would
+    only duplicate compiles and add cache-state noise."""
+    stages = ladder_stages(step_deg, range_deg)
+    return len(stages) == 1 and stages[0][0] == step_deg and stages[0][1] == range_deg
+
+
 def _fast_ladder() -> bool:
     """Opt-in coarse-stage subsampling (MMTPU_FAST_LADDER=1).
 
@@ -464,6 +478,8 @@ def multires_rotation_search(
     """
     if use_pallas is None:
         use_pallas = _pallas_default()
+    if not bruteforce and plan_is_bruteforce(float(step_deg), float(range_deg)):
+        bruteforce = True  # identical plan -> share the compiled executable
     return _multires_rotation_search_impl(
         test, ref, test_mask, ref_mask, float(step_deg), float(range_deg),
         bool(bruteforce), bool(use_pallas), fast=_fast_ladder(),
@@ -494,6 +510,8 @@ def multires_rotation_search_dense(
     batches: no mask transfers, no sentinel selects."""
     if use_pallas is None:
         use_pallas = _pallas_default()
+    if not bruteforce and plan_is_bruteforce(float(step_deg), float(range_deg)):
+        bruteforce = True  # identical plan -> share the compiled executable
     return _multires_dense_impl(
         test, ref, float(step_deg), float(range_deg), bool(bruteforce),
         bool(use_pallas), fast=_fast_ladder(), prune=_prune_enabled(),
@@ -545,6 +563,8 @@ def chain_rotation_search(
     """
     if use_pallas is None:
         use_pallas = _pallas_default()
+    if not bruteforce and plan_is_bruteforce(float(step_deg), float(range_deg)):
+        bruteforce = True  # identical plan -> share the compiled executable
     if mask is None:
         return _chain_rotation_search_dense_impl(
             pts, float(step_deg), float(range_deg), bool(bruteforce),

@@ -3,6 +3,8 @@ tests (align_within.rs:781-1001)."""
 
 import math
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -228,3 +230,31 @@ class TestPrunedSweepParity:
             multires_rotation_search(test, ref, tm, rm, 0.01, 6.0)
         )
         np.testing.assert_array_equal(pruned, exact)
+
+
+class TestPlanSelection:
+    """Static plan selection: coarse steps collapse onto the bruteforce
+    signature (one shared executable — VERDICT r2 item 7)."""
+
+    def test_degenerate_ladder_detected(self):
+        from multimodars_tpu.ops.rotation_search import plan_is_bruteforce
+
+        for step in (5.0, 2.5, 1.0):
+            assert plan_is_bruteforce(step, 90.0)
+        for step in (0.5, 0.25, 0.1, 0.05, 0.01):
+            assert not plan_is_bruteforce(step, 90.0)
+
+    def test_modes_identical_at_coarse_step(self):
+        import numpy as np
+
+        from multimodars_tpu.ops.rotation_search import (
+            multires_rotation_search_dense,
+        )
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((4, 64, 2))
+        test = jnp.asarray(base, jnp.float64)
+        ref = jnp.asarray(rng.standard_normal((4, 64, 2)), jnp.float64)
+        opt = multires_rotation_search_dense(test, ref, 2.5, 90.0, False)
+        bf = multires_rotation_search_dense(test, ref, 2.5, 90.0, True)
+        np.testing.assert_array_equal(np.asarray(opt), np.asarray(bf))
