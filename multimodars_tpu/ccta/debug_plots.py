@@ -297,3 +297,134 @@ def plot_sharp_angles(cl, branch_id: int, positions: List[int]):
                 _Trace(pos[idx], color="red", size=6, name="sharp_angles")
             )
     return _emit("plot_sharp_angles", traces, "plot_sharp_angles.html")
+
+
+# ---------------------------------------------------------------------------
+# interactive 3-D scenes (guarded)
+# ---------------------------------------------------------------------------
+#
+# The reference opens pyglet windows via trimesh.Scene(...).show()
+# (debug_plots.py:34-135).  Headless environments cannot open a window, so
+# the scene is CONSTRUCTED unconditionally (testable: geometry list, colours,
+# point counts) and .show() degrades gracefully: a real display uses the
+# interactive viewer when pyglet/trimesh are importable, otherwise the scene
+# falls back to the standalone-HTML rendering of the plotly path.
+
+
+class ScenePointCloud:
+    """Minimal trimesh.points.PointCloud analog: points + one RGBA colour."""
+
+    def __init__(self, points, color, name: str = ""):
+        self.vertices = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+        self.color = list(color)
+        self.name = name
+
+    def __len__(self) -> int:
+        return len(self.vertices)
+
+
+class Scene:
+    """Collected 3-D geometries with a guarded interactive viewer."""
+
+    def __init__(self, geometries=None):
+        self.geometries: list = list(geometries or [])
+
+    def add_geometry(self, geom) -> None:
+        self.geometries.append(geom)
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.geometries
+
+    def _traces(self) -> List[_Trace]:
+        traces = []
+        for g in self.geometries:
+            if isinstance(g, ScenePointCloud):
+                rgba = g.color
+                color = f"rgb({rgba[0]},{rgba[1]},{rgba[2]})"
+                traces.append(_Trace(g.vertices, color=color, name=g.name))
+            elif hasattr(g, "vertices"):  # mesh-like: show the vertex cloud
+                traces.append(
+                    _Trace(np.asarray(g.vertices), color="lightgray", size=1,
+                           name="mesh")
+                )
+        return traces
+
+    def save_html(self, path: str = "scene.html"):
+        return _emit("scene", self._traces(), path)
+
+    def show(self):
+        """Open an interactive viewer when a display + pyglet are available
+        (the reference's trimesh.Scene.show), else write standalone HTML."""
+        import os
+
+        if os.environ.get("DISPLAY") or os.name == "nt":
+            try:  # pragma: no cover - needs a real display
+                import trimesh as _tm  # real trimesh, not the compat facade
+
+                if hasattr(_tm, "Scene") and not hasattr(_tm, "_MMTPU_FACADE"):
+                    geoms = []
+                    for g in self.geometries:
+                        if isinstance(g, ScenePointCloud):
+                            geoms.append(
+                                _tm.points.PointCloud(g.vertices, colors=g.color)
+                            )
+                        else:
+                            geoms.append(g)
+                    return _tm.Scene(geoms).show()
+            except Exception:
+                pass
+        print("no interactive display available — writing scene.html instead")
+        return self.save_html()
+
+
+def build_results_scene(
+    results: dict,
+    aorta_points: bool = True,
+    rca_points: bool = False,
+    lca_points: bool = False,
+    rca_removed_points: bool = False,
+    proximal_points: bool = False,
+    distal_points: bool = False,
+    anomalous_points: bool = False,
+    cl_rca=None,
+    cl_lca=None,
+    cl_aorta=None,
+) -> Scene:
+    """Headlessly construct the reference's results-key scene
+    (debug_plots.py:34-132 colour coding: yellow aorta, blue RCA, green LCA,
+    red removed, cyan proximal, magenta distal, orange anomalous)."""
+    rgba = {
+        "aorta_points": [255, 255, 0, 255],
+        "rca_points": [0, 0, 255, 255],
+        "lca_points": [0, 255, 0, 255],
+        "rca_removed_points": [255, 0, 0, 255],
+        "proximal_points": [0, 255, 255, 255],
+        "distal_points": [255, 0, 255, 255],
+        "anomalous_points": [255, 165, 0, 255],
+    }
+    flags = {
+        "aorta_points": aorta_points,
+        "rca_points": rca_points,
+        "lca_points": lca_points,
+        "rca_removed_points": rca_removed_points,
+        "proximal_points": proximal_points,
+        "distal_points": distal_points,
+        "anomalous_points": anomalous_points,
+    }
+    scene = Scene()
+    for key, enabled in flags.items():
+        pts = results.get(key) or []
+        if enabled and pts:
+            scene.add_geometry(ScenePointCloud(pts, rgba[key], name=key))
+    mesh = results.get("mesh")
+    if mesh is not None and not scene.is_empty:
+        scene.add_geometry(mesh)
+    for name, cl, color in (
+        ("cl_rca", cl_rca, [0, 100, 200, 255]),
+        ("cl_lca", cl_lca, [0, 150, 0, 255]),
+        ("cl_aorta", cl_aorta, [200, 200, 0, 255]),
+    ):
+        if cl is not None:
+            scene.add_geometry(ScenePointCloud(_cl_array(cl), color, name=name))
+    return scene

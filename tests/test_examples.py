@@ -74,3 +74,16 @@ def test_centerline_registration_example(tmp_path):
     proc = _run("centerline_registration.py", [str(tmp_path / "reg")], tmp_path)
     assert "registered onto centerline" in proc.stdout
     assert list((tmp_path / "reg").glob("*.obj"))
+
+
+def test_blender_import_example_guards_outside_blender(tmp_path):
+    """blender_import.py is a bpy script; outside Blender it must exit with
+    a clear message instead of a traceback."""
+    proc = subprocess.run(
+        [sys.executable, str(EXAMPLES / "blender_import.py"), str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "must run inside Blender" in (proc.stdout + proc.stderr)
