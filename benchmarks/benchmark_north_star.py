@@ -1,0 +1,114 @@
+"""Benchmark 4: the driver-defined north star as a measured artifact.
+
+BASELINE.json north star: full four-phase rest/stress x dia/sys registration
+plus centerline alignment of a pullback in < 1 s on one TPU v5e chip.  This
+script measures exactly that end-to-end config on the reference's own
+example data:
+
+  1. ``from_file_full`` on examples/data/{ivus_rest,ivus_stress}
+     (step 0.5 deg, range +/-90 deg — the reference's canonical defaults,
+     functions.rs:144-167; write_obj/smooth/postprocessing off per the
+     reference's benchmark protocol, benchmarks/BENCHMARK_PLAN.md)
+  2. ``read_centerline_vtp`` on examples/data/rca_cl.vtp
+  3. ``align_three_point`` of the diastolic rest geometry onto the
+     centerline
+
+Warm runs excluded (compile cache + page faults), median of 5 recorded.
+Output: benchmarks/results/north_star.json
+"""
+
+from __future__ import annotations
+
+import os
+
+os.environ.setdefault("MMTPU_HOST_MALLOC_TUNING", "1")
+
+import contextlib
+import io
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+
+REF_DATA = Path("/root/reference/examples/data")
+RESULTS_DIR = Path(__file__).resolve().parent / "results"
+TARGET_SECONDS = 1.0  # BASELINE.json north star
+REPEATS = 5
+WARMUP = 2
+
+
+def main() -> None:
+    import multimodars as mm
+
+    rest = REF_DATA / "ivus_rest"
+    stress = REF_DATA / "ivus_stress"
+    vtp = REF_DATA / "rca_cl.vtp"
+    if not rest.is_dir() or not vtp.is_file():
+        raise SystemExit(f"reference example data not found under {REF_DATA}")
+
+    def run_once() -> float:
+        t0 = time.perf_counter()
+        pair_ab, pair_cd, pair_ac, pair_bd, *_ = mm.from_file_full(
+            input_path_ab=str(rest),
+            input_path_cd=str(stress),
+            step_rotation_deg=0.5,
+            range_rotation_deg=90.0,
+            write_obj=False,
+            smooth=False,
+            postprocessing=False,
+        )
+        centerline = mm.read_centerline_vtp(str(vtp))
+        geom = pair_ab.geom_a
+        ref_pt = geom.frames[geom.ref_or_proximal_idx()].lumen.points[0]
+        aligned, _cl = mm.align_three_point(
+            centerline,
+            geom,
+            (ref_pt.x, ref_pt.y, ref_pt.z),
+            (ref_pt.x + 1.0, ref_pt.y, ref_pt.z),
+            (ref_pt.x, ref_pt.y + 1.0, ref_pt.z),
+            write=False,
+        )
+        dt = time.perf_counter() - t0
+        assert len(aligned.frames) == len(geom.frames)
+        return dt
+
+    for i in range(WARMUP):
+        with contextlib.redirect_stdout(io.StringIO()):
+            run_once()
+
+    times = []
+    for _ in range(REPEATS):
+        with contextlib.redirect_stdout(io.StringIO()):
+            times.append(run_once())
+    median = statistics.median(times)
+
+    import jax
+
+    pinned_cpu = os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu"
+    payload = {
+        "config": {
+            "stages": ["from_file_full", "read_centerline_vtp", "align_three_point"],
+            "data": "reference examples/data (ivus_rest + ivus_stress + rca_cl.vtp)",
+            "step_deg": 0.5,
+            "range_deg": 90.0,
+            "flags": {"write_obj": False, "smooth": False, "postprocessing": False},
+            "repeats": REPEATS,
+        },
+        "platform": "cpu (pinned)" if pinned_cpu else jax.default_backend(),
+        "seconds_median": round(median, 4),
+        "seconds_all": [round(t, 4) for t in times],
+        "target_seconds": TARGET_SECONDS,
+        "meets_target": median < TARGET_SECONDS,
+    }
+    RESULTS_DIR.mkdir(parents=True, exist_ok=True)
+    out = RESULTS_DIR / "north_star.json"
+    out.write_text(json.dumps(payload, indent=2))
+    print(json.dumps(payload, indent=2))
+
+
+if __name__ == "__main__":
+    main()
