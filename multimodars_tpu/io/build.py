@@ -165,6 +165,40 @@ def _prefetch_sweep(
         if baseline > np.finfo(np.float64).eps and (diffs >= 1.5 * baseline).any():
             return None  # hole-filling mutates the frame list: object path
 
+    key = (
+        float(prefetch["step_deg"]),
+        float(prefetch["range_deg"]),
+        bool(prefetch["bruteforce"]),
+        sample_size,
+    )
+
+    # device-staged fast path: the lumen xy stack was uploaded at input
+    # construction (converters._maybe_stage_lumen_device); the permutation
+    # gather + catheter synthesis + centering fold into the search dispatch,
+    # removing the h2d transfer from the critical path.  Content is verified
+    # against the freshly grouped host coordinates so stale staging (mutated
+    # contours) falls back to the host build.
+    staged = getattr(input_data, "_staged", None)
+    if (
+        staged is not None
+        and staged["dev"].shape == (F, P, 2)
+        and np.array_equal(staged["orig"], orig)
+        and np.array_equal(staged["host_xy"], coords[:, :, :2])
+    ):
+        from ..ops.rotation_search import chain_rotation_search_staged
+
+        handle = chain_rotation_search_staged(
+            staged["dev"],
+            perm,
+            float(prefetch["step_deg"]),
+            float(prefetch["range_deg"]),
+            bool(prefetch["bruteforce"]),
+            int(n_points),
+            image_center,
+            float(radius),
+        )
+        return handle, key, cen
+
     cxy = cen[perm, :2]
     parts = [coords[perm][:, :, :2]]
     if n_points > 0:
@@ -189,12 +223,6 @@ def _prefetch_sweep(
         float(prefetch["step_deg"]),
         float(prefetch["range_deg"]),
         bool(prefetch["bruteforce"]),
-    )
-    key = (
-        float(prefetch["step_deg"]),
-        float(prefetch["range_deg"]),
-        bool(prefetch["bruteforce"]),
-        sample_size,
     )
     return handle, key, cen
 

@@ -218,6 +218,7 @@ class InputData:
         "diastole",
         "label",
         "lumen_grouped",
+        "_staged",
     )
 
     def __init__(
@@ -240,6 +241,7 @@ class InputData:
         self.diastole = diastole
         self.label = label
         self.lumen_grouped = None  # set by from_py_input_data's fast path
+        self._staged = None  # device-resident lumen stack (converters)
 
     @staticmethod
     def from_py_input_data(py_in: PyInputData) -> "InputData":
@@ -308,6 +310,7 @@ class InputData:
             label=py_in.label,
         )
         out.lumen_grouped = lumen_grouped
+        out._staged = getattr(py_in, "_staged", None)
         return out
 
 

@@ -54,6 +54,7 @@ class PyInputData:
         "ref_point",
         "diastole",
         "label",
+        "_staged",  # optional device-resident lumen stack (converters)
     )
 
     def __init__(
@@ -75,6 +76,7 @@ class PyInputData:
         self.ref_point = ref_point
         self.diastole = bool(diastole)
         self.label = str(label)
+        self._staged = None
 
     def flatten_points(self, which: str) -> Optional[List[PyContourPoint]]:
         """Flatten a contour group into its raw points (or None)."""

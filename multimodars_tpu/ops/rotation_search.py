@@ -27,6 +27,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .hausdorff import hausdorff_sq_dense, hausdorff_sq_masked
@@ -573,4 +574,74 @@ def chain_rotation_search(
     return _chain_rotation_search_impl(
         pts, mask, float(step_deg), float(range_deg), bool(bruteforce),
         bool(use_pallas), fast=_fast_ladder(), prune=_prune_enabled(),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "step_deg", "range_deg", "bruteforce", "n_cat", "center_x",
+        "center_y", "radius", "use_pallas", "fast", "prune",
+    ),
+)
+def _chain_rotation_search_staged_impl(
+    dev_xy, perm, step_deg, range_deg, bruteforce, n_cat, center_x,
+    center_y, radius, use_pallas, fast, prune,
+):
+    # device-resident input pipeline: the raw [F, P, 2] lumen stack was
+    # uploaded at input-construction time; the permutation gather, the
+    # catheter ring synthesis, the lumen-centroid centering and the full
+    # search ladder all run in ONE dispatch — no h2d transfer on the
+    # critical path (the tunnel round-trip is the dominant cost there)
+    xy = jnp.take(dev_xy, perm, axis=0)  # [F, P, 2] in aligned frame order
+    F = xy.shape[0]
+    cxy = xy.mean(axis=1)  # lumen-only centroid, like _prefetch_sweep
+    if n_cat > 0:
+        ang = (TWO_PI / n_cat) * jnp.arange(n_cat, dtype=xy.dtype)
+        ring = jnp.stack(
+            [center_x + radius * jnp.cos(ang), center_y + radius * jnp.sin(ang)],
+            axis=-1,
+        )
+        pts_all = jnp.concatenate(
+            [xy, jnp.broadcast_to(ring[None], (F, n_cat, 2))], axis=1
+        )
+    else:
+        pts_all = xy
+    pts = pts_all - cxy[:, None, :]
+    dummy = jnp.ones(pts.shape[:2], dtype=bool)
+    return _multires_rotation_search_impl(
+        pts[1:], pts[:-1], dummy[1:], dummy[:-1],
+        step_deg, range_deg, bruteforce, use_pallas, dense=True, fast=fast,
+        prune=prune,
+    )
+
+
+def chain_rotation_search_staged(
+    dev_xy, perm, step_deg, range_deg, bruteforce, n_cat, image_center,
+    radius, use_pallas=None,
+):
+    """Relative rotations from a device-staged lumen stack.
+
+    ``dev_xy``: [F, P, 2] device array uploaded ahead of time (see
+    _converters.numpy_to_inputdata); ``perm``: host int permutation into
+    aligned frame order.  Same result as :func:`chain_rotation_search` on
+    the equivalently built host sample sets, modulo dtype-of-centering ulps
+    (the staged path centers in compute dtype on device)."""
+    if use_pallas is None:
+        use_pallas = _pallas_default()
+    if not bruteforce and plan_is_bruteforce(float(step_deg), float(range_deg)):
+        bruteforce = True
+    return _chain_rotation_search_staged_impl(
+        dev_xy,
+        jnp.asarray(np.asarray(perm, dtype=np.int32)),
+        float(step_deg),
+        float(range_deg),
+        bool(bruteforce),
+        int(n_cat),
+        float(image_center[0]),
+        float(image_center[1]),
+        float(radius),
+        bool(use_pallas),
+        _fast_ladder(),
+        _prune_enabled(),
     )

@@ -258,3 +258,63 @@ class TestPlanSelection:
         opt = multires_rotation_search_dense(test, ref, 2.5, 90.0, False)
         bf = multires_rotation_search_dense(test, ref, 2.5, 90.0, True)
         np.testing.assert_array_equal(np.asarray(opt), np.asarray(bf))
+
+
+class TestStagedSearch:
+    """Device-staged dispatch path (converters upload + in-graph catheter
+    synthesis/centering) matches the host-built sample-set path."""
+
+    def test_staged_matches_host_build(self):
+        import math as _math
+
+        from multimodars_tpu.ops.rotation_search import (
+            chain_rotation_search,
+            chain_rotation_search_staged,
+        )
+
+        rng = np.random.default_rng(11)
+        F, P, n_cat = 6, 96, 20
+        th = np.linspace(0, 2 * np.pi, P, endpoint=False)
+        coords = np.stack(
+            [
+                np.stack(
+                    [
+                        (2.0 + 0.3 * np.cos(3 * th + f)) * np.cos(th) + 4.5,
+                        (1.5 + 0.3 * np.sin(2 * th + f)) * np.sin(th) + 4.5,
+                    ],
+                    axis=-1,
+                )
+                for f in range(F)
+            ]
+        )
+        perm = np.arange(F)[::-1].copy()
+
+        # host build (same construction as _prefetch_sweep)
+        cxy = coords.mean(axis=1)[perm]
+        ang = 2.0 * _math.pi * np.arange(n_cat) / n_cat
+        ring = np.stack([4.5 + 0.5 * np.cos(ang), 4.5 + 0.5 * np.sin(ang)], -1)
+        pts = np.concatenate(
+            [coords[perm], np.broadcast_to(ring[None], (F, n_cat, 2))], axis=1
+        ) - cxy[:, None, :]
+
+        host = np.asarray(
+            chain_rotation_search(jnp.asarray(pts), None, 0.5, 10.0, False)
+        )
+        staged = np.asarray(
+            chain_rotation_search_staged(
+                jnp.asarray(coords), perm, 0.5, 10.0, False, n_cat, (4.5, 4.5), 0.5
+            )
+        )
+        np.testing.assert_allclose(staged, host, atol=1e-9)
+
+    def test_numpy_to_inputdata_stages_nothing_on_cpu(self):
+        """The f64 CPU test configuration must keep the bit-exact host
+        path — no staging."""
+        import multimodars as mm
+
+        lumen = np.array(
+            [[f, 4.5 + np.cos(k), 4.5 + np.sin(k), f * 0.2]
+             for f in range(3) for k in range(8)]
+        )
+        data = mm.numpy_to_inputdata(lumen, np.array([0, 5.5, 4.5, 0.0]), True)
+        assert getattr(data, "_staged", None) is None
