@@ -132,23 +132,27 @@ class TensorGeometry:
         therefore equivalent to a full :meth:`ccw_sort` at a fraction of the
         cost (no atan2, no argsort)."""
         for k in self.kinds:
-            xyz = self.coords[k]
-            F, n = xyz.shape[:2]
-            if n == 0:
-                continue
-            y = xyz[:, :, 1]
-            start = n - 1 - np.argmax(y[:, ::-1], axis=1)  # last max
-            roll = (np.arange(n)[None, :] + start[:, None]) % n
-            self.coords[k] = np.take_along_axis(xyz, roll[:, :, None], axis=1)
-            pf = self.pt_frame[k]
-            if not (pf[:, :1] == pf).all():
-                self.pt_frame[k] = np.take_along_axis(pf, roll, axis=1)
-            pa = self.pt_aortic[k]
-            if pa.any():
-                self.pt_aortic[k] = np.take_along_axis(pa, roll, axis=1)
-            self.pt_index[k] = np.broadcast_to(
-                np.arange(n, dtype=np.int64), (F, n)
-            ).copy()
+            self._roll_kind(k)
+
+    def _roll_kind(self, k: str) -> None:
+        """Last-max-Y start roll for one kind (see :meth:`ccw_roll`)."""
+        xyz = self.coords[k]
+        F, n = xyz.shape[:2]
+        if n == 0:
+            return
+        y = xyz[:, :, 1]
+        start = n - 1 - np.argmax(y[:, ::-1], axis=1)  # last max
+        roll = (np.arange(n)[None, :] + start[:, None]) % n
+        self.coords[k] = np.take_along_axis(xyz, roll[:, :, None], axis=1)
+        pf = self.pt_frame[k]
+        if not (pf[:, :1] == pf).all():
+            self.pt_frame[k] = np.take_along_axis(pf, roll, axis=1)
+        pa = self.pt_aortic[k]
+        if pa.any():
+            self.pt_aortic[k] = np.take_along_axis(pa, roll, axis=1)
+        self.pt_index[k] = np.broadcast_to(
+            np.arange(n, dtype=np.int64), (F, n)
+        ).copy()
 
     def ccw_sort(self) -> None:
         """CCW-sort every contour: stable angle sort about the contour's own
@@ -221,7 +225,7 @@ class TensorGeometry:
         self.centroids = self.centroids + deltas
 
     def finish_transform(self, angles: np.ndarray, deltas: np.ndarray,
-                         additional: float) -> None:
+                         additional: float, ccw_roll: bool = False) -> None:
         """Fused alignment epilogue transform: per-frame rotation ``angles``
         about the frame centroid, translation ``deltas``, then an extra
         whole-geometry rotation ``additional`` about each frame's *new*
@@ -235,7 +239,15 @@ class TensorGeometry:
         deltas)`` followed by ``rotate_about_frame_centroids(additional)``
         (the latter, like Frame::rotate, leaves stored contour centroids
         untouched — they stay at their post-translate values, which are
-        computed analytically here instead of by a full mean pass)."""
+        computed analytically here instead of by a full mean pass).
+
+        ``ccw_roll=True`` additionally re-establishes the last-highest-Y
+        start convention (see :meth:`ccw_roll`) fused into the same pass:
+        the roll indices come from the post-transform y, the gather runs on
+        the freshly computed x/y planes only, and z — constant per frame on
+        every funnel-built geometry, which the fused path verifies — is
+        copied without a gather.  Falls back to the generic
+        :meth:`ccw_roll` when z varies within a frame."""
         angles = np.asarray(angles, dtype=np.float64)
         deltas = np.asarray(deltas, dtype=np.float64)
         total = angles + additional
@@ -253,10 +265,42 @@ class TensorGeometry:
             xyz = self.coords[k]
             x = xyz[:, :, 0] - cx
             y = xyz[:, :, 1] - cy
-            xyz[:, :, 0] = x * ct - y * st + cx + dx
-            xyz[:, :, 1] = x * st + y * ct + cy + dy
-            if add_z:
-                xyz[:, :, 2] += dz
+            n = xyz.shape[1]
+            do_roll = (
+                ccw_roll
+                and n > 0
+                and bool((xyz[:, :1, 2] == xyz[:, :, 2]).all())
+            )
+            if do_roll:
+                xp = x * ct - y * st + cx + dx
+                yp = x * st + y * ct + cy + dy
+                start = n - 1 - np.argmax(yp[:, ::-1], axis=1)  # last max
+                roll = (np.arange(n)[None, :] + start[:, None]) % n
+                out = np.empty_like(xyz)
+                out[:, :, 0] = np.take_along_axis(xp, roll, axis=1)
+                out[:, :, 1] = np.take_along_axis(yp, roll, axis=1)
+                out[:, :, 2] = xyz[:, :, 2]  # constant per frame: no gather
+                if add_z:
+                    out[:, :, 2] += dz
+                self.coords[k] = out
+                xyz = out
+                pf = self.pt_frame[k]
+                if not (pf[:, :1] == pf).all():
+                    self.pt_frame[k] = np.take_along_axis(pf, roll, axis=1)
+                pa = self.pt_aortic[k]
+                if pa.any():
+                    self.pt_aortic[k] = np.take_along_axis(pa, roll, axis=1)
+                F_k = xyz.shape[0]
+                self.pt_index[k] = np.broadcast_to(
+                    np.arange(n, dtype=np.int64), (F_k, n)
+                ).copy()
+            else:
+                xyz[:, :, 0] = x * ct - y * st + cx + dx
+                xyz[:, :, 1] = x * st + y * ct + cy + dy
+                if add_z:
+                    xyz[:, :, 2] += dz
+                if ccw_roll:
+                    self._roll_kind(k)
             # post-translate contour centroid, analytically: the mean
             # commutes with the rigid map R_angles(. - c) + c + t
             cc = self.con_centroid[k]

@@ -442,7 +442,9 @@ def _finish_alignment_tensor(
         p2c = rp_xy
     additional_rotation = _axis_rotation_from_coords(p1c, p2c, rp_xy, anomalous)
 
-    tg.finish_transform(cum, txy, additional_rotation)
+    tg.finish_transform(
+        cum, txy, additional_rotation, ccw_roll=(additional_rotation != 0.0)
+    )
     if F > 1:
         rot_deg = np.degrees(delta).tolist()
         txs = txy[1:, 0].tolist()
@@ -461,9 +463,6 @@ def _finish_alignment_tensor(
             )
             for i in range(F - 1)
         ]
-    if additional_rotation != 0.0:
-        tg.ccw_roll()
-
     if anomalous:
         half = tg.coords["Lumen"].shape[1] // 2
         tg.pt_aortic["Lumen"][:, :half] = False
