@@ -128,7 +128,7 @@ def _prefetch_sweep(
     if F < 2 or P == 0 or sample_size < P:
         return None
 
-    cen = coords.mean(axis=1)  # [F, 3]
+    cen = None  # full [F, 3] mean deferred until after the device dispatch
     orig = lum["orig"]
     if input_data.record:
         phase = "D" if diastole else "S"
@@ -153,7 +153,7 @@ def _prefetch_sweep(
         orig_perm = orig[perm]
     else:
         perm = np.arange(F, dtype=np.int64)
-        z_frame = cen[:, 2]
+        z_frame = coords[:, :, 2].mean(axis=1)
         orig_perm = orig
     if not (orig_perm[0] > orig_perm[-1]):  # proximal at ids[-1] -> reverse
         perm = perm[::-1]
@@ -183,10 +183,13 @@ def _prefetch_sweep(
         staged is not None
         and staged["dev"].shape == (F, P, 2)
         and np.array_equal(staged["orig"], orig)
-        and np.array_equal(staged["host_xy"], coords[:, :, :2])
     ):
         from ..ops.rotation_search import chain_rotation_search_staged
 
+        # dispatch optimistically FIRST — the call is pure, so a stale
+        # staging just means the handle is discarded below.  Verification
+        # and the centroid mean then run on the host while the device is
+        # already computing, keeping the tunnel round-trip fully overlapped.
         handle = chain_rotation_search_staged(
             staged["dev"],
             perm,
@@ -197,8 +200,17 @@ def _prefetch_sweep(
             image_center,
             float(radius),
         )
-        return handle, key, cen
+        # enqueue the device->host pull right behind the dispatch: over the
+        # tunnel a pull requested after completion costs a fixed round-trip,
+        # while one enqueued early arrives as soon as compute finishes
+        try:
+            handle.copy_to_host_async()
+        except Exception:
+            pass
+        if np.array_equal(staged["host_xy"], coords[:, :, :2]):
+            return handle, key, coords.mean(axis=1)
 
+    cen = coords.mean(axis=1)  # [F, 3]
     cxy = cen[perm, :2]
     parts = [coords[perm][:, :, :2]]
     if n_points > 0:
@@ -224,6 +236,10 @@ def _prefetch_sweep(
         float(prefetch["range_deg"]),
         bool(prefetch["bruteforce"]),
     )
+    try:
+        handle.copy_to_host_async()
+    except Exception:
+        pass
     return handle, key, cen
 
 
