@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 import os
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import jax
@@ -37,6 +38,14 @@ _SWEEP_DEVICE_PAIRS = int(os.environ.get("MMTPU_CCTA_SWEEP_DEVICE_PAIRS", 60_000
 Coords3 = Tuple[float, float, float]
 
 _CHUNK = 16384
+
+# banded count kernel tiling: a-rows per dispatch, b-columns per scan slice
+_COUNT_A_CHUNK = 32768
+_COUNT_B_SLICE = 16384
+# finite far-away sentinel for pad rows/columns (inf would put 0*inf = nan
+# into the gram dot); d2 of any pad pairing lands at ~1e34, far outside any
+# radius band, except pad x pad which cancels to ~0 on rows sliced out anyway
+_FAR = 1e17
 
 
 def _as_array(points) -> np.ndarray:
@@ -76,15 +85,34 @@ def _count_within_block(block, b_arr, r2):
     return (d2 <= r2).sum(axis=1)
 
 
-@jax.jit
-def _count_band_block(block, b_arr, r2lo, r2hi):
+@partial(jax.jit, static_argnames=("ch",))
+def _count_band_block(block, b_arr, r2lo, r2hi, ch):
     """Banded neighbour count: pairs certainly inside (d2 <= r2lo) and pairs
     inside the uncertainty band (r2lo, r2hi] whose rows need an exact f64
     recount on the host.  Stacked into one array so each chunk costs a
-    single device->host pull."""
-    d2 = ((block[:, None, :] - b_arr[None, :, :]) ** 2).sum(-1)
-    certain = (d2 <= r2lo).sum(axis=1)
-    near = ((d2 > r2lo) & (d2 <= r2hi)).sum(axis=1)
+    single device->host pull.
+
+    TPU mapping: d2 comes from the gram identity |a|^2+|b|^2-2ab (the dot
+    rides the MXU at pinned-f32 precision; the error band below covers the
+    identity's cancellation) and b is swept in ``ch``-column slices under
+    ``lax.scan`` so the [N, ch] tile is the largest live intermediate — the
+    naive [N, M, 3] broadcast form materialised an [N, M] HBM temp (8-16 GB
+    at clinical sizes) and ran ~4x slower, HBM-bound."""
+    sa = (block * block).sum(-1)
+    bc = b_arr.reshape(-1, ch, 3)
+
+    def step(carry, bi):
+        sb = (bi * bi).sum(-1)
+        g = jnp.dot(block, bi.T, precision=lax.Precision.HIGHEST)
+        d2 = sa[:, None] + sb[None, :] - 2.0 * g
+        c, nr = carry
+        return (
+            c + (d2 <= r2lo).sum(axis=1, dtype=jnp.int32),
+            nr + ((d2 > r2lo) & (d2 <= r2hi)).sum(axis=1, dtype=jnp.int32),
+        ), None
+
+    z = jnp.zeros(block.shape[0], jnp.int32)
+    (certain, near), _ = lax.scan(step, (z, z), bc)
     return jnp.stack([certain, near])
 
 
@@ -382,28 +410,39 @@ def _count_device_dispatch(a64, b64, radius, dtype):
     bc = b64 - mid
     maxc = float(max(np.abs(ac).max(), np.abs(bc).max(), 1e-30))
     eps = float(np.finfo(np.dtype(dtype)).eps)
-    # error through the rounded-input / diff / square / 3-sum chain at the
-    # boundary |d| ~ radius is <= ~(6 r maxc + 2.5 r^2) eps; factor 4 margin
-    band = (24.0 * radius * maxc + 10.0 * r2) * eps
+    # error band: rounded-input term (<= ~6 r maxc eps) plus the gram
+    # identity's cancellation (|a|^2+|b|^2-2ab accumulates <= ~66 maxc^2 eps
+    # through the square/dot/3-sum chain at pinned-f32 dot precision);
+    # factor ~4 margin on the input term, ~1.5 on the gram term
+    band = (24.0 * radius * maxc + 10.0 * r2 + 96.0 * maxc * maxc) * eps
 
     m_pad = 1024
     while m_pad < len(bc):
         m_pad *= 2
-    b_pad = np.full((m_pad, 3), np.inf)
+    ch = min(_COUNT_B_SLICE, m_pad)
+    # finite far sentinel: keeps the gram-form d2 of padding rows/columns a
+    # huge ordinary float (inf would feed 0*inf = nan into the dot)
+    b_pad = np.full((m_pad, 3), _FAR)
     b_pad[: len(bc)] = bc
     b_d = to_device(b_pad, dtype)
     r2lo = jnp.asarray(r2 - band, dtype)
     r2hi = jnp.asarray(r2 + band, dtype)
 
     handles = []
-    for start in range(0, len(a64), _CHUNK):
-        blk = ac[start : start + _CHUNK]
+    for start in range(0, len(a64), _COUNT_A_CHUNK):
+        blk = ac[start : start + _COUNT_A_CHUNK]
         n = len(blk)
-        if n < _CHUNK:
-            pad = np.full((_CHUNK, 3), np.inf)
+        n_pad = 2048
+        while n_pad < n:
+            n_pad *= 2
+        if n < n_pad:
+            pad = np.full((n_pad, 3), _FAR)
             pad[:n] = blk
             blk = pad
-        handles.append((start, n, _count_band_block(to_device(blk, dtype), b_d, r2lo, r2hi)))
+        handles.append(
+            (start, n, n_pad,
+             _count_band_block(to_device(blk, dtype), b_d, r2lo, r2hi, ch))
+        )
     return dict(a64=a64, b64=b64, radius=radius, r2=r2, handles=handles)
 
 
@@ -412,7 +451,7 @@ def _collect_device_counts(states) -> List[np.ndarray]:
     concatenated on the device and pulled in a single transfer (each pull
     over the tunnel costs a full round-trip), then banded rows are
     recounted exactly on the host."""
-    all_handles = [h for st in states for (_, _, h) in st["handles"]]
+    all_handles = [h for st in states for (_, _, _, h) in st["handles"]]
     if not all_handles:
         return [np.zeros(0, dtype=np.int64) for _ in states]
     stacked = (
@@ -420,7 +459,7 @@ def _collect_device_counts(states) -> List[np.ndarray]:
         if len(all_handles) > 1
         else all_handles[0]
     )
-    flat = np.asarray(stacked)  # [2, n_chunks * _CHUNK]
+    flat = np.asarray(stacked)  # [2, sum of chunk pad widths]
     out: List[np.ndarray] = []
     col = 0
     for st in states:
@@ -428,10 +467,10 @@ def _collect_device_counts(states) -> List[np.ndarray]:
         b64 = st["b64"]
         counts = np.empty(len(a64), dtype=np.int64)
         near_rows = np.zeros(len(a64), dtype=bool)
-        for start, n, _h in st["handles"]:
+        for start, n, n_pad, _h in st["handles"]:
             counts[start : start + n] = flat[0, col : col + n].astype(np.int64)
             near_rows[start : start + n] = flat[1, col : col + n] > 0
-            col += _CHUNK
+            col += n_pad
         if near_rows.any():
             # exact recount of flagged rows: the host grid (R-tree analog)
             # is exact and touches only each row's neighbourhood candidates
@@ -910,8 +949,8 @@ def reclassify_labels(labels: np.ndarray, faces) -> np.ndarray:
     src = (keys // n).astype(np.int64)
     dst = (keys % n).astype(np.int64)
     deg = np.bincount(src, minlength=n)
-    cnt1 = np.bincount(src, weights=(labels[dst] == 1).astype(np.float64), minlength=n)
-    cnt2 = np.bincount(src, weights=(labels[dst] == 2).astype(np.float64), minlength=n)
+    cnt1 = np.bincount(src[labels[dst] == 1], minlength=n)
+    cnt2 = np.bincount(src[labels[dst] == 2], minlength=n)
     new_labels = labels.copy()
     has_nb = deg > 0
     new_labels[(labels == 1) & has_nb & (cnt1 == 0)] = 0
