@@ -42,9 +42,9 @@ _CHUNK = 16384
 # banded count kernel tiling: a-rows per dispatch, b-columns per scan slice
 _COUNT_A_CHUNK = 32768
 _COUNT_B_SLICE = 16384
-# finite far-away sentinel for pad rows/columns (inf would put 0*inf = nan
-# into the gram dot); d2 of any pad pairing lands at ~1e34, far outside any
-# radius band, except pad x pad which cancels to ~0 on rows sliced out anyway
+# finite far-away sentinel for pad rows/columns: d2 of any real-vs-pad
+# pairing lands at ~1e34, far outside any radius band (pad x pad cancels to
+# 0 in the diff form, but those rows are sliced out before use)
 _FAR = 1e17
 
 
@@ -92,19 +92,19 @@ def _count_band_block(block, b_arr, r2lo, r2hi, ch):
     recount on the host.  Stacked into one array so each chunk costs a
     single device->host pull.
 
-    TPU mapping: d2 comes from the gram identity |a|^2+|b|^2-2ab (the dot
-    rides the MXU at pinned-f32 precision; the error band below covers the
-    identity's cancellation) and b is swept in ``ch``-column slices under
-    ``lax.scan`` so the [N, ch] tile is the largest live intermediate — the
-    naive [N, M, 3] broadcast form materialised an [N, M] HBM temp (8-16 GB
-    at clinical sizes) and ran ~4x slower, HBM-bound."""
-    sa = (block * block).sum(-1)
+    TPU mapping: b is swept in ``ch``-column slices under ``lax.scan`` so
+    the [N, ch] tile is the largest live intermediate — the unsliced
+    [N, M, 3] broadcast form materialised an [N, M] HBM temp (8-16 GB at
+    clinical sizes) and ran ~4x slower, HBM-bound.  d2 is the direct
+    difference form: the gram identity |a|^2+|b|^2-2ab measured only ~10%
+    faster here, and its f32 cancellation error (~96 maxc^2 eps) forces an
+    uncertainty band wide enough that regular-lattice meshes flag nearly
+    every row for the exact host recount — the diff form keeps the band at
+    the ~(24 r maxc + 10 r^2) eps rounding floor."""
     bc = b_arr.reshape(-1, ch, 3)
 
     def step(carry, bi):
-        sb = (bi * bi).sum(-1)
-        g = jnp.dot(block, bi.T, precision=lax.Precision.HIGHEST)
-        d2 = sa[:, None] + sb[None, :] - 2.0 * g
+        d2 = ((block[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
         c, nr = carry
         return (
             c + (d2 <= r2lo).sum(axis=1, dtype=jnp.int32),
@@ -410,11 +410,9 @@ def _count_device_dispatch(a64, b64, radius, dtype):
     bc = b64 - mid
     maxc = float(max(np.abs(ac).max(), np.abs(bc).max(), 1e-30))
     eps = float(np.finfo(np.dtype(dtype)).eps)
-    # error band: rounded-input term (<= ~6 r maxc eps) plus the gram
-    # identity's cancellation (|a|^2+|b|^2-2ab accumulates <= ~66 maxc^2 eps
-    # through the square/dot/3-sum chain at pinned-f32 dot precision);
-    # factor ~4 margin on the input term, ~1.5 on the gram term
-    band = (24.0 * radius * maxc + 10.0 * r2 + 96.0 * maxc * maxc) * eps
+    # error through the rounded-input / diff / square / 3-sum chain at the
+    # boundary |d| ~ radius is <= ~(6 r maxc + 2.5 r^2) eps; factor 4 margin
+    band = (24.0 * radius * maxc + 10.0 * r2) * eps
 
     m_pad = 1024
     while m_pad < len(bc):
