@@ -12,7 +12,7 @@ import numpy as np
 
 from .mesh import Mesh, concatenate, read_mesh_file
 from ..utils.trace import trace
-from . import debug_plots, fixing_functions, kernels, labeling, manipulating
+from . import debug_plots, fixing_functions, kernels, labeling, manipulating, regions
 
 
 @trace("ccta.label")
@@ -74,9 +74,11 @@ def scale(results: dict, cl_vessel, cl_aorta, aligned_frames) -> dict:
         frames=aligned_frames, cl_aorta=cl_aorta, results=results
     )
 
+    # regions go in as vertex-index arrays (the results side channel) so
+    # the morph never rebuilds a coordinate lookup over 100k+ vertices
     scaled_distal = manipulating.scale_region_centerline_morphing(
         mesh=results["mesh"],
-        region_points=results["distal_points"],
+        region_points=regions.get_idx(results, "distal_points"),
         centerline=cl_vessel,
         diameter_adjustment_mm=distal_scaling,
     )
@@ -86,7 +88,12 @@ def scale(results: dict, cl_vessel, cl_aorta, aligned_frames) -> dict:
 
     scaled_aortic = manipulating.scale_region_centerline_morphing(
         mesh=results["mesh"],
-        region_points=results["aorta_points"] + results["rca_removed_points"],
+        region_points=np.concatenate(
+            [
+                regions.get_idx(results, "aorta_points"),
+                regions.get_idx(results, "rca_removed_points"),
+            ]
+        ),
         centerline=cl_aorta,
         diameter_adjustment_mm=aortic_scaling,
     )
@@ -97,7 +104,7 @@ def scale(results: dict, cl_vessel, cl_aorta, aligned_frames) -> dict:
 
     scaled_proximal = manipulating.scale_region_centerline_morphing(
         mesh=results["mesh"],
-        region_points=results["proximal_points"],
+        region_points=regions.get_idx(results, "proximal_points"),
         centerline=cl_vessel,
         diameter_adjustment_mm=prox_scaling,
     )

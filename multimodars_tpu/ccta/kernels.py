@@ -941,11 +941,17 @@ def reclassify_labels(labels: np.ndarray, faces) -> np.ndarray:
     e = np.concatenate(
         [faces_arr[:, [0, 1]], faces_arr[:, [1, 2]], faces_arr[:, [2, 0]]]
     )
-    e = np.concatenate([e, e[:, ::-1]])
-    # unique directed edges (the adjacency SETS of the reference)
-    keys = np.unique(e[:, 0].astype(np.int64) * n + e[:, 1])
-    src = (keys // n).astype(np.int64)
-    dst = (keys % n).astype(np.int64)
+    # unique UNDIRECTED edges, expanded both ways afterwards — the sorted
+    # volume is half of deduping the directed list (the adjacency SETS of
+    # the reference are symmetric, so this is the same edge set)
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    keys = np.unique(lo * n + hi)
+    ka = (keys // n).astype(np.int64)
+    kb = (keys % n).astype(np.int64)
+    ns = ka != kb  # self-edges from degenerate faces enter the set once
+    src = np.concatenate([ka, kb[ns]])
+    dst = np.concatenate([kb, ka[ns]])
     deg = np.bincount(src, minlength=n)
     cnt1 = np.bincount(src[labels[dst] == 1], minlength=n)
     cnt2 = np.bincount(src[labels[dst] == 2], minlength=n)

@@ -251,13 +251,12 @@ def remove_labeled_points_from_mesh(results: dict, region_keys="anomalous_points
         region_keys = [region_keys]
     mesh: Mesh = results["mesh"]
     n = len(mesh.vertices)
-    lookup = mesh_lookup(mesh)
 
     remove = np.zeros(n, dtype=bool)
     n_requested = 0
     for key in region_keys:
         n_requested += len(results.get(key) or [])
-        idx = get_idx(results, key, lookup)
+        idx = get_idx(results, key)
         remove[idx] = True
     if not remove.any():
         return results
@@ -282,11 +281,10 @@ def keep_labeled_points_from_mesh(results: dict, region_key) -> dict:
     region_keys = [region_key] if isinstance(region_key, str) else list(region_key)
     mesh: Mesh = results["mesh"]
     n = len(mesh.vertices)
-    lookup = mesh_lookup(mesh)
 
     keep = np.zeros(n, dtype=bool)
     for key in region_keys:
-        keep[get_idx(results, key, lookup)] = True
+        keep[get_idx(results, key)] = True
     if not keep.any():
         return results
 
@@ -306,13 +304,14 @@ def sync_results_to_mesh(
     ``changed_keys``: optional iterable naming the regions whose vertices
     actually moved; the other regions keep their (bit-identical) public
     tuple lists instead of rebuilding them."""
-    lookup = mesh_lookup(old_mesh)
     updated = dict(results)
     regions = {}
     for key in (*_RESULT_POINT_KEYS, "anomalous_points", "boundary_points"):
         if key not in updated or not updated[key]:
             continue
-        regions[key] = get_idx(results, key, lookup)
+        # no eager lookup: get_idx reads the index side channel when it is
+        # valid and only builds the (memoised) per-mesh lookup on a miss
+        regions[key] = get_idx(results, key)
     updated["mesh"] = new_mesh
     invalidate_idx(updated)
     store_regions(
