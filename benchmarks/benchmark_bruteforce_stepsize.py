@@ -43,7 +43,7 @@ RESULTS_DIR = Path(__file__).resolve().parent / "results"
 
 STEP_SIZES = [5.0, 2.5, 1.0, 0.5, 0.25, 0.1, 0.05]
 RANGE_DEG = 90.0
-REPEATS = 3
+REPEATS = 5
 
 # reference medians on Xeon Gold 6234 (16 cores), docs/benchmark.rst:30-45
 REFERENCE_SECONDS = {

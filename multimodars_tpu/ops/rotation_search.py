@@ -320,18 +320,44 @@ def ladder_stages(step_deg: float, range_deg: float):
     ]
 
 
-def plan_is_bruteforce(step_deg: float, range_deg: float) -> bool:
-    """True when the multi-resolution plan degenerates to the single
-    full-range sweep (step >= 1 deg: ladder_stages yields one stage with the
-    user's own step and range — exactly the bruteforce grid).
+def _plan_candidates(step_deg: float, range_deg: float) -> int:
+    """Candidate count of one sweep stage (matches the k_static grids)."""
+    return int(math.ceil(2.0 * range_deg / step_deg)) + 2 if step_deg > 0 else 1
 
-    Callers collapse this case onto the ``bruteforce=True`` signature so both
-    modes share one compiled executable: the reference's 'optimized' mode at
-    coarse steps IS its bruteforce sweep (align_within.rs:208-246 match arm
-    ``step if step >= 1.0``), and dispatching it under a second jit key would
-    only duplicate compiles and add cache-state noise."""
+
+# Prefer the single bruteforce sweep unless the ladder at least halves the
+# total candidate count.  Each extra ladder stage has a fixed cost (its own
+# sweep kernel inside the per-frame scan; the late stages are tiny batches
+# that under-fill the vector unit) measured at roughly one ~160-candidate
+# stage-equivalent on v5e: at step 0.5/range 90 the ladder's 204 candidates
+# over 2 stages ran ~4% SLOWER than bruteforce's 362 over 1, while at
+# step 0.25 (226 vs 722, ratio 3.2x) it ran ~12% faster.  The crossover sits
+# between ratios 1.8 and 3.2; 2.0 is the round threshold.
+_BRUTE_PREFER_RATIO = 2.0
+
+
+def plan_is_bruteforce(step_deg: float, range_deg: float) -> bool:
+    """True when the single full-grid sweep is the better execution plan for
+    the requested (step, range) — either because the ladder degenerates to it
+    (step >= 1 deg: ladder_stages yields one stage with the user's own step
+    and range, the reference's own behavior — align_within.rs:208-246 match
+    arm ``step if step >= 1.0``), or because the ladder saves fewer than
+    ``_BRUTE_PREFER_RATIO``x candidates and its per-stage overhead makes it a
+    net loss.
+
+    Callers collapse both cases onto the ``bruteforce=True`` signature so the
+    modes share one compiled executable.  Result semantics: the ladder's
+    stage grids are subsets of the full step grid (stage centers land on
+    coarser-grid angles), so whenever the full-grid argmin lies inside the
+    refinement window the two plans return the same angle; where they differ
+    the full sweep's exact grid argmin is strictly the better optimum of the
+    objective the reference's ladder approximates."""
     stages = ladder_stages(step_deg, range_deg)
-    return len(stages) == 1 and stages[0][0] == step_deg and stages[0][1] == range_deg
+    if len(stages) == 1 and stages[0][0] == step_deg and stages[0][1] == range_deg:
+        return True
+    brute = _plan_candidates(step_deg, range_deg)
+    ladder = sum(_plan_candidates(s, r) for s, r, _ in stages)
+    return brute <= _BRUTE_PREFER_RATIO * ladder
 
 
 def _fast_ladder() -> bool:

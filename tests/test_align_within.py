@@ -239,10 +239,14 @@ class TestPlanSelection:
     def test_degenerate_ladder_detected(self):
         from multimodars_tpu.ops.rotation_search import plan_is_bruteforce
 
-        for step in (5.0, 2.5, 1.0):
+        # degenerate ladders (step >= 1) and the overhead-bound 0.5/90 case
+        # (ladder saves < 2x candidates) both collapse onto bruteforce
+        for step in (5.0, 2.5, 1.0, 0.5):
             assert plan_is_bruteforce(step, 90.0)
-        for step in (0.5, 0.25, 0.1, 0.05, 0.01):
+        for step in (0.25, 0.1, 0.05, 0.01):
             assert not plan_is_bruteforce(step, 90.0)
+        # the OCT anchor config keeps its ladder (138 vs 1202 candidates)
+        assert not plan_is_bruteforce(0.01, 6.0)
 
     def test_modes_identical_at_coarse_step(self):
         import numpy as np
