@@ -130,6 +130,7 @@ def main() -> None:
         pts = np.asarray(frames)
         return pts[1:], pts[:-1]
 
+    default_mesh = cohort_mesh(jax.devices()[:1])
     cohort_rows = []
     for size in COHORT_SIZES:
         tests, refs = [], []
@@ -137,15 +138,22 @@ def main() -> None:
             t, r = contour_pairs(n_pairs_per + 1)
             tests.append(t)
             refs.append(r)
+        # staged device arrays: this section measures the search itself
+        # (the serving path amortises h2d via the wave pipeline, but over
+        # the tunnel a per-repeat transfer would swamp the sweep signal)
         test = jnp.asarray(np.concatenate(tests), jnp.float32)
         refp = jnp.asarray(np.concatenate(refs), jnp.float32)
         F = size * n_pairs_per
         mask = jnp.ones((F, n_pts), bool)
 
         def run_cohort(test=test, refp=refp, mask=mask):
-            # np.asarray forces the computation; block_until_ready is a
-            # no-op on the tunneled axon backend
-            np.asarray(multires_rotation_search(test, refp, mask, mask, 0.01, 6.0))
+            # cohort_relative_rotations pulls results to host (np.asarray),
+            # which forces the computation; block_until_ready is a no-op on
+            # the tunneled axon backend.  Large cohorts go out as pipelined
+            # waves (parallel.cohort._MAX_PAIRS_PER_WAVE).
+            cohort_relative_rotations(
+                test, refp, mask, mask, 0.01, 6.0, mesh=default_mesh
+            )
 
         sec = _median_time(run_cohort)
         throughput = size / sec
