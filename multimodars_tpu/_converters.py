@@ -314,7 +314,7 @@ def _maybe_stage_lumen_device(py_in: PyInputData) -> None:
     (io.build._prefetch_sweep) verifies content equality against the
     freshly grouped host coordinates before trusting the staged buffer, so
     post-construction contour mutations fall back safely."""
-    from .config import config
+    from .config import config, cpu_pinned
 
     try:
         import jax
@@ -322,9 +322,7 @@ def _maybe_stage_lumen_device(py_in: PyInputData) -> None:
 
         if config.compute_dtype != jnp.float32:
             return
-        if os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip() == "cpu":
-            return
-        if jax.default_backend() == "cpu":
+        if cpu_pinned() or jax.default_backend() == "cpu":
             return
         group = py_in.lumen
         if not group:

@@ -414,8 +414,10 @@ def build_results_scene(
     }
     scene = Scene()
     for key, enabled in flags.items():
-        pts = results.get(key) or []
-        if enabled and pts:
+        # regions may be tuple lists or numpy index-model arrays; len()
+        # avoids the ambiguous-truth-value error arrays raise under `or`
+        pts = results.get(key)
+        if enabled and pts is not None and len(pts):
             scene.add_geometry(ScenePointCloud(pts, rgba[key], name=key))
     mesh = results.get("mesh")
     if mesh is not None and not scene.is_empty:

@@ -255,7 +255,8 @@ def remove_labeled_points_from_mesh(results: dict, region_keys="anomalous_points
     remove = np.zeros(n, dtype=bool)
     n_requested = 0
     for key in region_keys:
-        n_requested += len(results.get(key) or [])
+        pts = results.get(key)
+        n_requested += 0 if pts is None else len(pts)
         idx = get_idx(results, key)
         remove[idx] = True
     if not remove.any():

@@ -25,6 +25,7 @@ import numpy as np
 
 _IDX_KEY = "_idx"
 _IDX_MESH_KEY = "_idx_mesh"
+_IDX_OBJ_KEY = "_idx_list_objs"  # key -> public list object the idx mirrors
 
 #: region keys whose values are mesh-vertex coordinate lists
 REGION_KEYS = (
@@ -173,16 +174,37 @@ def get_idx(
     side = results.get(_IDX_KEY)
     if side is not None and results.get(_IDX_MESH_KEY) is mesh and key in side:
         idx = side[key]
-        # guard against callers replacing the public tuple list directly
-        # (reference semantics allow it): a length mismatch means the side
-        # channel is stale for this key
-        if len(idx) == len(results.get(key) or []):
+        # guard against callers replacing or editing the public tuple list
+        # directly (reference semantics allow it): the side channel is only
+        # trusted when the list is the very object store_regions wrote
+        # (replacement -> new object), its length is unchanged, and a
+        # strided sample of its coordinates still matches the indexed
+        # vertices (catches bulk in-place element assignment)
+        pts = results.get(key)
+        objs = results.get(_IDX_OBJ_KEY) or {}
+        if (
+            pts is not None
+            and pts is objs.get(key)
+            and len(idx) == len(pts)
+            and _sample_matches(mesh.vertices, idx, pts)
+        ):
             return idx
         del side[key]
-    pts = results.get(key) or []
+    pts = results.get(key)
+    if pts is None or len(pts) == 0:
+        return np.zeros(0, dtype=np.int64)
     if lookup is None:
         lookup = mesh_lookup(mesh)
     return lookup.find_present(pts)
+
+
+def _sample_matches(verts, idx, pts, n_sample: int = 64) -> bool:
+    n = len(idx)
+    if n == 0:
+        return True
+    sel = np.unique(np.linspace(0, n - 1, min(n, n_sample)).astype(np.int64))
+    sampled = np.asarray([pts[i] for i in sel], dtype=np.float64)
+    return np.array_equal(verts[np.asarray(idx)[sel]], sampled)
 
 
 def store_regions(
@@ -200,21 +222,26 @@ def store_regions(
     mesh = results["mesh"]
     verts = mesh.vertices
     side = dict(results.get(_IDX_KEY) or {})
+    objs = dict(results.get(_IDX_OBJ_KEY) or {})
     if results.get(_IDX_MESH_KEY) is not mesh:
         side = {}
+        objs = {}
     for key, idx in regions.items():
         idx = np.asarray(idx, dtype=np.int64)
         side[key] = idx
         if materialize is None or key in materialize:
             results[key] = as_points(verts, idx)
+        objs[key] = results.get(key)
     results[_IDX_KEY] = side
     results[_IDX_MESH_KEY] = mesh
+    results[_IDX_OBJ_KEY] = objs
     return results
 
 
 def invalidate_idx(results: dict) -> None:
     results.pop(_IDX_KEY, None)
     results.pop(_IDX_MESH_KEY, None)
+    results.pop(_IDX_OBJ_KEY, None)
 
 
 def mask_of(idx: np.ndarray, n: int) -> np.ndarray:

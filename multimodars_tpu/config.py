@@ -88,6 +88,27 @@ if _requested == "cpu":
         pass
 
 
+def cpu_pinned() -> bool:
+    """True when ``JAX_PLATFORMS`` requested the cpu platform.  The single
+    source of truth for that check: plugins may register their device
+    regardless (``jax.default_backend()`` can still report ``tpu``), so
+    callers that enumerate devices (mesh builders, staging guards) must
+    consult this instead of the backend string."""
+    return _requested == "cpu"
+
+
+def default_devices():
+    """Devices a no-argument mesh builder should use: the CPU platform when
+    the process is CPU-pinned (so a pinned subprocess never opens the
+    single-client accelerator tunnel), else ``jax.devices()``."""
+    if cpu_pinned():
+        try:
+            return jax.devices("cpu")
+        except Exception:  # pragma: no cover
+            pass
+    return jax.devices()
+
+
 def default_backend() -> str:
     try:
         return jax.default_backend()

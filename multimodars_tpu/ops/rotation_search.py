@@ -351,10 +351,17 @@ def plan_is_bruteforce(step_deg: float, range_deg: float) -> bool:
     coarser-grid angles), so whenever the full-grid argmin lies inside the
     refinement window the two plans return the same angle; where they differ
     the full sweep's exact grid argmin is strictly the better optimum of the
-    objective the reference's ladder approximates."""
+    objective the reference's ladder approximates.  Set
+    ``MMTPU_STRICT_LADDER=1`` to disable the cost-model collapse and emulate
+    the reference's ladder verbatim at every step size (the degenerate
+    step>=1 collapse stays — there the ladder IS the bruteforce grid)."""
     stages = ladder_stages(step_deg, range_deg)
     if len(stages) == 1 and stages[0][0] == step_deg and stages[0][1] == range_deg:
         return True
+    import os
+
+    if os.environ.get("MMTPU_STRICT_LADDER", "0") == "1":
+        return False
     brute = _plan_candidates(step_deg, range_deg)
     ladder = sum(_plan_candidates(s, r) for s, r, _ in stages)
     return brute <= _BRUTE_PREFER_RATIO * ladder

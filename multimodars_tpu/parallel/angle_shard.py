@@ -45,9 +45,12 @@ from ..utils.device import to_device
 
 
 def angle_mesh(devices: Optional[Sequence] = None) -> Mesh:
-    """1-D device mesh over the candidate-angle axis."""
+    """1-D device mesh over the candidate-angle axis.  The no-argument
+    default honors a CPU-pinned process (config.default_devices)."""
     if devices is None:
-        devices = jax.devices()
+        from ..config import default_devices
+
+        devices = default_devices()
     return Mesh(np.array(devices), ("angles",))
 
 

@@ -28,9 +28,13 @@ from ..ops.rotation_search import multires_rotation_search
 
 
 def cohort_mesh(devices: Optional[Sequence] = None, axis: str = "pairs") -> Mesh:
-    """1-D device mesh over the pair axis."""
+    """1-D device mesh over the pair axis.  The no-argument default honors
+    a CPU-pinned process (config.default_devices), so pinned subprocess
+    tiers never open the single-client accelerator tunnel."""
     if devices is None:
-        devices = jax.devices()
+        from ..config import default_devices
+
+        devices = default_devices()
     return Mesh(np.array(devices), (axis,))
 
 
@@ -117,8 +121,10 @@ def cohort_relative_rotations(
     any result is pulled, so the device never idles between waves while the
     per-dispatch batch stays in the sweep kernel's peak-throughput regime.
     Host (numpy) inputs are transferred wave by wave, overlapping each h2d
-    with the previous wave's compute; ``jax.Array`` inputs are treated as
-    already staged (the caller owns placement) and sliced device-side."""
+    with the previous wave's compute; ``jax.Array`` inputs skip the host
+    round-trip but are still cast to the compute dtype and re-laid onto the
+    mesh sharding device-side (a no-op when they already match), so the
+    sharded contract holds for both input kinds."""
     if mesh is None:
         mesh = cohort_mesh()
     axis = mesh.axis_names[0]
@@ -127,12 +133,14 @@ def cohort_relative_rotations(
     n_dev = mesh.devices.size
     F = test.shape[0]
     wave = _MAX_PAIRS_PER_WAVE * n_dev
-    staged = isinstance(test, jax.Array)
 
     def _slab(x, start, end, cast_dtype=None):
-        if staged:
-            return x[start:end]
-        return to_device(x[start:end], cast_dtype, sharding)
+        sl = x[start:end]
+        if isinstance(x, jax.Array):
+            if cast_dtype is not None and sl.dtype != jnp.dtype(cast_dtype):
+                sl = sl.astype(cast_dtype)
+            return jax.device_put(sl, sharding)
+        return to_device(sl, cast_dtype, sharding)
 
     handles = []
     for start in range(0, F, wave):

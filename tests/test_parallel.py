@@ -59,6 +59,54 @@ def test_cohort_matches_single_device(dummy_geom):
     np.testing.assert_allclose(sharded[:2], single, atol=1e-9)
 
 
+@needs_mesh
+def test_cohort_wave_split_bit_identical(dummy_geom, monkeypatch):
+    """Multi-wave dispatch (pairs > _MAX_PAIRS_PER_WAVE x devices) must be
+    bit-identical to the unsplit sweep."""
+    import multimodars_tpu.parallel.cohort as cohort_mod
+    from multimodars_tpu.parallel import (
+        batched_pairs_from_geometries,
+        cohort_mesh,
+        cohort_relative_rotations,
+    )
+
+    geometries = [dummy_geom.copy() for _ in range(8)]
+    test, ref, tmask, rmask, _ = batched_pairs_from_geometries(
+        geometries, sample_size=6, pad_pairs_to=16
+    )
+    mesh = cohort_mesh(cpu_devices[:2])
+    unsplit = cohort_relative_rotations(test, ref, tmask, rmask, 1.0, 30.0, mesh)
+    # wave cap 4/device on a 2-device mesh -> 16 pairs split into 2 waves
+    monkeypatch.setattr(cohort_mod, "_MAX_PAIRS_PER_WAVE", 4)
+    waved = cohort_relative_rotations(test, ref, tmask, rmask, 1.0, 30.0, mesh)
+    np.testing.assert_array_equal(waved, unsplit)
+
+
+@needs_mesh
+def test_cohort_staged_input_sharded_and_cast(dummy_geom):
+    """jax.Array inputs must honor the mesh sharding and compute-dtype cast
+    (not bypass them), matching the numpy-input path exactly."""
+    import jax.numpy as jnp
+
+    from multimodars_tpu.parallel import (
+        batched_pairs_from_geometries,
+        cohort_mesh,
+        cohort_relative_rotations,
+    )
+
+    test, ref, tmask, rmask, _ = batched_pairs_from_geometries(
+        [dummy_geom.copy() for _ in range(4)], sample_size=6, pad_pairs_to=8
+    )
+    mesh = cohort_mesh(cpu_devices[:4])
+    from_numpy = cohort_relative_rotations(test, ref, tmask, rmask, 1.0, 30.0, mesh)
+    # f64 device arrays on the default device: must be cast + resharded
+    staged = cohort_relative_rotations(
+        jnp.asarray(test), jnp.asarray(ref),
+        jnp.asarray(tmask), jnp.asarray(rmask), 1.0, 30.0, mesh,
+    )
+    np.testing.assert_array_equal(staged, from_numpy)
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as graft
 
