@@ -59,9 +59,16 @@ def get_library() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not _LIB_PATH.exists() and not _build_library():
-            _load_failed = True
-            return None
+        stale = (
+            _LIB_PATH.exists()
+            and (_NATIVE_DIR / "mmio.cpp").exists()
+            and (_NATIVE_DIR / "mmio.cpp").stat().st_mtime
+            > _LIB_PATH.stat().st_mtime
+        )
+        if (not _LIB_PATH.exists() or stale) and not _build_library():
+            if not _LIB_PATH.exists():
+                _load_failed = True
+                return None
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))
             lib.mm_read_contour_csv.argtypes = [
@@ -101,6 +108,21 @@ def get_library() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_uint8),
             ]
             lib.mm_fix_winding.restype = None
+            _dp = ctypes.POINTER(ctypes.c_double)
+            _ip = ctypes.POINTER(ctypes.c_int64)
+            try:  # absent in a pre-round-3 libmmio.so: callers fall back
+                lib.mm_finish_roll.argtypes = [
+                    _dp, _dp, _dp, _dp, _dp, _dp, _dp, _dp,
+                    ctypes.c_int, ctypes.c_int, _dp, _ip,
+                    ctypes.c_int64, ctypes.c_int64,
+                ]
+                lib.mm_finish_roll.restype = None
+                lib.mm_wall_offset.argtypes = [
+                    _dp, _dp, _dp, ctypes.c_int64, ctypes.c_int64,
+                ]
+                lib.mm_wall_offset.restype = None
+            except AttributeError:
+                pass
             _lib = lib
         except OSError:
             _load_failed = True
@@ -207,3 +229,66 @@ def fix_winding_native(faces: np.ndarray):
         flipped.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return flipped.astype(bool)
+
+
+def _dptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def finish_roll_native(
+    xyz: np.ndarray,
+    ct: np.ndarray,
+    st: np.ndarray,
+    cx: np.ndarray,
+    cy: np.ndarray,
+    dx: np.ndarray,
+    dy: np.ndarray,
+    dz: np.ndarray,
+    add_z: bool,
+    do_roll: bool,
+):
+    """Fused finish transform (+ optional CCW start roll) via the native
+    library — bit-identical to the numpy pass in
+    :meth:`TensorGeometry.finish_transform`.
+
+    Returns ``(out, roll_start)`` or ``None`` when the library (or the
+    symbol, for a stale build) is unavailable.  ``xyz`` must be a
+    C-contiguous float64 [F, N, 3] block; per-frame params are float64 [F].
+    """
+    lib = get_library()
+    if lib is None or not hasattr(lib, "mm_finish_roll"):
+        return None
+    F, N = xyz.shape[:2]
+    ct, st, cx, cy, dx, dy, dz = (
+        np.ascontiguousarray(a, dtype=np.float64)
+        for a in (ct, st, cx, cy, dx, dy, dz)
+    )
+    out = np.empty_like(xyz) if do_roll else xyz
+    roll_start = np.zeros(F, dtype=np.int64)
+    lib.mm_finish_roll(
+        _dptr(xyz), _dptr(ct), _dptr(st), _dptr(cx), _dptr(cy),
+        _dptr(dx), _dptr(dy), _dptr(dz),
+        1 if add_z else 0, 1 if do_roll else 0,
+        _dptr(out),
+        roll_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        F, N,
+    )
+    return out, roll_start
+
+
+def wall_offset_native(src: np.ndarray):
+    """Radial 1 mm wall offset + per-frame centroid recompute via the
+    native library — bit-identical to the numpy block in
+    ``pipelines.align_within._wall_tensor``.
+
+    Returns ``(wall_pts, centroids)`` or ``None`` when unavailable.
+    ``src`` must be a C-contiguous float64 [F, N, 3] block.
+    """
+    lib = get_library()
+    if lib is None or not hasattr(lib, "mm_wall_offset"):
+        return None
+    F, N = src.shape[:2]
+    out = np.empty_like(src)
+    centroids = np.empty((F, 3), dtype=np.float64)
+    lib.mm_wall_offset(_dptr(src), _dptr(out), _dptr(centroids), F, N)
+    return out, centroids

@@ -261,17 +261,60 @@ class TensorGeometry:
         dy = deltas[:, 1][:, None]
         dz = deltas[:, 2][:, None]
         add_z = bool(dz.any())
+        from ..io import native as _native
+
         for k in self.kinds:
             xyz = self.coords[k]
-            x = xyz[:, :, 0] - cx
-            y = xyz[:, :, 1] - cy
             n = xyz.shape[1]
             do_roll = (
                 ccw_roll
                 and n > 0
                 and bool((xyz[:, :1, 2] == xyz[:, :, 2]).all())
             )
-            if do_roll:
+            # native fused pass (bit-identical; tests/test_native_finish.py)
+            native_res = None
+            if (
+                xyz.dtype == np.float64
+                and xyz.flags["C_CONTIGUOUS"]
+                and xyz.shape[2] == 3
+                and n > 0
+            ):
+                native_res = _native.finish_roll_native(
+                    xyz,
+                    np.ascontiguousarray(ct[:, 0]),
+                    np.ascontiguousarray(st[:, 0]),
+                    np.ascontiguousarray(cx[:, 0]),
+                    np.ascontiguousarray(cy[:, 0]),
+                    np.ascontiguousarray(dx[:, 0]),
+                    np.ascontiguousarray(dy[:, 0]),
+                    np.ascontiguousarray(dz[:, 0]),
+                    add_z,
+                    do_roll,
+                )
+            if native_res is not None:
+                out, start = native_res
+                if do_roll:
+                    self.coords[k] = out
+                    xyz = out
+                    roll = None
+                    pf = self.pt_frame[k]
+                    if not (pf[:, :1] == pf).all():
+                        roll = (np.arange(n)[None, :] + start[:, None]) % n
+                        self.pt_frame[k] = np.take_along_axis(pf, roll, axis=1)
+                    pa = self.pt_aortic[k]
+                    if pa.any():
+                        if roll is None:
+                            roll = (np.arange(n)[None, :] + start[:, None]) % n
+                        self.pt_aortic[k] = np.take_along_axis(pa, roll, axis=1)
+                    F_k = xyz.shape[0]
+                    self.pt_index[k] = np.broadcast_to(
+                        np.arange(n, dtype=np.int64), (F_k, n)
+                    ).copy()
+                elif ccw_roll:
+                    self._roll_kind(k)
+            elif do_roll:
+                x = xyz[:, :, 0] - cx
+                y = xyz[:, :, 1] - cy
                 xp = x * ct - y * st + cx + dx
                 yp = x * st + y * ct + cy + dy
                 start = n - 1 - np.argmax(yp[:, ::-1], axis=1)  # last max
@@ -295,6 +338,8 @@ class TensorGeometry:
                     np.arange(n, dtype=np.int64), (F_k, n)
                 ).copy()
             else:
+                x = xyz[:, :, 0] - cx
+                y = xyz[:, :, 1] - cy
                 xyz[:, :, 0] = x * ct - y * st + cx + dx
                 xyz[:, :, 1] = x * st + y * ct + cy + dy
                 if add_z:

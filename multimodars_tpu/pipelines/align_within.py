@@ -217,18 +217,26 @@ def _wall_tensor(tg: TensorGeometry, anomalous: bool) -> None:
 
     src = tg.coords[src_kind]
     P = src.shape[1]
-    centroids = src.mean(axis=1)  # offset_contour recomputes the centroid
     # xy-only: per-frame z is constant (the funnel assigns sorted z per
     # frame), so rel_z is exactly 0 and the 3-D radial length of
     # offset_contour (wall.rs:52-100) reduces to the 2-D one bitwise
-    relx = src[:, :, 0] - centroids[:, None, 0]
-    rely = src[:, :, 1] - centroids[:, None, 1]
-    length = np.sqrt(relx * relx + rely * rely)
-    ok = length > np.finfo(np.float64).eps
-    scale = np.where(ok, 1.0 / np.where(length > 0, length, 1.0), 0.0)
-    wall_pts = src.copy()
-    wall_pts[:, :, 0] += relx * scale
-    wall_pts[:, :, 1] += rely * scale
+    native_res = None
+    if src.dtype == np.float64 and src.flags["C_CONTIGUOUS"] and src.shape[2] == 3:
+        from ..io import native as _native
+
+        native_res = _native.wall_offset_native(src)
+    if native_res is not None:
+        wall_pts, centroids = native_res
+    else:
+        centroids = src.mean(axis=1)  # offset_contour recomputes the centroid
+        relx = src[:, :, 0] - centroids[:, None, 0]
+        rely = src[:, :, 1] - centroids[:, None, 1]
+        length = np.sqrt(relx * relx + rely * rely)
+        ok = length > np.finfo(np.float64).eps
+        scale = np.where(ok, 1.0 / np.where(length > 0, length, 1.0), 0.0)
+        wall_pts = src.copy()
+        wall_pts[:, :, 0] += relx * scale
+        wall_pts[:, :, 1] += rely * scale
 
     if "Wall" not in tg.kinds:
         tg.kinds.append("Wall")  # HashMap-insert semantics: replace if present

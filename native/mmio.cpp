@@ -562,4 +562,117 @@ void mm_fix_winding(const int64_t* faces, int64_t n_faces, uint8_t* out_flipped)
   }
 }
 
+// ---------------------------------------------------------------------------
+// Alignment-epilogue kernels
+//
+// Native mirrors of the numpy hot loops in the single-pullback finish path
+// (TensorGeometry.finish_transform and pipelines.align_within._wall_tensor;
+// reference semantics: align_within.rs:24-171 epilogue + wall.rs:52-100).
+// On the single-core benchmark host the fused one-pass C loops replace four
+// full-array numpy passes plus their freshly-faulted temporaries, which is
+// where most of the epilogue wall-clock went.
+//
+// Bit-exactness contract (asserted by tests/test_native_finish.py): every
+// floating expression reproduces the numpy evaluation order exactly —
+// xp = ((x0*ct) - (y0*st) + cx) + dx etc. — and the build disables FP
+// contraction (-ffp-contract=off in the Makefile) so no FMA changes the
+// rounding.  The wall centroid uses numpy's strided-mean order (sequential
+// over points, starting from +0.0).
+
+// Fused per-frame rotate-about-centroid + translate (+ optional CCW start
+// roll) over one [F, N, 3] C-contiguous coordinate block.
+//   ct/st: cos/sin of the per-frame total angle [F]
+//   cx/cy: per-frame pivot (pre-transform frame centroid) [F]
+//   dx/dy/dz: per-frame translation [F] (dz ignored unless add_z)
+//   do_roll: re-establish the last-highest-Y start convention; requires z
+//            constant within each frame (caller-verified); roll_start[f]
+//            receives the roll offset so the caller can permute per-point
+//            metadata.  NaN coordinates are caller-excluded (funnel-built
+//            geometries are finite).
+// out may alias xyz only when do_roll == 0.
+void mm_finish_roll(const double* xyz, const double* ct, const double* st,
+                    const double* cx, const double* cy,
+                    const double* dx, const double* dy, const double* dz,
+                    int add_z, int do_roll,
+                    double* out, int64_t* roll_start,
+                    int64_t F, int64_t N) {
+  if (N <= 0) {
+    if (roll_start)
+      for (int64_t f = 0; f < F; ++f) roll_start[f] = 0;
+    return;
+  }
+  std::vector<double> xp(static_cast<size_t>(N));
+  std::vector<double> yp(static_cast<size_t>(N));
+  for (int64_t f = 0; f < F; ++f) {
+    const double* in = xyz + f * N * 3;
+    double* o = out + f * N * 3;
+    const double c = ct[f], s = st[f], px = cx[f], py = cy[f];
+    const double tx = dx[f], ty = dy[f];
+    for (int64_t i = 0; i < N; ++i) {
+      const double x0 = in[3 * i] - px;
+      const double y0 = in[3 * i + 1] - py;
+      xp[i] = ((x0 * c) - (y0 * s) + px) + tx;
+      yp[i] = ((x0 * s) + (y0 * c) + py) + ty;
+    }
+    if (do_roll) {
+      // last index of the maximum (numpy: n-1-argmax(y[::-1]))
+      int64_t start = N - 1;
+      double best = yp[start];
+      for (int64_t i = N - 2; i >= 0; --i)
+        if (yp[i] > best) { best = yp[i]; start = i; }
+      if (roll_start) roll_start[f] = start;
+      const double zc = in[2];  // constant per frame (caller-verified)
+      const double z = add_z ? zc + dz[f] : zc;
+      int64_t j = start;
+      for (int64_t i = 0; i < N; ++i) {
+        o[3 * i] = xp[j];
+        o[3 * i + 1] = yp[j];
+        o[3 * i + 2] = z;
+        if (++j == N) j = 0;
+      }
+    } else {
+      if (roll_start) roll_start[f] = 0;
+      const double tz = add_z ? dz[f] : 0.0;
+      for (int64_t i = 0; i < N; ++i) {
+        o[3 * i] = xp[i];
+        o[3 * i + 1] = yp[i];
+        o[3 * i + 2] = in[3 * i + 2] + tz;
+      }
+    }
+  }
+}
+
+// Radial 1 mm wall offset (wall.rs:52-100 2-D reduction): out = src +
+// rel/|rel| per point about the freshly recomputed per-frame centroid,
+// zero offset for degenerate radii (|rel| <= DBL_EPSILON).  centroids
+// receives the [F, 3] per-frame means (numpy strided-mean order).
+void mm_wall_offset(const double* src, double* out, double* centroids,
+                    int64_t F, int64_t N) {
+  const double eps = 2.2204460492503131e-16;  // np.finfo(np.float64).eps
+  for (int64_t f = 0; f < F; ++f) {
+    const double* in = src + f * N * 3;
+    double* o = out + f * N * 3;
+    double sx = 0.0, sy = 0.0, sz = 0.0;
+    for (int64_t i = 0; i < N; ++i) {
+      sx += in[3 * i];
+      sy += in[3 * i + 1];
+      sz += in[3 * i + 2];
+    }
+    const double nd = static_cast<double>(N);
+    const double cxm = sx / nd, cym = sy / nd, czm = sz / nd;
+    centroids[3 * f] = cxm;
+    centroids[3 * f + 1] = cym;
+    centroids[3 * f + 2] = czm;
+    for (int64_t i = 0; i < N; ++i) {
+      const double relx = in[3 * i] - cxm;
+      const double rely = in[3 * i + 1] - cym;
+      const double len = std::sqrt((relx * relx) + (rely * rely));
+      const double scale = (len > eps) ? (1.0 / len) : 0.0;
+      o[3 * i] = in[3 * i] + (relx * scale);
+      o[3 * i + 1] = in[3 * i + 1] + (rely * scale);
+      o[3 * i + 2] = in[3 * i + 2];
+    }
+  }
+}
+
 }  // extern "C"

@@ -1,0 +1,186 @@
+"""Bit-identity tests for the native alignment-epilogue kernels.
+
+``mm_finish_roll`` / ``mm_wall_offset`` (native/mmio.cpp) promise results
+bit-identical to the numpy passes they replace in
+:meth:`TensorGeometry.finish_transform` and
+``pipelines.align_within._wall_tensor`` — the expressions replicate the
+numpy evaluation order and the build disables FP contraction.  These tests
+hold them to exact ``==`` equality, no tolerances.
+"""
+
+import numpy as np
+import pytest
+
+from multimodars_tpu.io import native
+
+
+pytestmark = pytest.mark.skipif(
+    native.get_library() is None
+    or not hasattr(native.get_library(), "mm_finish_roll"),
+    reason="native library unavailable",
+)
+
+
+def _numpy_finish(xyz, ct, st, cx, cy, dx, dy, dz, add_z, do_roll):
+    """The exact numpy pass from TensorGeometry.finish_transform."""
+    F, N = xyz.shape[:2]
+    x = xyz[:, :, 0] - cx[:, None]
+    y = xyz[:, :, 1] - cy[:, None]
+    xp = x * ct[:, None] - y * st[:, None] + cx[:, None] + dx[:, None]
+    yp = x * st[:, None] + y * ct[:, None] + cy[:, None] + dy[:, None]
+    if not do_roll:
+        out = xyz.copy()
+        out[:, :, 0] = xp
+        out[:, :, 1] = yp
+        if add_z:
+            out[:, :, 2] += dz[:, None]
+        return out, np.zeros(F, dtype=np.int64)
+    start = N - 1 - np.argmax(yp[:, ::-1], axis=1)
+    roll = (np.arange(N)[None, :] + start[:, None]) % N
+    out = np.empty_like(xyz)
+    out[:, :, 0] = np.take_along_axis(xp, roll, axis=1)
+    out[:, :, 1] = np.take_along_axis(yp, roll, axis=1)
+    out[:, :, 2] = xyz[:, :, 2]
+    if add_z:
+        out[:, :, 2] += dz[:, None]
+    return out, start
+
+
+def _case(seed, F, N, constant_z=True):
+    rng = np.random.default_rng(seed)
+    xyz = rng.uniform(-5.0, 5.0, (F, N, 3))
+    if constant_z:
+        xyz[:, :, 2] = rng.uniform(0.0, 10.0, (F, 1))
+    angles = rng.uniform(-0.4, 0.4, F)
+    total = angles + rng.uniform(-0.2, 0.2)
+    ct, st = np.cos(total), np.sin(total)
+    cx = np.ascontiguousarray(rng.uniform(-2, 2, F))
+    cy = np.ascontiguousarray(rng.uniform(-2, 2, F))
+    dx = np.ascontiguousarray(rng.uniform(-1, 1, F))
+    dy = np.ascontiguousarray(rng.uniform(-1, 1, F))
+    dz = np.ascontiguousarray(rng.uniform(-1, 1, F))
+    return xyz, ct, st, cx, cy, dx, dy, dz
+
+
+@pytest.mark.parametrize("do_roll", [True, False])
+@pytest.mark.parametrize("add_z", [True, False])
+@pytest.mark.parametrize("seed,F,N", [(0, 1, 3), (1, 7, 64), (2, 61, 501)])
+def test_finish_roll_bit_identical(seed, F, N, do_roll, add_z):
+    xyz, ct, st, cx, cy, dx, dy, dz = _case(seed, F, N)
+    ref, ref_start = _numpy_finish(
+        xyz.copy(), ct, st, cx, cy, dx, dy, dz, add_z, do_roll
+    )
+    out, start = native.finish_roll_native(
+        xyz.copy(), ct, st, cx, cy, dx, dy, dz, add_z, do_roll
+    )
+    assert (start == ref_start).all()
+    assert (out == ref).all()
+
+
+def test_finish_roll_tie_breaking_last_max():
+    """Roll start is the LAST index attaining the max y (numpy
+    n-1-argmax(y[::-1]) semantics), including exact ties."""
+    F, N = 1, 8
+    xyz = np.zeros((F, N, 3))
+    # y values with an exact tie at indices 2 and 5
+    xyz[0, :, 1] = [0.0, 1.0, 3.0, 2.0, 1.0, 3.0, 0.5, -1.0]
+    zero = np.zeros(F)
+    one = np.ones(F)
+    out, start = native.finish_roll_native(
+        xyz, one, zero, zero, zero, zero, zero, zero, False, True
+    )
+    assert start[0] == 5
+
+
+def test_finish_roll_inplace_no_roll():
+    """Without a roll the kernel may write in place (out aliases in)."""
+    xyz, ct, st, cx, cy, dx, dy, dz = _case(5, 4, 33)
+    ref, _ = _numpy_finish(xyz.copy(), ct, st, cx, cy, dx, dy, dz, False, False)
+    buf = xyz.copy()
+    out, _ = native.finish_roll_native(
+        buf, ct, st, cx, cy, dx, dy, dz, False, False
+    )
+    assert out is buf
+    assert (buf == ref).all()
+
+
+@pytest.mark.parametrize("seed,F,N", [(0, 1, 2), (3, 9, 128), (4, 41, 500)])
+def test_wall_offset_bit_identical(seed, F, N):
+    rng = np.random.default_rng(seed)
+    src = rng.uniform(-4.0, 4.0, (F, N, 3))
+    centroids = src.mean(axis=1)
+    relx = src[:, :, 0] - centroids[:, None, 0]
+    rely = src[:, :, 1] - centroids[:, None, 1]
+    length = np.sqrt(relx * relx + rely * rely)
+    ok = length > np.finfo(np.float64).eps
+    scale = np.where(ok, 1.0 / np.where(length > 0, length, 1.0), 0.0)
+    ref = src.copy()
+    ref[:, :, 0] += relx * scale
+    ref[:, :, 1] += rely * scale
+    out, cen = native.wall_offset_native(src)
+    assert (cen == centroids).all()
+    assert (out == ref).all()
+
+
+def test_wall_offset_degenerate_radius():
+    """A point exactly at the centroid gets zero offset, like the numpy
+    eps-guarded scale."""
+    src = np.zeros((1, 4, 3))
+    # all four points identical -> centroid coincides, length == 0
+    out, cen = native.wall_offset_native(src)
+    assert (out == src).all()
+
+
+def test_finish_transform_end_to_end_matches_pre_native_semantics():
+    """TensorGeometry.finish_transform with the native path produces the
+    same coordinates as the hand-run numpy pass (the pre-native code)."""
+    from multimodars_tpu.models.tensor import geometry_to_tensor
+    from multimodars_tpu.models import PyGeometry, PyFrame, PyContour
+
+    rng = np.random.default_rng(11)
+    F, N = 13, 40
+    frames = []
+    for f in range(F):
+        th = np.linspace(0, 2 * np.pi, N, endpoint=False)
+        pts = np.stack(
+            [
+                4.5 + (2 + 0.1 * rng.standard_normal()) * np.cos(th),
+                4.5 + (1.5 + 0.1 * rng.standard_normal()) * np.sin(th),
+                np.full(N, 0.2 * f),
+            ],
+            axis=-1,
+        )
+        lumen = PyContour.from_arrays(
+            f, f, pts, tuple(pts.mean(axis=0)),
+            np.full(N, f, dtype=np.int64), np.arange(N, dtype=np.int64),
+            np.zeros(N, dtype=bool), None, None, "Lumen",
+        )
+        frame = PyFrame.__new__(PyFrame)
+        frame.id = f
+        frame.centroid = tuple(pts.mean(axis=0))
+        frame.lumen = lumen
+        frame.extras = {}
+        frame.reference_point = None
+        frames.append(frame)
+    geom = PyGeometry(frames, "native-e2e")
+    tg = geometry_to_tensor(geom)
+
+    angles = rng.uniform(-0.3, 0.3, F)
+    deltas = np.column_stack(
+        [rng.uniform(-1, 1, F), rng.uniform(-1, 1, F), np.zeros(F)]
+    )
+    additional = 0.21
+
+    # numpy replication of the do_roll pass
+    xyz = tg.coords["Lumen"].copy()
+    total = angles + additional
+    ct, st = np.cos(total), np.sin(total)
+    cx, cy = tg.centroids[:, 0].copy(), tg.centroids[:, 1].copy()
+    ref, _ = _numpy_finish(
+        xyz, ct, st, cx, cy,
+        np.ascontiguousarray(deltas[:, 0]), np.ascontiguousarray(deltas[:, 1]),
+        np.ascontiguousarray(deltas[:, 2]), False, True,
+    )
+
+    tg.finish_transform(angles, deltas, additional, ccw_roll=True)
+    assert (tg.coords["Lumen"] == ref).all()
