@@ -426,27 +426,40 @@ def read_centerline_vtp(path) -> PyCenterline:
     for branch_id, vtk_idx in enumerate(order):
         branch_start_indices.append(len(cl_points))
         branch = vtk_branches[vtk_idx]
-        for local_i, pt_idx in enumerate(branch):
-            if pt_idx >= n_pts:
-                raise ValueError(
-                    f"VTP: connectivity index {pt_idx} out of range ({n_pts} points)"
-                )
-            x, y, z = coords[pt_idx]
-            idx = len(cl_points)
-            if local_i + 1 < len(branch):
-                diff = coords[branch[local_i + 1]] - coords[pt_idx]
-                norm = float(np.linalg.norm(diff))
-                tangent = tuple(diff / norm) if norm > _MIN_TANGENT_NORM else (0.0, 0.0, 0.0)
-            elif local_i > 0:
-                tangent = cl_points[-1].tangent
-            else:
-                tangent = (0.0, 0.0, 0.0)
+        L = int(branch.size)
+        if L == 0:
+            continue
+        bad = branch[branch >= n_pts]
+        if bad.size:
+            raise ValueError(
+                f"VTP: connectivity index {int(bad[0])} out of range ({n_pts} points)"
+            )
+        bc = coords[branch]  # [L, 3]
+        # forward-difference tangents, one vectorised pass (bit-equal to the
+        # per-point np.linalg.norm form: the 3-vector dot sums in the same
+        # x,y,z order); last point inherits its predecessor's tangent
+        tang = np.zeros((L, 3))
+        if L >= 2:
+            diff = bc[1:] - bc[:-1]
+            norm = np.sqrt((diff * diff).sum(-1))
+            ok = norm > _MIN_TANGENT_NORM
+            tang[:-1] = np.where(
+                ok[:, None], diff / np.where(ok, norm, 1.0)[:, None], 0.0
+            )
+            tang[-1] = tang[-2]
+        bc_l = bc.tolist()
+        tang_l = tang.tolist()
+        rad_l = radii[branch].tolist()
+        base = len(cl_points)
+        for i in range(L):
+            idx = base + i
+            x, y, z = bc_l[i]
             cl_points.append(
                 PyCenterlinePoint(
-                    PyContourPoint(idx, idx, float(x), float(y), float(z), False),
-                    tangent,
+                    PyContourPoint(idx, idx, x, y, z, False),
+                    tang_l[i],
                     branch_id,
-                    float(radii[pt_idx]),
+                    rad_l[i],
                 )
             )
     return PyCenterline(cl_points, branch_start_indices)

@@ -121,6 +121,10 @@ def get_library() -> Optional[ctypes.CDLL]:
                     _dp, _dp, _dp, ctypes.c_int64, ctypes.c_int64,
                 ]
                 lib.mm_wall_offset.restype = None
+                lib.mm_farthest_pair.argtypes = [
+                    _dp, ctypes.c_int64, _ip, _ip, _dp,
+                ]
+                lib.mm_farthest_pair.restype = None
             except AttributeError:
                 pass
             _lib = lib
@@ -292,3 +296,20 @@ def wall_offset_native(src: np.ndarray):
     centroids = np.empty((F, 3), dtype=np.float64)
     lib.mm_wall_offset(_dptr(src), _dptr(out), _dptr(centroids), F, N)
     return out, centroids
+
+
+def farthest_pair_native(xyz: np.ndarray):
+    """(i, j, d2) of the farthest 3-D point pair in exact reference scan
+    order (i-outer / j-inner, strict >), or ``None`` when the library is
+    unavailable.  ``xyz`` must be C-contiguous float64 [n, 3]."""
+    lib = get_library()
+    if lib is None or not hasattr(lib, "mm_farthest_pair"):
+        return None
+    i = ctypes.c_int64()
+    j = ctypes.c_int64()
+    d2 = ctypes.c_double()
+    lib.mm_farthest_pair(
+        _dptr(xyz), xyz.shape[0],
+        ctypes.byref(i), ctypes.byref(j), ctypes.byref(d2),
+    )
+    return int(i.value), int(j.value), float(d2.value)

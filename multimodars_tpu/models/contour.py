@@ -73,6 +73,13 @@ def farthest_pair(xyz: np.ndarray) -> Tuple[int, int, float]:
     n = xyz.shape[0]
     if n < 2:
         return 0, 0, 0.0
+    if xyz.dtype == np.float64 and xyz.flags["C_CONTIGUOUS"] and xyz.shape[1] == 3:
+        from ..io import native as _native
+
+        res = _native.farthest_pair_native(xyz)
+        if res is not None:
+            i, j, d2 = res
+            return i, j, math.sqrt(d2)
     # gram-matrix form: one [n, n] matmul instead of an [n, n, 3] broadcast
     sq = (xyz * xyz).sum(axis=1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (xyz @ xyz.T)

@@ -17,6 +17,63 @@ from .point import PyContourPoint, PyContourType, CONTOUR_TYPE_NAMES
 from .record import PyRecord
 
 
+def shared_contour_blocks(frames):
+    """Group every contour coordinate array into shared-base row blocks.
+
+    Geometries materialised from a :class:`~.tensor.TensorGeometry`
+    (``to_geometry``) hold per-contour views into one [F, N, 3] float64
+    block per kind; whole-geometry rigid transforms can then run as a few
+    block-level numpy passes instead of thousands of per-contour ops.
+
+    Returns ``[(base, rows, contours)]`` covering EVERY contour of every
+    frame — ``rows`` the int64 row indices of ``base`` the contours view,
+    in ``contours`` order — or ``None`` when any contour's array is not a
+    clean full-row view of a shared C-contiguous float64 3-D block (callers
+    fall back to the per-frame loops).  Block ops must index ``base`` with
+    ``rows`` (never transform the whole base): a sparse kind's unviewed
+    rows belong to the originating tensor, not to this geometry.
+    """
+    groups: Dict[int, Tuple[np.ndarray, list, list]] = {}
+    order = []
+    for frame in frames:
+        for contour in [frame.lumen, *frame.extras.values()]:
+            a = contour._coords
+            b = a.base
+            if (
+                b is None
+                or b.ndim != 3
+                or a.ndim != 2
+                or a.dtype != np.float64
+                or a.shape != b.shape[1:]
+                or a.strides != b.strides[1:]
+                or not b.flags["C_CONTIGUOUS"]
+            ):
+                return None
+            off = (
+                a.__array_interface__["data"][0]
+                - b.__array_interface__["data"][0]
+            )
+            step = b.strides[0]
+            if step <= 0 or off % step:
+                return None
+            row = off // step
+            if not 0 <= row < b.shape[0]:
+                return None
+            g = groups.get(id(b))
+            if g is None:
+                g = (b, [], [])
+                groups[id(b)] = g
+                order.append(g)
+            g[1].append(row)
+            g[2].append(contour)
+    out = []
+    for b, rows, contours in order:
+        if len(set(rows)) != len(rows):  # aliased rows: bail out
+            return None
+        out.append((b, np.asarray(rows, dtype=np.int64), contours))
+    return out
+
+
 class PyGeometry:
     __slots__ = ("frames", "label")
 
@@ -192,6 +249,36 @@ class PyGeometry:
 
     def translate_geometry(self, translation: Tuple[float, float, float]) -> None:
         dx, dy, dz = translation
+        blocks = shared_contour_blocks(self.frames)
+        if blocks is not None:
+            # block fast path: same per-element add + per-contour mean as
+            # translate_inplace, one vectorised pass per shared block
+            delta = np.array([dx, dy, dz])
+            for base, rows, contours in blocks:
+                if base.shape[1] == 0:  # compute_centroid's empty case
+                    for c in contours:
+                        c.centroid = (0.0, 0.0, 0.0)
+                    continue
+                if rows.size == base.shape[0] and np.array_equal(
+                    rows, np.arange(base.shape[0])
+                ):
+                    base += delta
+                    means = base.mean(axis=1).tolist()
+                else:
+                    sub = base[rows]
+                    sub += delta
+                    base[rows] = sub
+                    means = sub.mean(axis=1).tolist()
+                for m, c in zip(means, contours):
+                    c.centroid = (m[0], m[1], m[2])
+            for frame in self.frames:
+                if frame.reference_point is not None:
+                    frame.reference_point.x += dx
+                    frame.reference_point.y += dy
+                    frame.reference_point.z += dz
+                cx, cy, cz = frame.centroid
+                frame.centroid = (cx + dx, cy + dy, cz + dz)
+            return
         for frame in self.frames:
             frame.translate_inplace(dx, dy, dz)
 

@@ -187,7 +187,11 @@ def search_range_batched(
 # side executes).  Results are bit-identical to the unpruned sweep either
 # way; only the work changes.  Parity: search_range (process_utils.rs:33-75).
 
-_PRUNE_MIN_K = 20
+# K=22 fine stages (the 0.01-deg ladder tail) measured FASTER exact than
+# pruned on-device (2.7 vs 5.4 ms at [279,520,520]): the LB pass + top_k +
+# gather overhead exceeds the saving once K is this small.  28 keeps the
+# ~100-candidate stages pruned and lets the short tails run exact.
+_PRUNE_MIN_K = 28
 _PRUNE_MIN_POINTS = 128
 _PRUNE_STRIDE = 6
 _PRUNE_TOP = 12

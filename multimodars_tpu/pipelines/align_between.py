@@ -73,6 +73,32 @@ def rotate_geometry_around_point(
         tx, ty = x - cx, y - cy
         return tx * c - ty * s + cx, tx * s + ty * c + cy
 
+    from ..models.geometry import shared_contour_blocks
+
+    blocks = shared_contour_blocks(geometry.frames)
+    if blocks is not None:
+        # block fast path: identical per-element expressions, one pass per
+        # shared [F, N, 3] view block instead of per-contour numpy calls
+        for base, rows, _contours in blocks:
+            sub = base[rows]
+            tx = sub[:, :, 0] - cx
+            ty = sub[:, :, 1] - cy
+            sub[:, :, 0] = tx * c - ty * s + cx
+            sub[:, :, 1] = tx * s + ty * c + cy
+            base[rows] = sub
+        for frame in geometry.frames:
+            for contour in frame.extras.values():
+                if contour.centroid is not None:
+                    ccx, ccy = rot(contour.centroid[0], contour.centroid[1])
+                    contour.centroid = (ccx, ccy, contour.centroid[2])
+            fx, fy = rot(frame.centroid[0], frame.centroid[1])
+            frame.centroid = (fx, fy, frame.centroid[2])
+            if frame.reference_point is not None:
+                rx, ry = rot(frame.reference_point.x, frame.reference_point.y)
+                frame.reference_point.x = rx
+                frame.reference_point.y = ry
+        return
+
     for frame in geometry.frames:
         for contour in [frame.lumen, *frame.extras.values()]:
             xyz = contour.xyz()

@@ -145,7 +145,11 @@ def _maybe_postprocess(
 ) -> PyGeometryPair:
     if postprocessing:
         return postprocess_geom_pair(pair, TOLERANCE, anomalous)
-    return pair.copy()
+    # every caller passes a pair freshly constructed by _finish_between,
+    # which already holds exclusive copies — a second deep copy here would
+    # be unobservable (the reference returns the pair as-is too,
+    # entry.rs:206-361)
+    return pair
 
 
 @trace("entry.full_processing")

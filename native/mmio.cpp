@@ -642,6 +642,29 @@ void mm_finish_roll(const double* xyz, const double* ct, const double* st,
   }
 }
 
+// Farthest point pair, 3-D, exact reference scan order (contour.rs:227-242):
+// i outer, j inner (j > i), strictly-greater comparison so the FIRST pair
+// attaining the maximum wins.  Distances are computed directly per pair
+// (no Gram-form cancellation).
+void mm_farthest_pair(const double* xyz, int64_t n,
+                      int64_t* out_i, int64_t* out_j, double* out_d2) {
+  int64_t bi = 0, bj = 0;
+  double best = -1.0;
+  for (int64_t i = 0; i < n; ++i) {
+    const double xi = xyz[3 * i], yi = xyz[3 * i + 1], zi = xyz[3 * i + 2];
+    for (int64_t j = i + 1; j < n; ++j) {
+      const double dx = xi - xyz[3 * j];
+      const double dy = yi - xyz[3 * j + 1];
+      const double dz = zi - xyz[3 * j + 2];
+      const double d2 = ((dx * dx) + (dy * dy)) + (dz * dz);
+      if (d2 > best) { best = d2; bi = i; bj = j; }
+    }
+  }
+  *out_i = bi;
+  *out_j = bj;
+  *out_d2 = best < 0.0 ? 0.0 : best;
+}
+
 // Radial 1 mm wall offset (wall.rs:52-100 2-D reduction): out = src +
 // rel/|rel| per point about the freshly recomputed per-frame centroid,
 // zero offset for degenerate radii (|rel| <= DBL_EPSILON).  centroids

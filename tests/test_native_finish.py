@@ -184,3 +184,99 @@ def test_finish_transform_end_to_end_matches_pre_native_semantics():
 
     tg.finish_transform(angles, deltas, additional, ccw_roll=True)
     assert (tg.coords["Lumen"] == ref).all()
+
+
+class TestSharedBlockTransforms:
+    """The block fast paths in PyGeometry.translate_geometry and
+    align_between.rotate_geometry_around_point must be bit-identical to the
+    per-frame object loops they shortcut."""
+
+    def _tensor_geometry(self, seed=7, F=11, N=60):
+        import numpy as np
+        from multimodars_tpu.models import PyGeometry, PyFrame, PyContour
+        from multimodars_tpu.models.tensor import geometry_to_tensor
+
+        rng = np.random.default_rng(seed)
+        frames = []
+        for f in range(F):
+            th = np.linspace(0, 2 * np.pi, N, endpoint=False)
+            pts = np.stack(
+                [
+                    4.5 + 2.0 * np.cos(th) + 0.05 * rng.standard_normal(N),
+                    4.5 + 1.5 * np.sin(th) + 0.05 * rng.standard_normal(N),
+                    np.full(N, 0.2 * f),
+                ],
+                axis=-1,
+            )
+            lumen = PyContour.from_arrays(
+                f, f, pts, tuple(pts.mean(axis=0)),
+                np.full(N, f, dtype=np.int64), np.arange(N, dtype=np.int64),
+                np.zeros(N, dtype=bool), None, None, "Lumen",
+            )
+            frame = PyFrame.__new__(PyFrame)
+            frame.id = f
+            frame.centroid = tuple(pts.mean(axis=0))
+            frame.lumen = lumen
+            frame.extras = {}
+            frame.reference_point = None
+            frames.append(frame)
+        geom = PyGeometry(frames, "blk")
+        return geometry_to_tensor(geom).to_geometry()
+
+    def test_blocks_detected_on_tensor_views(self):
+        from multimodars_tpu.models.geometry import shared_contour_blocks
+
+        geom = self._tensor_geometry()
+        blocks = shared_contour_blocks(geom.frames)
+        assert blocks is not None
+        assert sum(len(cs) for _, _, cs in blocks) == len(geom.frames)
+
+    def test_blocks_none_on_plain_copies(self):
+        from multimodars_tpu.models.geometry import shared_contour_blocks
+
+        geom = self._tensor_geometry().copy()
+        assert shared_contour_blocks(geom.frames) is None
+
+    def test_translate_block_matches_loop(self):
+        import numpy as np
+
+        fast = self._tensor_geometry()
+        slow = self._tensor_geometry().copy()  # copies -> per-frame loop
+        t = (0.37, -1.21, 0.05)
+        fast.translate_geometry(t)
+        slow.translate_geometry(t)
+        for ff, fs in zip(fast.frames, slow.frames):
+            assert (ff.lumen.xyz_view() == fs.lumen.xyz_view()).all()
+            assert ff.lumen.centroid == fs.lumen.centroid
+            assert ff.centroid == fs.centroid
+
+    def test_rotate_block_matches_loop(self):
+        import numpy as np
+        from multimodars_tpu.pipelines.align_between import (
+            rotate_geometry_around_point,
+        )
+
+        fast = self._tensor_geometry()
+        slow = self._tensor_geometry().copy()
+        rotate_geometry_around_point(fast, 0.31, (4.0, 4.25, 0.0))
+        rotate_geometry_around_point(slow, 0.31, (4.0, 4.25, 0.0))
+        for ff, fs in zip(fast.frames, slow.frames):
+            assert (ff.lumen.xyz_view() == fs.lumen.xyz_view()).all()
+            assert ff.centroid == fs.centroid
+
+    def test_sparse_rows_leave_unviewed_tensor_rows_untouched(self):
+        import numpy as np
+        from multimodars_tpu.models.geometry import PyGeometry
+        from multimodars_tpu.models.geometry import shared_contour_blocks
+
+        geom = self._tensor_geometry()
+        base = geom.frames[0].lumen.xyz_view().base
+        dropped_row = base[3].copy()
+        sub = PyGeometry(
+            [f for i, f in enumerate(geom.frames) if i != 3], "sparse"
+        )
+        blocks = shared_contour_blocks(sub.frames)
+        assert blocks is not None
+        sub.translate_geometry((1.0, 2.0, 0.0))
+        assert (base[3] == dropped_row).all()
+        assert (geom.frames[4].lumen.xyz_view()[:, 0] > dropped_row[:, 0].min()).any()
