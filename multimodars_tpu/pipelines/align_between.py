@@ -118,16 +118,17 @@ def rotate_geometry_around_point(
             frame.reference_point.y = ry
 
 
-def find_best_rotations_between_batch(
+def dispatch_between_search(
     clouds: List[Tuple[np.ndarray, np.ndarray]],
     step_deg: float,
     range_deg: float,
     bruteforce: bool = False,
-) -> np.ndarray:
-    """Batched find_best_rotation_between: each (reference_xy, target_xy)
-    cloud pair becomes one slot of a padded+masked batch through a single
-    device search — the TPU analog of the reference's concurrent
-    align-between threads (entry.rs:206-277)."""
+):
+    """Enqueue the batched between-geometry rotation search and its d2h
+    pull; returns the device handle (``np.asarray`` it to block).  Each
+    (reference_xy, target_xy) cloud pair becomes one slot of a
+    padded+masked batch through a single device search — the TPU analog of
+    the reference's concurrent align-between threads (entry.rs:206-277)."""
     dtype = config.compute_dtype
     F = len(clouds)
     M = max(r.shape[0] for r, _ in clouds)
@@ -152,7 +153,24 @@ def find_best_rotations_between_batch(
         float(range_deg),
         bool(bruteforce),
     )
-    return np.asarray(best, dtype=np.float64)
+    try:
+        best.copy_to_host_async()
+    except Exception:
+        pass
+    return best
+
+
+def find_best_rotations_between_batch(
+    clouds: List[Tuple[np.ndarray, np.ndarray]],
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool = False,
+) -> np.ndarray:
+    """Blocking form of :func:`dispatch_between_search`."""
+    return np.asarray(
+        dispatch_between_search(clouds, step_deg, range_deg, bruteforce),
+        dtype=np.float64,
+    )
 
 
 @trace("align_between.batch")
@@ -212,7 +230,21 @@ def align_between_geometries(
     )[0]
 
 
-def _finish_between(
+def extract_stack_points(lumen: np.ndarray, sample_size: int) -> np.ndarray:
+    """:func:`extract_geometry_points` computed straight off a rectangular
+    [F, N, 3] lumen stack (one gather instead of a per-frame loop) —
+    bit-identical on uniform-width geometries, which is the only shape a
+    TensorGeometry can hold."""
+    from ..models.contour import downsample_indices
+
+    F, N = lumen.shape[:2]
+    ratio = sample_size / (F * N)
+    frame_n = max(int(np.ceil(N * ratio)), 1)
+    idx = downsample_indices(N, frame_n)
+    return lumen[:, idx, :2].reshape(-1, 2)
+
+
+def apply_between_epilogue(
     geom_a: PyGeometry,
     geom_b: PyGeometry,
     best_rotation: float,
@@ -221,7 +253,16 @@ def _finish_between(
     rot_deg: float,
     step_rot_deg: float,
     verbose: bool,
-) -> PyGeometryPair:
+    pre_translated: bool = True,
+) -> None:
+    """Mutating tail of the between-alignment: rotate B about A's reference
+    centroid, re-translate exactly, narrate.  ``pre_translated=False`` means
+    the initial translation was applied only to B's search cloud so far and
+    is applied to the geometry here first — the deferred orchestration in
+    ``entry.full_processing`` uses that to keep the geometry work inside
+    the search round-trip."""
+    if not pre_translated:
+        geom_b.translate_geometry(initial_translation)
     rotate_geometry_around_point(geom_b, best_rotation, ref_a_centroid)
 
     ref_idx_a = geom_a.ref_or_proximal_idx()
@@ -248,7 +289,27 @@ def _finish_between(
         )
         print("-----------------------------------------")
 
-    # combined label, parity with GeometryPair::new (geometry_pair.rs:12-19)
+
+def build_pair(geom_a: PyGeometry, geom_b: PyGeometry) -> PyGeometryPair:
+    """Pair with exclusive copies; parity with GeometryPair::new
+    (geometry_pair.rs:12-19)."""
     return PyGeometryPair(
         geom_a.copy(), geom_b.copy(), f"{geom_a.label} - {geom_b.label}"
     )
+
+
+def _finish_between(
+    geom_a: PyGeometry,
+    geom_b: PyGeometry,
+    best_rotation: float,
+    ref_a_centroid,
+    initial_translation,
+    rot_deg: float,
+    step_rot_deg: float,
+    verbose: bool,
+) -> PyGeometryPair:
+    apply_between_epilogue(
+        geom_a, geom_b, best_rotation, ref_a_centroid, initial_translation,
+        rot_deg, step_rot_deg, verbose,
+    )
+    return build_pair(geom_a, geom_b)

@@ -373,14 +373,67 @@ def _classify_pre(tg: TensorGeometry):
     return {"ref_idx": ref_idx, "anomalous": anomalous, "farthest": farthest}
 
 
+class DeferredAligned:
+    """A pullback whose coordinate finish (transform + wall + smooth) is
+    complete but whose object materialisation is deferred, so orchestrators
+    can dispatch dependent device searches first and materialise during the
+    tunnel round-trip (entry.full_processing).  Results are identical to
+    the eager path — only the ordering of independent work changes."""
+
+    __slots__ = ("tensor", "_geometry", "logs", "anomalous", "_verbose")
+
+    def __init__(self, tensor, geometry, logs, anomalous, verbose):
+        self.tensor = tensor
+        self._geometry = geometry
+        self.logs = logs
+        self.anomalous = anomalous
+        self._verbose = verbose
+
+    def lumen_coords(self):
+        """Post-finish [F, N, 3] lumen stack, or None on the object path."""
+        if self.tensor is not None:
+            return self.tensor.coords["Lumen"]
+        return None
+
+    def ref_centroid(self):
+        """Reference (or proximal) frame centroid of the aligned pullback."""
+        if self.tensor is not None:
+            i = _ref_or_proximal_idx_tensor(self.tensor)
+            c = self.tensor.centroids[i]
+            return (float(c[0]), float(c[1]), float(c[2]))
+        g = self._geometry
+        return g.frames[g.ref_or_proximal_idx()].centroid
+
+    def materialize(self) -> PyGeometry:
+        if self._geometry is None:
+            self._geometry, _, _ = _finish_materialize_tensor(
+                self.tensor, self.logs, self.anomalous, self._verbose
+            )
+        return self._geometry
+
+
+def _finish_materialize_tensor(
+    tg: TensorGeometry, logs: List[AlignLog], anomalous: bool, verbose: bool
+) -> Tuple[PyGeometry, List[AlignLog], bool]:
+    """Phase B of the tensor finish: object materialisation + log dump.
+    Split out so orchestrators can overlap it with a dependent device
+    dispatch (entry.full_processing)."""
+    final_geometry = tg.to_geometry()
+    if verbose:
+        dump_table(
+            f"✅ Finished aligning '{final_geometry.label}' (anomalous: {anomalous})",
+            logs,
+        )
+    return final_geometry, logs, anomalous
+
+
 @trace("align_within.finish_tensor")
-def _finish_alignment_tensor(
+def _finish_alignment_tensor_coords(
     tg: TensorGeometry,
     delta: np.ndarray,
     smooth: bool,
-    verbose: bool,
     pre=None,
-) -> Tuple[PyGeometry, List[AlignLog], bool]:
+) -> Tuple[TensorGeometry, List[AlignLog], bool]:
     """Array-spine version of :func:`_finish_alignment` — identical
     semantics, one vectorised pass per stage, one object materialisation.
 
@@ -480,13 +533,21 @@ def _finish_alignment_tensor(
     if smooth:
         tg.smooth_xy()
 
-    final_geometry = tg.to_geometry()
-    if verbose:
-        dump_table(
-            f"✅ Finished aligning '{final_geometry.label}' (anomalous: {anomalous})",
-            logs,
-        )
-    return final_geometry, logs, anomalous
+    return tg, logs, anomalous
+
+
+def _finish_alignment_tensor(
+    tg: TensorGeometry,
+    delta: np.ndarray,
+    smooth: bool,
+    verbose: bool,
+    pre=None,
+) -> Tuple[PyGeometry, List[AlignLog], bool]:
+    """Full tensor finish: coordinate phase + object materialisation."""
+    tg, logs, anomalous = _finish_alignment_tensor_coords(
+        tg, delta, smooth, pre=pre
+    )
+    return _finish_materialize_tensor(tg, logs, anomalous, verbose)
 
 
 @trace("align_within.relative_rotations")
@@ -789,6 +850,7 @@ def align_frames_in_geometries(
     sample_size: int,
     verbose: bool = True,
     devices=None,
+    deferred: bool = False,
 ) -> List[Tuple[PyGeometry, List[AlignLog], bool]]:
     """Align several pullbacks in one fused device sweep.
 
@@ -908,22 +970,36 @@ def align_frames_in_geometries(
             tg = _claim_tensor(tg)
             pre = _classify_pre(tg)
             delta = np.asarray(pending, dtype=np.float64)
-            results.append(
-                _finish_alignment_tensor(
-                    tg, delta, smooth=smooth, verbose=verbose, pre=pre
+            if deferred:
+                t, logs, anom = _finish_alignment_tensor_coords(
+                    tg, delta, smooth, pre=pre
                 )
-            )
+                results.append(DeferredAligned(t, None, logs, anom, verbose))
+            else:
+                results.append(
+                    _finish_alignment_tensor(
+                        tg, delta, smooth=smooth, verbose=verbose, pre=pre
+                    )
+                )
             continue
         delta = delta_all[offset : offset + n_pairs]
         offset += n_pairs
         if tg is not None:
-            results.append(
-                _finish_alignment_tensor(tg, delta, smooth=smooth, verbose=verbose)
-            )
+            if deferred:
+                t, logs, anom = _finish_alignment_tensor_coords(tg, delta, smooth)
+                results.append(DeferredAligned(t, None, logs, anom, verbose))
+            else:
+                results.append(
+                    _finish_alignment_tensor(tg, delta, smooth=smooth, verbose=verbose)
+                )
         else:
-            results.append(
-                _finish_alignment(obj.copy(), delta, smooth=smooth, verbose=verbose)
+            geom, logs, anom = _finish_alignment(
+                obj.copy(), delta, smooth=smooth, verbose=verbose
             )
+            if deferred:
+                results.append(DeferredAligned(None, geom, logs, anom, verbose))
+            else:
+                results.append((geom, logs, anom))
     return results
 
 

@@ -14,6 +14,8 @@ import os
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from ..io.build import build_any_from_inputdata, build_geometry_from_inputdata
 from ..io.csv_io import InputData
 from ..models.geometry import PyGeometry, PyGeometryPair
@@ -191,25 +193,98 @@ def full_processing(
     if len(geometries) != 4:
         raise ValueError(f"Full processing requires exactly 4 geometries, got {len(geometries)}")
 
-    aligned = align_frames_in_geometries(
-        geometries, step_deg, range_deg, smooth, bruteforce, sample_size, verbose=verbose
-    )
-    (geom_a, logs_a, bool_a), (geom_b, logs_b, bool_b), (geom_c, logs_c, bool_c), (
-        geom_d,
-        logs_d,
-        bool_d,
-    ) = aligned
-
     # AB ‖ CD then AC ‖ BD: the reference's two concurrent scoped-thread
-    # stages (entry.rs:206-277) become two batched device searches
-    pair_ab, pair_cd = align_between_geometries_batch(
-        [(geom_a, geom_b), (geom_c, geom_d)],
-        range_deg, step_deg, sample_size, verbose=verbose,
+    # stages (entry.rs:206-277) become two batched device searches.  Each
+    # search is dispatched from the post-finish coordinate tensors with the
+    # initial translation applied to the CLOUD only, so the object
+    # materialisation / geometry mutation / pair copies run inside the
+    # search round-trips instead of before them — same operations, same
+    # bits, reordered onto the tunnel latency.
+    from .align_between import (
+        apply_between_epilogue,
+        build_pair,
+        dispatch_between_search,
+        extract_geometry_points,
+        extract_stack_points,
     )
-    pair_ac, pair_bd = align_between_geometries_batch(
-        [(geom_a, geom_c), (geom_b, geom_d)],
-        range_deg, step_deg, sample_size, verbose=verbose,
+
+    d_a, d_b, d_c, d_d = align_frames_in_geometries(
+        geometries, step_deg, range_deg, smooth, bruteforce, sample_size,
+        verbose=verbose, deferred=True,
     )
+
+    between_sample = max(sample_size, 500)
+
+    def _cloud(d):
+        lum = d.lumen_coords()
+        if lum is not None:
+            return extract_stack_points(lum, between_sample)
+        return extract_geometry_points(d.materialize(), between_sample)
+
+    preps1 = []
+    clouds1 = []
+    for A, B in ((d_a, d_b), (d_c, d_d)):
+        ca = A.ref_centroid()
+        cb = B.ref_centroid()
+        t0 = tuple(ca[k] - cb[k] for k in range(3))
+        cloud_ref = _cloud(A)
+        cloud_tgt = _cloud(B) + np.array([t0[0], t0[1]])
+        preps1.append((ca, t0, cloud_ref))
+        clouds1.append((cloud_ref, cloud_tgt))
+    handle1 = dispatch_between_search(clouds1, step_deg, range_deg)
+
+    # materialise while the stage-1 search flies
+    geom_a, geom_b = d_a.materialize(), d_b.materialize()
+    geom_c, geom_d = d_c.materialize(), d_d.materialize()
+    logs_a, logs_b, logs_c, logs_d = d_a.logs, d_b.logs, d_c.logs, d_d.logs
+    bool_a, bool_b, bool_c, bool_d = (
+        d_a.anomalous, d_b.anomalous, d_c.anomalous, d_d.anomalous,
+    )
+
+    rot1 = np.asarray(handle1, dtype=np.float64)
+    for (A_g, B_g), (ca, t0, _), r in zip(
+        ((geom_a, geom_b), (geom_c, geom_d)), preps1, rot1
+    ):
+        apply_between_epilogue(
+            A_g, B_g, float(r), ca, t0, range_deg, step_deg, verbose,
+            pre_translated=False,
+        )
+
+    # stage 2: a and c are untouched by stage 1 (only b/d mutate), so their
+    # stage-1 reference clouds are reused verbatim
+    preps2 = []
+    clouds2 = []
+    for A_g, B_g, cloud_ref in (
+        (geom_a, geom_c, preps1[0][2]),
+        (geom_b, geom_d, None),
+    ):
+        ca = A_g.frames[A_g.ref_or_proximal_idx()].centroid
+        cb = B_g.frames[B_g.ref_or_proximal_idx()].centroid
+        t0 = tuple(ca[k] - cb[k] for k in range(3))
+        if cloud_ref is None:
+            cloud_ref = extract_geometry_points(A_g, between_sample)
+        cloud_tgt = (
+            extract_geometry_points(B_g, between_sample)
+            + np.array([t0[0], t0[1]])
+        )
+        preps2.append((ca, t0))
+        clouds2.append((cloud_ref, cloud_tgt))
+    handle2 = dispatch_between_search(clouds2, step_deg, range_deg)
+
+    # build the stage-1 pairs while the stage-2 search flies
+    pair_ab = build_pair(geom_a, geom_b)
+    pair_cd = build_pair(geom_c, geom_d)
+
+    rot2 = np.asarray(handle2, dtype=np.float64)
+    for (A_g, B_g), (ca, t0), r in zip(
+        ((geom_a, geom_c), (geom_b, geom_d)), preps2, rot2
+    ):
+        apply_between_epilogue(
+            A_g, B_g, float(r), ca, t0, range_deg, step_deg, verbose,
+            pre_translated=False,
+        )
+    pair_ac = build_pair(geom_a, geom_c)
+    pair_bd = build_pair(geom_b, geom_d)
 
     anomalous = bool_a or bool_b or bool_c or bool_d
     pair_ab = _maybe_postprocess(pair_ab, anomalous, postprocessing)

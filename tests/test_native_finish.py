@@ -280,3 +280,94 @@ class TestSharedBlockTransforms:
         sub.translate_geometry((1.0, 2.0, 0.0))
         assert (base[3] == dropped_row).all()
         assert (geom.frames[4].lumen.xyz_view()[:, 0] > dropped_row[:, 0].min()).any()
+
+
+class TestDeferredBetweenOrchestration:
+    """entry.full_processing's overlapped orchestration (deferred
+    materialisation + cloud-level initial translation) must be bit-identical
+    to the eager align-within -> two align_between_geometries_batch stages
+    it replaced."""
+
+    def _inputs(self):
+        import numpy as np
+        from multimodars import numpy_to_inputdata
+
+        from multimodars_tpu._processing import _to_inputdata
+
+        rng = np.random.default_rng(17)
+        datas = []
+        for g in range(4):
+            rows = []
+            for f in range(12):
+                th = np.linspace(0, 2 * np.pi, 40, endpoint=False)
+                x = 4.5 + (2 + 0.2 * rng.standard_normal()) * np.cos(th + 0.1 * f)
+                y = 4.5 + (1.5 + 0.2 * rng.standard_normal()) * np.sin(th + 0.1 * f)
+                z = np.full(40, f * 0.3)
+                rows.append(np.stack([np.full(40, f), x, y, z], -1))
+            lumen = np.concatenate(rows)
+            ref = np.array([0, 6.8 + 0.1 * g, 4.5, 0.0])
+            datas.append(
+                _to_inputdata(
+                    numpy_to_inputdata(lumen, ref, g % 2 == 0, label=f"g{g}")
+                )
+            )
+        return datas
+
+    def test_full_processing_matches_eager_stages(self, capsys):
+        import numpy as np
+        from multimodars_tpu.pipelines.entry import (
+            full_processing, prepare_n_geometries,
+        )
+        from multimodars_tpu.pipelines.align_within import (
+            align_frames_in_geometries,
+        )
+        from multimodars_tpu.pipelines.align_between import (
+            align_between_geometries_batch,
+        )
+
+        datas = self._inputs()
+        kw = dict(step_deg=1.0, range_deg=10.0, smooth=False,
+                  bruteforce=False, sample_size=480)
+
+        # new orchestration
+        pair_ab, pair_cd, pair_ac, pair_bd, *_ = full_processing(
+            [d.label for d in datas], (4.5, 4.5), 0.5, 20,
+            input_data=datas, write_obj=False, postprocessing=False,
+            step_deg=1.0, range_deg=10.0, smooth=False, verbose=False,
+        )
+
+        # eager legacy sequence
+        geoms = prepare_n_geometries(
+            [d.label for d in datas], (4.5, 4.5), 0.5, 20, datas, True,
+            None, None, "full", verbose=False,
+        )
+        aligned = align_frames_in_geometries(
+            geoms, 1.0, 10.0, False, False, 480, verbose=False
+        )
+        (ga, _, _), (gb, _, _), (gc, _, _), (gd, _, _) = aligned
+        e_ab, e_cd = align_between_geometries_batch(
+            [(ga, gb), (gc, gd)], 10.0, 1.0, 480, verbose=False
+        )
+        e_ac, e_bd = align_between_geometries_batch(
+            [(ga, gc), (gb, gd)], 10.0, 1.0, 480, verbose=False
+        )
+
+        for new, old in ((pair_ab, e_ab), (pair_cd, e_cd),
+                         (pair_ac, e_ac), (pair_bd, e_bd)):
+            for gn, go in ((new.geom_a, old.geom_a), (new.geom_b, old.geom_b)):
+                assert len(gn.frames) == len(go.frames)
+                for fn, fo in zip(gn.frames, go.frames):
+                    assert (fn.lumen.xyz_view() == fo.lumen.xyz_view()).all()
+                    assert fn.centroid == fo.centroid
+
+    def test_extract_stack_matches_object_extraction(self):
+        import numpy as np
+        from multimodars_tpu.pipelines.align_between import (
+            extract_geometry_points, extract_stack_points,
+        )
+
+        geom = TestSharedBlockTransforms()._tensor_geometry(seed=3, F=9, N=70)
+        base = geom.frames[0].lumen.xyz_view().base
+        a = extract_geometry_points(geom, 500)
+        b = extract_stack_points(base, 500)
+        assert (a == b).all()
