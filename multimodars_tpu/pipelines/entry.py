@@ -142,6 +142,57 @@ def prepare_n_geometries(
     raise ValueError(f"unknown processing mode: {mode}")
 
 
+def _between_stage_deferred(
+    pairs_defs, step_deg: float, range_deg: float, sample_size: int,
+    verbose: bool, build_pairs: bool = True,
+):
+    """One batched between-geometry stage over deferred within-align
+    results: dispatch the search from the post-finish tensors (initial
+    translation applied to the search cloud only), materialise the
+    geometries inside the round-trip, then run the mutating epilogue and
+    build the pairs.  Bit-identical to the eager
+    align_between_geometries_batch sequence — only independent work moves
+    into the tunnel latency."""
+    from .align_between import (
+        apply_between_epilogue,
+        build_pair,
+        dispatch_between_search,
+        extract_geometry_points,
+        extract_stack_points,
+    )
+
+    between_sample = max(sample_size, 500)
+
+    def _cloud(d):
+        lum = d.lumen_coords()
+        if lum is not None:
+            return extract_stack_points(lum, between_sample)
+        return extract_geometry_points(d.materialize(), between_sample)
+
+    preps, clouds = [], []
+    for A, B in pairs_defs:
+        ca = A.ref_centroid()
+        cb = B.ref_centroid()
+        t0 = tuple(ca[k] - cb[k] for k in range(3))
+        cloud_ref = _cloud(A)
+        cloud_tgt = _cloud(B) + np.array([t0[0], t0[1]])
+        preps.append((ca, t0, cloud_ref))
+        clouds.append((cloud_ref, cloud_tgt))
+    handle = dispatch_between_search(clouds, step_deg, range_deg)
+
+    geoms = [(A.materialize(), B.materialize()) for A, B in pairs_defs]
+    rot = np.asarray(handle, dtype=np.float64)
+    out = []
+    for (A_g, B_g), (ca, t0, _), r in zip(geoms, preps, rot):
+        apply_between_epilogue(
+            A_g, B_g, float(r), ca, t0, range_deg, step_deg, verbose,
+            pre_translated=False,
+        )
+        if build_pairs:
+            out.append(build_pair(A_g, B_g))
+    return out, geoms, preps
+
+
 def _maybe_postprocess(
     pair: PyGeometryPair, anomalous: bool, postprocessing: bool
 ) -> PyGeometryPair:
@@ -215,40 +266,18 @@ def full_processing(
 
     between_sample = max(sample_size, 500)
 
-    def _cloud(d):
-        lum = d.lumen_coords()
-        if lum is not None:
-            return extract_stack_points(lum, between_sample)
-        return extract_geometry_points(d.materialize(), between_sample)
-
-    preps1 = []
-    clouds1 = []
-    for A, B in ((d_a, d_b), (d_c, d_d)):
-        ca = A.ref_centroid()
-        cb = B.ref_centroid()
-        t0 = tuple(ca[k] - cb[k] for k in range(3))
-        cloud_ref = _cloud(A)
-        cloud_tgt = _cloud(B) + np.array([t0[0], t0[1]])
-        preps1.append((ca, t0, cloud_ref))
-        clouds1.append((cloud_ref, cloud_tgt))
-    handle1 = dispatch_between_search(clouds1, step_deg, range_deg)
-
-    # materialise while the stage-1 search flies
-    geom_a, geom_b = d_a.materialize(), d_b.materialize()
-    geom_c, geom_d = d_c.materialize(), d_d.materialize()
     logs_a, logs_b, logs_c, logs_d = d_a.logs, d_b.logs, d_c.logs, d_d.logs
     bool_a, bool_b, bool_c, bool_d = (
         d_a.anomalous, d_b.anomalous, d_c.anomalous, d_d.anomalous,
     )
 
-    rot1 = np.asarray(handle1, dtype=np.float64)
-    for (A_g, B_g), (ca, t0, _), r in zip(
-        ((geom_a, geom_b), (geom_c, geom_d)), preps1, rot1
-    ):
-        apply_between_epilogue(
-            A_g, B_g, float(r), ca, t0, range_deg, step_deg, verbose,
-            pre_translated=False,
-        )
+    # build_pairs=False: pair_ab/pair_cd are built below, inside the
+    # stage-2 search round-trip
+    _, geoms1, preps1 = _between_stage_deferred(
+        [(d_a, d_b), (d_c, d_d)], step_deg, range_deg, sample_size, verbose,
+        build_pairs=False,
+    )
+    (geom_a, geom_b), (geom_c, geom_d) = geoms1
 
     # stage 2: a and c are untouched by stage 1 (only b/d mutate), so their
     # stage-1 reference clouds are reused verbatim
@@ -346,18 +375,17 @@ def double_pair_processing(
         raise ValueError(
             f"Double Pair processing requires exactly 4 geometries, got {len(geometries)}"
         )
-    aligned = align_frames_in_geometries(
-        geometries, step_deg, range_deg, smooth, bruteforce, sample_size, verbose=verbose
+    d_a, d_b, d_c, d_d = align_frames_in_geometries(
+        geometries, step_deg, range_deg, smooth, bruteforce, sample_size,
+        verbose=verbose, deferred=True,
     )
-    (geom_a, logs_a, bool_a), (geom_b, logs_b, bool_b), (geom_c, logs_c, bool_c), (
-        geom_d,
-        logs_d,
-        bool_d,
-    ) = aligned
+    logs_a, logs_b, logs_c, logs_d = d_a.logs, d_b.logs, d_c.logs, d_d.logs
+    bool_a, bool_b, bool_c, bool_d = (
+        d_a.anomalous, d_b.anomalous, d_c.anomalous, d_d.anomalous,
+    )
 
-    pair_ab, pair_cd = align_between_geometries_batch(
-        [(geom_a, geom_b), (geom_c, geom_d)],
-        range_deg, step_deg, sample_size, verbose=verbose,
+    (pair_ab, pair_cd), _, _ = _between_stage_deferred(
+        [(d_a, d_b), (d_c, d_d)], step_deg, range_deg, sample_size, verbose
     )
 
     anomalous = bool_a or bool_b or bool_c or bool_d
@@ -409,13 +437,15 @@ def pair_processing(
         raise ValueError(
             f"Single Pair processing requires exactly 2 geometries, got {len(geometries)}"
         )
-    aligned = align_frames_in_geometries(
-        geometries, step_deg, range_deg, smooth, bruteforce, sample_size, verbose=verbose
+    d_a, d_b = align_frames_in_geometries(
+        geometries, step_deg, range_deg, smooth, bruteforce, sample_size,
+        verbose=verbose, deferred=True,
     )
-    (geom_a, logs_a, bool_a), (geom_b, logs_b, bool_b) = aligned
+    logs_a, logs_b = d_a.logs, d_b.logs
+    bool_a, bool_b = d_a.anomalous, d_b.anomalous
 
-    pair = align_between_geometries(
-        geom_a, geom_b, range_deg, step_deg, sample_size, verbose=verbose
+    (pair,), _, _ = _between_stage_deferred(
+        [(d_a, d_b)], step_deg, range_deg, sample_size, verbose
     )
     pair = _maybe_postprocess(pair, bool_a or bool_b, postprocessing)
     if write_obj:
