@@ -42,6 +42,10 @@ _CHUNK = 16384
 # banded count kernel tiling: a-rows per dispatch, b-columns per scan slice
 _COUNT_A_CHUNK = 32768
 _COUNT_B_SLICE = 16384
+# chunk size for the axis-banded count plan: small enough that a sorted
+# chunk spans a narrow window of the sort axis (tight b slices), large
+# enough to fill the vector unit
+_COUNT_A_CHUNK_BANDED = 4096
 # finite far-away sentinel for pad rows/columns: d2 of any real-vs-pad
 # pairing lands at ~1e34, far outside any radius band (pad x pad cancels to
 # 0 in the diff form, but those rows are sliced out before use)
@@ -397,9 +401,27 @@ def _count_rows_exact_host(a64: np.ndarray, b64: np.ndarray, r2: float) -> np.nd
 _COUNT_DEVICE_PAIRS = int(os.environ.get("MMTPU_CCTA_COUNT_DEVICE_PAIRS", 50_000_000))
 
 
+def _pow2_at_least(n: int, floor: int) -> int:
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
 def _count_device_dispatch(a64, b64, radius, dtype):
     """Dispatch phase of the banded device neighbour count: enqueue every
-    chunk's transfer + kernel, return the collect state."""
+    chunk's transfer + kernel, return the collect state.
+
+    Axis-banded prefilter (the R-tree spirit of label_coronary.rs on the
+    device path): both sets are sorted along the widest-spread axis of b;
+    a consecutive a-chunk then spans a narrow window, and only b rows whose
+    axis coordinate falls within window +/- radius (+ a rigorous centering-
+    rounding margin) can contribute — everything outside already exceeds
+    the radius along that single axis in exact arithmetic, so the final
+    counts are identical to the unfiltered sweep.  On vessel-like meshes
+    this cuts the evaluated pair space ~5-30x.  Engages only when the
+    estimated reduction is at least 2x; otherwise the original shared-b
+    full sweep runs."""
     r2 = radius * radius
     # center to minimise the magnitude entering the low-precision square
     mid = 0.5 * (
@@ -413,26 +435,87 @@ def _count_device_dispatch(a64, b64, radius, dtype):
     # error through the rounded-input / diff / square / 3-sum chain at the
     # boundary |d| ~ radius is <= ~(6 r maxc + 2.5 r^2) eps; factor 4 margin
     band = (24.0 * radius * maxc + 10.0 * r2) * eps
+    r2lo = jnp.asarray(r2 - band, dtype)
+    r2hi = jnp.asarray(r2 + band, dtype)
 
-    m_pad = 1024
-    while m_pad < len(bc):
-        m_pad *= 2
+    # --- axis-banded plan ---------------------------------------------------
+    a_ord = None
+    plan = None
+    banded_enabled = os.environ.get("MMTPU_CCTA_AXIS_BAND", "1") != "0"
+    if banded_enabled and len(a64) and len(b64):
+        spread = bc.max(axis=0) - bc.min(axis=0)
+        ax = int(np.argmax(spread))
+        b_ord = np.argsort(bc[:, ax], kind="stable")
+        bs = bc[b_ord]
+        bz = np.ascontiguousarray(bs[:, ax])
+        a_ord_c = np.argsort(ac[:, ax], kind="stable")
+        a_sorted = ac[a_ord_c]
+        # adaptive chunk: keep at least ~8 chunks so each spans a narrow
+        # axis window even on small clouds; dispatch count stays bounded
+        # by the 1024-row floor
+        chunk = _COUNT_A_CHUNK_BANDED
+        while chunk > 1024 and chunk * 8 > len(a64):
+            chunk //= 2
+        starts = np.arange(0, len(a64), chunk)
+        ends = np.minimum(starts + chunk, len(a64))
+        # rigorous margin for the f64 centering rounding of both sides
+        margin = 64.0 * np.finfo(np.float64).eps * (maxc + radius)
+        z0 = a_sorted[starts, ax] - radius - margin
+        z1 = a_sorted[ends - 1, ax] + radius + margin
+        los = np.searchsorted(bz, z0, side="left")
+        his = np.searchsorted(bz, z1, side="right")
+        # device cost is over the padded shapes, so estimate with those,
+        # not the raw window sums
+        n_pads = np.array([_pow2_at_least(int(n), 1024) for n in ends - starts])
+        m_pads = np.array([_pow2_at_least(max(int(m), 1), 1024) for m in his - los])
+        banded_pairs = int((n_pads * m_pads).sum())
+        full_pairs = len(a64) * _pow2_at_least(len(bc), 1024)
+        if banded_pairs * 2 <= full_pairs:
+            a_ord = a_ord_c
+            plan = (a_sorted, bs, starts, ends, los, his)
+
+    handles = []
+    if plan is not None:
+        a_sorted, bs, starts, ends, los, his = plan
+        # per-chunk pow2 pads: window sizes bucket onto a handful of
+        # distinct executable shapes, amortised by the persistent cache
+        for s, e, lo, hi in zip(starts, ends, los, his):
+            n = int(e - s)
+            n_pad = _pow2_at_least(n, 1024)
+            blk = a_sorted[s:e]
+            if n < n_pad:
+                pad = np.full((n_pad, 3), _FAR)
+                pad[:n] = blk
+                blk = pad
+            m_pad = _pow2_at_least(max(int(hi - lo), 1), 1024)
+            b_pad = np.full((m_pad, 3), _FAR)
+            b_pad[: int(hi - lo)] = bs[lo:hi]
+            ch = min(_COUNT_B_SLICE, m_pad)
+            handles.append(
+                (int(s), n, n_pad,
+                 _count_band_block(
+                     to_device(blk, dtype), to_device(b_pad, dtype),
+                     r2lo, r2hi, ch,
+                 ))
+            )
+        return dict(
+            a64=a64, b64=b64, radius=radius, r2=r2, handles=handles,
+            a_ord=a_ord,
+        )
+
+    # --- full sweep (shared b upload) ---------------------------------------
+    m_pad = _pow2_at_least(len(bc), 1024)
     ch = min(_COUNT_B_SLICE, m_pad)
     # finite far sentinel: keeps the gram-form d2 of padding rows/columns a
     # huge ordinary float (inf would feed 0*inf = nan into the dot)
     b_pad = np.full((m_pad, 3), _FAR)
     b_pad[: len(bc)] = bc
     b_d = to_device(b_pad, dtype)
-    r2lo = jnp.asarray(r2 - band, dtype)
-    r2hi = jnp.asarray(r2 + band, dtype)
 
-    handles = []
     for start in range(0, len(a64), _COUNT_A_CHUNK):
         blk = ac[start : start + _COUNT_A_CHUNK]
         n = len(blk)
-        n_pad = 2048
-        while n_pad < n:
-            n_pad *= 2
+        n_pad = _pow2_at_least(n, 2048)
         if n < n_pad:
             pad = np.full((n_pad, 3), _FAR)
             pad[:n] = blk
@@ -441,7 +524,9 @@ def _count_device_dispatch(a64, b64, radius, dtype):
             (start, n, n_pad,
              _count_band_block(to_device(blk, dtype), b_d, r2lo, r2hi, ch))
         )
-    return dict(a64=a64, b64=b64, radius=radius, r2=r2, handles=handles)
+    return dict(
+        a64=a64, b64=b64, radius=radius, r2=r2, handles=handles, a_ord=None
+    )
 
 
 def _collect_device_counts(states) -> List[np.ndarray]:
@@ -469,6 +554,16 @@ def _collect_device_counts(states) -> List[np.ndarray]:
             counts[start : start + n] = flat[0, col : col + n].astype(np.int64)
             near_rows[start : start + n] = flat[1, col : col + n] > 0
             col += n_pad
+        a_ord = st.get("a_ord")
+        if a_ord is not None:
+            # banded plan worked in axis-sorted order: row i of the device
+            # output is a64[a_ord[i]] — scatter back to original order
+            unsorted_counts = np.empty_like(counts)
+            unsorted_counts[a_ord] = counts
+            counts = unsorted_counts
+            unsorted_near = np.zeros_like(near_rows)
+            unsorted_near[a_ord] = near_rows
+            near_rows = unsorted_near
         if near_rows.any():
             # exact recount of flagged rows: the host grid (R-tree analog)
             # is exact and touches only each row's neighbourhood candidates

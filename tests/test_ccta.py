@@ -690,3 +690,49 @@ class TestCountWithinRadiusMulti:
         out = count_within_radius_multi(a, [np.zeros((0, 3)), a], 0.5)
         np.testing.assert_array_equal(out[0], np.zeros(10, dtype=np.int64))
         assert (out[1] >= 1).all()  # every point counts itself
+
+
+class TestAxisBandedCountPlan:
+    """The axis-banded prefilter (sorted chunks + per-chunk b slices) must
+    engage on elongated vessel-like clouds and produce counts bit-identical
+    to the exact host recount — exclusion by single-axis distance is exact,
+    so the plan may never change a count."""
+
+    def _tube_clouds(self, seed=3, n=6000, m=7000, length=600.0):
+        rng = np.random.default_rng(seed)
+        ta = rng.uniform(0, length, n)
+        tb = rng.uniform(0, length, m)
+        a = np.stack(
+            [ta, 2.0 * np.sin(ta / 40.0) + rng.normal(0, 0.8, n),
+             rng.normal(0, 0.8, n)], -1,
+        )
+        b = np.stack(
+            [tb, 2.0 * np.sin(tb / 40.0) + rng.normal(0, 0.8, m),
+             rng.normal(0, 0.8, m)], -1,
+        )
+        return a, b
+
+    def test_plan_engages_and_matches_exact(self):
+        import jax.numpy as jnp
+        from multimodars_tpu.ccta.kernels import (
+            _count_device_dispatch,
+            _count_device_collect,
+            _count_rows_exact_host,
+        )
+
+        a, b = self._tube_clouds()
+        state = _count_device_dispatch(a, b, 2.0, jnp.float32)
+        assert state["a_ord"] is not None  # banded plan engaged
+        dev = _count_device_collect(state)
+        exact = _count_rows_exact_host(a, b, 4.0)
+        np.testing.assert_array_equal(dev, exact)
+
+    def test_compact_clouds_fall_back_to_full_sweep(self):
+        import jax.numpy as jnp
+        from multimodars_tpu.ccta.kernels import _count_device_dispatch
+
+        rng = np.random.default_rng(0)
+        a = rng.uniform(-5, 5, (3000, 3))
+        b = rng.uniform(-5, 5, (3000, 3))
+        state = _count_device_dispatch(a, b, 4.0, jnp.float32)
+        assert state["a_ord"] is None  # no reduction -> original plan
