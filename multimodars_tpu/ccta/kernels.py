@@ -442,7 +442,15 @@ def _count_device_dispatch(a64, b64, radius, dtype):
     a_ord = None
     plan = None
     banded_enabled = os.environ.get("MMTPU_CCTA_AXIS_BAND", "1") != "0"
-    if banded_enabled and len(a64) and len(b64):
+    # absolute floor: below ~1e10 raw pairs the plan's host-side cost (axis
+    # sorts + per-chunk pad/upload) exceeds the device time it saves — the
+    # multi-target dispatch wave already overlaps device compute (measured
+    # on label's 12k-60k point sets: banded ~6% slower; at 160k x 160k it
+    # is ~25% faster)
+    min_pairs = float(
+        os.environ.get("MMTPU_CCTA_AXIS_BAND_MIN_PAIRS", 1e10)
+    )
+    if banded_enabled and len(a64) * len(b64) >= min_pairs and len(a64) and len(b64):
         spread = bc.max(axis=0) - bc.min(axis=0)
         ax = int(np.argmax(spread))
         b_ord = np.argsort(bc[:, ax], kind="stable")
@@ -565,15 +573,22 @@ def _collect_device_counts(states) -> List[np.ndarray]:
             unsorted_near[a_ord] = near_rows
             near_rows = unsorted_near
         if near_rows.any():
-            # exact recount of flagged rows: the host grid (R-tree analog)
-            # is exact and touches only each row's neighbourhood candidates
+            # exact recount of flagged rows.  Small subsets go through one
+            # direct gram matmul (`_count_rows_exact_host`): the grid's
+            # per-(cell, offset) loop pays Python overhead per occupied
+            # cell, which loses badly when the subset is a few hundred rows
+            # against a dense cloud.  Large subsets keep the grid (R-tree
+            # analog), which touches only neighbourhood candidates.
             sub = np.ascontiguousarray(a64[near_rows])
-            grid = _count_within_radius_grid(sub, b64, st["radius"])
-            counts[near_rows] = (
-                grid
-                if grid is not None
-                else _count_rows_exact_host(sub, b64, st["r2"])
-            )
+            if len(sub) * len(b64) <= 64_000_000:
+                counts[near_rows] = _count_rows_exact_host(sub, b64, st["r2"])
+            else:
+                grid = _count_within_radius_grid(sub, b64, st["radius"])
+                counts[near_rows] = (
+                    grid
+                    if grid is not None
+                    else _count_rows_exact_host(sub, b64, st["r2"])
+                )
         out.append(counts)
     return out
 
@@ -1033,23 +1048,37 @@ def reclassify_labels(labels: np.ndarray, faces) -> np.ndarray:
     faces_arr = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
     if n == 0 or len(faces_arr) == 0:
         return labels.copy()
-    e = np.concatenate(
-        [faces_arr[:, [0, 1]], faces_arr[:, [1, 2]], faces_arr[:, [2, 0]]]
-    )
-    # unique UNDIRECTED edges, expanded both ways afterwards — the sorted
-    # volume is half of deduping the directed list (the adjacency SETS of
-    # the reference are symmetric, so this is the same edge set)
-    lo = np.minimum(e[:, 0], e[:, 1])
-    hi = np.maximum(e[:, 0], e[:, 1])
-    keys = np.unique(lo * n + hi)
-    ka = (keys // n).astype(np.int64)
-    kb = (keys % n).astype(np.int64)
+    # unique UNDIRECTED edges — the sorted volume is half of deduping the
+    # directed list (the adjacency SETS of the reference are symmetric, so
+    # this is the same edge set).  Written to minimise fresh allocations:
+    # this host's page-fault latency makes each big temporary cost real
+    # time, so the three face-edge key thirds are filled into one buffer
+    # and the dedup is an in-place sort + mask instead of np.unique
+    nf = len(faces_arr)
+    keys = np.empty(3 * nf, dtype=np.int64)
+    for t, (i, j) in enumerate(((0, 1), (1, 2), (2, 0))):
+        part = keys[t * nf : (t + 1) * nf]
+        np.minimum(faces_arr[:, i], faces_arr[:, j], out=part)
+        part *= n
+        part += np.maximum(faces_arr[:, i], faces_arr[:, j])
+    keys.sort(kind="quicksort")
+    first = np.empty(len(keys), dtype=bool)
+    first[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=first[1:])
+    keys = keys[first]
+    ka, kb = np.divmod(keys, n)
     ns = ka != kb  # self-edges from degenerate faces enter the set once
-    src = np.concatenate([ka, kb[ns]])
-    dst = np.concatenate([kb, ka[ns]])
-    deg = np.bincount(src, minlength=n)
-    cnt1 = np.bincount(src[labels[dst] == 1], minlength=n)
-    cnt2 = np.bincount(src[labels[dst] == 2], minlength=n)
+    kbn = kb[ns]
+    kan = ka[ns]
+    # per-vertex degree / neighbour-label counts without materialising the
+    # doubled src/dst arrays: bincount each direction and sum
+    deg = np.bincount(ka, minlength=n) + np.bincount(kbn, minlength=n)
+    cnt1 = np.bincount(ka[labels[kb] == 1], minlength=n) + np.bincount(
+        kbn[labels[kan] == 1], minlength=n
+    )
+    cnt2 = np.bincount(ka[labels[kb] == 2], minlength=n) + np.bincount(
+        kbn[labels[kan] == 2], minlength=n
+    )
     new_labels = labels.copy()
     has_nb = deg > 0
     new_labels[(labels == 1) & has_nb & (cnt1 == 0)] = 0

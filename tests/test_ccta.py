@@ -712,7 +712,7 @@ class TestAxisBandedCountPlan:
         )
         return a, b
 
-    def test_plan_engages_and_matches_exact(self):
+    def test_plan_engages_and_matches_exact(self, monkeypatch):
         import jax.numpy as jnp
         from multimodars_tpu.ccta.kernels import (
             _count_device_dispatch,
@@ -720,6 +720,8 @@ class TestAxisBandedCountPlan:
             _count_rows_exact_host,
         )
 
+        # lower the absolute pair floor so the plan engages at test scale
+        monkeypatch.setenv("MMTPU_CCTA_AXIS_BAND_MIN_PAIRS", "0")
         a, b = self._tube_clouds()
         state = _count_device_dispatch(a, b, 2.0, jnp.float32)
         assert state["a_ord"] is not None  # banded plan engaged
@@ -727,12 +729,23 @@ class TestAxisBandedCountPlan:
         exact = _count_rows_exact_host(a, b, 4.0)
         np.testing.assert_array_equal(dev, exact)
 
-    def test_compact_clouds_fall_back_to_full_sweep(self):
+    def test_compact_clouds_fall_back_to_full_sweep(self, monkeypatch):
         import jax.numpy as jnp
         from multimodars_tpu.ccta.kernels import _count_device_dispatch
 
+        monkeypatch.setenv("MMTPU_CCTA_AXIS_BAND_MIN_PAIRS", "0")
         rng = np.random.default_rng(0)
         a = rng.uniform(-5, 5, (3000, 3))
         b = rng.uniform(-5, 5, (3000, 3))
         state = _count_device_dispatch(a, b, 4.0, jnp.float32)
         assert state["a_ord"] is None  # no reduction -> original plan
+
+    def test_default_floor_keeps_pipeline_scale_on_full_sweep(self):
+        import jax.numpy as jnp
+        from multimodars_tpu.ccta.kernels import _count_device_dispatch
+
+        # at label's typical scale (<=60k x 60k, ~3.6e9 pairs) the plan's
+        # host overhead loses to the overlapped full sweep: stay off
+        a, b = self._tube_clouds()
+        state = _count_device_dispatch(a, b, 2.0, jnp.float32)
+        assert state["a_ord"] is None
