@@ -749,3 +749,124 @@ class TestAxisBandedCountPlan:
         a, b = self._tube_clouds()
         state = _count_device_dispatch(a, b, 2.0, jnp.float32)
         assert state["a_ord"] is None
+
+
+class TestFixMeshWindingParity:
+    """Ported semantics of the reference's fix_mesh_winding Rust tests
+    (ccta_py.rs:872-933): BFS winding repair on hand-built face lists."""
+
+    def test_already_consistent_quad_is_unchanged(self):
+        # shared edge {0,2} traversed (2,0) in face 0 and (0,2) in face 1 —
+        # opposite directions, already consistent
+        faces = [[0, 1, 2], [0, 2, 3]]
+        assert fix_mesh_winding(faces) == faces
+
+    def test_inconsistent_pair_gets_second_face_flipped(self):
+        # face 1 traverses the shared edge {0,2} as (2,0), same direction as
+        # face 0 -> inconsistent -> face 1 reversed, root face untouched
+        out = fix_mesh_winding([[0, 1, 2], [2, 0, 3]])
+        assert out[0] == [0, 1, 2]
+        assert out[1] == [3, 0, 2]
+
+    def test_isolated_faces_with_no_shared_edges_unchanged(self):
+        faces = [[0, 1, 2], [5, 6, 7]]
+        assert fix_mesh_winding(faces) == faces
+
+    def test_empty_input_returns_empty(self):
+        assert fix_mesh_winding([]) == []
+
+    def test_bfs_propagates_across_a_triangle_fan(self):
+        # consistent fan around centre vertex 0: BFS must visit every face
+        # of the component without spuriously flipping any
+        faces = [[0, 1, 2], [0, 2, 3], [0, 3, 4]]
+        assert fix_mesh_winding(faces) == faces
+
+
+class TestRayTriangleIntersection:
+    """Ported semantics of ray_triangle_intersection
+    (label_coronary.rs:525-548), on both the host twin and the device
+    kernel (Moller-Trumbore, t > eps, +inf where no hit)."""
+
+    def _tri(self):
+        v0 = np.array([[1.0, -1.0, -1.0]])
+        v1 = np.array([[1.0, 1.0, -1.0]])
+        v2 = np.array([[1.0, 0.0, 1.0]])
+        return v0, v1, v2
+
+    def test_single_ray_hits_at_t1_host(self):
+        from multimodars_tpu.ccta.kernels import _ray_triangle_hits_np
+
+        o = np.array([[0.0, 0.0, 0.0]])
+        d = np.array([[1.0, 0.0, 0.0]])
+        t = _ray_triangle_hits_np(o, d, *self._tri())
+        assert abs(float(t[0, 0]) - 1.0) < 1e-6
+
+    def test_single_ray_hits_at_t1_device(self):
+        import jax.numpy as jnp
+        from multimodars_tpu.ccta.kernels import _ray_triangle_hits
+
+        o = jnp.array([[0.0, 0.0, 0.0]])
+        d = jnp.array([[1.0, 0.0, 0.0]])
+        v0, v1, v2 = (jnp.asarray(v) for v in self._tri())
+        t = np.asarray(_ray_triangle_hits(o, d, v0, v1, v2))
+        assert abs(float(t[0, 0]) - 1.0) < 1e-6
+
+    def test_miss_and_backward_rays_return_inf(self):
+        from multimodars_tpu.ccta.kernels import _ray_triangle_hits_np
+
+        o = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 5.0, 0.0]])
+        d = np.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+        t = _ray_triangle_hits_np(o, d, *self._tri())
+        assert np.isinf(t[0, 0])  # parallel to the triangle plane: miss
+        assert np.isinf(t[1, 0])  # behind the ray origin: t <= eps
+        assert np.isinf(t[2, 0])  # off to the side: barycentric miss
+
+    def test_host_and_device_agree_on_random_batch(self):
+        import jax.numpy as jnp
+        from multimodars_tpu.ccta.kernels import (
+            _ray_triangle_hits,
+            _ray_triangle_hits_np,
+        )
+
+        rng = np.random.default_rng(11)
+        o = rng.normal(0, 2, (24, 3))
+        d = rng.normal(0, 1, (24, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        v0 = rng.normal(0, 2, (16, 3))
+        v1 = v0 + rng.normal(0, 1, (16, 3))
+        v2 = v0 + rng.normal(0, 1, (16, 3))
+        th = _ray_triangle_hits_np(o, d, v0, v1, v2)
+        td = np.asarray(
+            _ray_triangle_hits(
+                jnp.asarray(o), jnp.asarray(d),
+                jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+            )
+        )
+        hit = np.isfinite(th)
+        assert (hit == np.isfinite(td)).all()
+        np.testing.assert_allclose(td[hit], th[hit], rtol=1e-6)
+
+
+class TestCenterlineBoundedSimpleGeometry:
+    """Ported semantics of test_find_points_simple_geometry
+    (label_coronary.rs:442-523): 9 points inside the radius-1 spheres of a
+    3-point centerline are kept; 9 outside are dropped."""
+
+    def test_inside_kept_outside_dropped(self):
+        inside = [
+            (0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.5, 1.0, 0.0),
+            (0.0, 0.0, 1.0), (1.0, 0.0, 1.0), (0.5, 1.0, 1.0),
+            (0.0, 0.0, 2.0), (1.0, 0.0, 2.0), (0.5, 1.0, 2.0),
+        ]
+        outside = [
+            (-1.0, -1.0, 0.5), (2.0, -1.0, 0.5), (0.5, 2.0, 0.5),
+            (-1.0, -1.0, 1.5), (2.0, -1.0, 1.5), (0.5, 2.0, 1.5),
+            (-1.0, -1.0, 2.5), (2.0, -1.0, 2.5), (0.5, 2.0, 2.5),
+        ]
+        cl = numpy_to_centerline(
+            np.array([[0.5, 0.5, 0.0], [0.5, 0.5, 1.0], [0.5, 0.5, 2.0]])
+        )
+        out = find_centerline_bounded_points_simple(cl, inside + outside, 1.0)
+        assert sorted(out) == sorted(inside)
+        for p in outside:
+            assert p not in out
