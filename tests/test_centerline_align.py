@@ -547,3 +547,55 @@ class TestCenterlineOps:
         b1 = [p for p in out.points if p.branch_id == 1]
         assert len(out.branch_start_indices) == 2
         assert len(b1) == 3, "no trimming when no overlap"
+
+
+class TestSmoothCenterline:
+    """Ported semantics of the reference's smooth_centerline tests
+    (types/utils.rs:172-233): symmetric 3-sigma-truncated Gaussian per
+    branch with tangent recompute."""
+
+    @staticmethod
+    def _line(pts):
+        return numpy_to_centerline(np.asarray(pts, dtype=float))
+
+    def test_straight_line_is_unchanged(self):
+        from multimodars_tpu.models.centerline import smooth_centerline
+
+        cl = self._line([(float(i), 0.0, 0.0) for i in range(20)])
+        sm = smooth_centerline(cl, 3.0)
+        for orig, new in zip(cl.points, sm.points):
+            assert abs(orig.contour_point.x - new.contour_point.x) < 1e-10
+            assert abs(orig.contour_point.y - new.contour_point.y) < 1e-10
+            assert abs(orig.contour_point.z - new.contour_point.z) < 1e-10
+
+    def test_spike_is_damped_not_erased(self):
+        from multimodars_tpu.models.centerline import smooth_centerline
+
+        pts = [(float(i), 0.0, 0.0) for i in range(15)]
+        pts[7] = (7.0, 5.0, 0.0)
+        sm = smooth_centerline(self._line(pts), 2.0)
+        spike_y = sm.points[7].contour_point.y
+        assert spike_y < 5.0
+        assert spike_y > 0.0
+
+    def test_tangents_are_unit_vectors(self):
+        from multimodars_tpu.models.centerline import smooth_centerline
+
+        pts = [(float(i), 0.0, 0.0) for i in range(20)]
+        pts[10] = (10.0, 3.0, 0.0)
+        sm = smooth_centerline(self._line(pts), 2.0)
+        for p in sm.points:
+            norm = math.sqrt(sum(c * c for c in p.tangent))
+            assert abs(norm - 1.0) < 1e-10 or norm < 1e-12
+
+    def test_sigma_zero_returns_clone(self):
+        from multimodars_tpu.models.centerline import smooth_centerline
+
+        cl = self._line([(float(i), 0.0, 0.0) for i in range(10)])
+        sm = smooth_centerline(cl, 0.0)
+        assert len(sm.points) == len(cl.points)
+        for orig, new in zip(cl.points, sm.points):
+            assert orig.contour_point.x == new.contour_point.x
+            assert orig.contour_point.y == new.contour_point.y
+            assert orig.contour_point.z == new.contour_point.z
+            assert orig.tangent == new.tangent

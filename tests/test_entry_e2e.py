@@ -58,3 +58,60 @@ def test_from_file_full(tmp_path):
     # textures and MTLs alongside
     assert list((tmp_path / "rest").glob("lumen_*.png"))
     assert list((tmp_path / "rest").glob("lumen_*.mtl"))
+
+
+class TestFullPipelineLabels:
+    """Ported semantics of the reference's fast_full label tests
+    (functions.rs:1607-1662): the four GeometryPair labels are
+    '{a} - {b}' of the input labels, identically for the file path and
+    the prebuilt-InputData path."""
+
+    EXPECTED = (
+        "rest_dia - rest_sys",
+        "stress_dia - stress_sys",
+        "rest_dia - stress_dia",
+        "rest_sys - stress_sys",
+    )
+    KW = dict(
+        step_rotation_deg=5.0,
+        range_rotation_deg=10.0,
+        sample_size=50,
+        write_obj=False,
+        smooth=False,
+        postprocessing=False,
+    )
+
+    def _file_labels(self):
+        from multimodars import from_file_full
+
+        pairs = from_file_full(
+            str(FIXTURES / "ivus_rest"),
+            str(FIXTURES / "ivus_stress"),
+            labels=["rest_dia", "rest_sys", "stress_dia", "stress_sys"],
+            **self.KW,
+        )[:4]
+        return tuple(p.label for p in pairs)
+
+    def _array_labels(self):
+        from multimodars import from_array_full
+        from multimodars_tpu.io.csv_io import process_directory
+
+        rest, stress = str(FIXTURES / "ivus_rest"), str(FIXTURES / "ivus_stress")
+        names = {"Lumen": "lumen"}
+        inputs = [
+            process_directory(rest, names, True, "rest_dia"),
+            process_directory(rest, names, False, "rest_sys"),
+            process_directory(stress, names, True, "stress_dia"),
+            process_directory(stress, names, False, "stress_sys"),
+        ]
+        pairs = from_array_full(*inputs, **self.KW)[:4]
+        return tuple(p.label for p in pairs)
+
+    def test_file_full_labels(self):
+        assert self._file_labels() == self.EXPECTED
+
+    def test_array_full_labels(self):
+        assert self._array_labels() == self.EXPECTED
+
+    def test_file_and_array_full_same_labels(self):
+        assert self._file_labels() == self._array_labels()

@@ -153,3 +153,48 @@ def test_debug_io_dumps(dummy_geom, tmp_path):
     text = (tmp_path / "m.obj").read_text()
     assert text.count("v ") >= arr.shape[0]
     assert "f " in text
+
+
+def test_read_centerline_vtp_picks_longest_by_arc_length_not_point_count(tmp_path):
+    """Ported semantics of input.rs:547-620: a sparse 5-point 40mm line must
+    become branch 0 over a dense 20-point 1.9mm line."""
+    line_a = [(i * 10.0, 0.0, 0.0) for i in range(5)]
+    line_b = [(0.0, i * 0.1, 0.0) for i in range(20)]
+    all_pts = line_a + line_b
+    n = len(all_pts)
+    points_text = " ".join(f"{x} {y} {z}" for x, y, z in all_pts)
+    radii_text = " ".join(["1.0"] * n)
+    connectivity = " ".join(str(i) for i in range(n))
+    offsets = f"{len(line_a)} {n}"
+    xml = f"""<?xml version="1.0"?>
+<VTKFile type="PolyData" version="0.1" byte_order="LittleEndian" header_type="UInt32">
+  <PolyData>
+    <Piece NumberOfPoints="{n}" NumberOfVerts="0" NumberOfLines="2" NumberOfStrips="0" NumberOfPolys="0">
+      <PointData>
+        <DataArray type="Float64" Name="MaximumInscribedSphereRadius" format="ascii">
+          {radii_text}
+        </DataArray>
+      </PointData>
+      <Points>
+        <DataArray type="Float64" Name="Points" NumberOfComponents="3" format="ascii">
+          {points_text}
+        </DataArray>
+      </Points>
+      <Lines>
+        <DataArray type="Int64" Name="connectivity" format="ascii">
+          {connectivity}
+        </DataArray>
+        <DataArray type="Int64" Name="offsets" format="ascii">
+          {offsets}
+        </DataArray>
+      </Lines>
+    </Piece>
+  </PolyData>
+</VTKFile>
+"""
+    vtp = tmp_path / "arc_length_branch0.vtp"
+    vtp.write_text(xml)
+    cl = read_centerline_vtp(str(vtp))
+    assert len(cl.branch_start_indices) == 2
+    b0_len = cl.branch_start_indices[1] - cl.branch_start_indices[0]
+    assert b0_len == len(line_a)
