@@ -599,3 +599,56 @@ class TestSmoothCenterline:
             assert orig.contour_point.y == new.contour_point.y
             assert orig.contour_point.z == new.contour_point.z
             assert orig.tangent == new.tangent
+
+
+class TestMeanSpacingResample:
+    """Ported semantics of test_calculate_mean_spacing
+    (centerline_align/preprocessing.rs:356-433): the resample spacing is the
+    mean frame-centroid distance, and a single-frame mesh falls back to the
+    centerline's own mean segment length."""
+
+    @staticmethod
+    def _mesh(centroids):
+        from multimodars_tpu.models.contour import PyContour
+        from multimodars_tpu.models.frame import PyFrame
+        from multimodars_tpu.models.geometry import PyGeometry
+        from multimodars_tpu.models.point import PyContourPoint
+
+        frames = []
+        for i, c in enumerate(centroids):
+            pt = PyContourPoint(i, 0, c[0], c[1], c[2], False)
+            lumen = PyContour(i, i, [pt], tuple(c), None, None, "Lumen")
+            frames.append(PyFrame(i, tuple(c), lumen, {}, None))
+        return PyGeometry(frames, "test")
+
+    def test_mean_centroid_spacing_drives_resampling(self):
+        from multimodars_tpu.pipelines.centerline_align import (
+            _resample_centerline_by_contours,
+        )
+
+        # centroids (0,0,0),(3,4,0),(6,8,0): gaps 5.0 and 5.0 -> spacing 5.0
+        mesh = self._mesh([(0.0, 0.0, 0.0), (3.0, 4.0, 0.0), (6.0, 8.0, 0.0)])
+        cl = numpy_to_centerline(
+            np.array([[0.0, 0.0, float(z)] for z in range(21)])
+        )
+        out = _resample_centerline_by_contours(cl, mesh)
+        pos = out.positions()
+        gaps = np.sqrt(((pos[1:] - pos[:-1]) ** 2).sum(-1))
+        # every gap except a clamped tail equals the mean spacing 5.0
+        np.testing.assert_allclose(gaps[:-1], 5.0, atol=1e-9)
+        assert len(out.points) == 5  # s = 0,5,10,15,20
+
+    def test_single_frame_falls_back_to_centerline_spacing(self):
+        from multimodars_tpu.pipelines.centerline_align import (
+            _resample_centerline_by_contours,
+        )
+
+        mesh = self._mesh([(1.0, 2.0, 3.0)])
+        cl = numpy_to_centerline(
+            np.array([[0.0, 0.0, float(z)] for z in range(4)])
+        )
+        out = _resample_centerline_by_contours(cl, mesh)
+        pos = out.positions()
+        gaps = np.sqrt(((pos[1:] - pos[:-1]) ** 2).sum(-1))
+        # no centroid spacing -> fallback total/segments = 1.0
+        np.testing.assert_allclose(gaps, 1.0, atol=1e-9)

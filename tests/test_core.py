@@ -242,3 +242,197 @@ def test_downsample_edge_cases():
     assert [p.point_index for p in downsample_contour_points(pts, 2)] == [0, 1]
     assert len(downsample_contour_points([], 3)) == 0
     assert len(downsample_contour_points([], 0)) == 0
+
+
+# --- frame-level transform tests (ported from frame.rs frame_tests) --------
+
+def _contour(pts_xy, z=0.0, cid=1, kind="Lumen", frame_index=1):
+    from multimodars_tpu.models.frame import PyFrame  # noqa: F401  (import check)
+
+    pts = [
+        PyContourPoint(frame_index, i, x, y, z, False)
+        for i, (x, y) in enumerate(pts_xy)
+    ]
+    c = PyContour(cid, frame_index, pts, (0.0, 0.0, z), None, None, kind)
+    c.compute_centroid()
+    return c
+
+
+def _diamond_frame(with_eem=False, with_ref=False):
+    """Lumen diamond around (1,1) like frame.rs:213-330; optional eem
+    diamond around (2,2) and reference point."""
+    from multimodars_tpu.models.frame import PyFrame
+
+    lumen = _contour([(0.0, 2.0), (2.0, 0.0), (4.0, 2.0), (2.0, 4.0)])
+    extras = {}
+    if with_eem:
+        extras["Eem"] = _contour(
+            [(-1.0, 2.0), (2.0, 5.0), (5.0, 2.0), (0.0, -1.0)], cid=2, kind="Eem",
+            frame_index=2,
+        )
+    ref = PyContourPoint(1, 0, 0.5, 0.5, 0.0, False) if with_ref else None
+    return PyFrame(1, (1.0, 1.0, 0.0), lumen, extras, ref)
+
+
+def test_frame_rotate_with_eem_90deg():
+    """Parity: frame.rs test_frame_rotate_with_eem_90deg — lumen AND eem
+    rotate together about the frame centroid."""
+    frame = _diamond_frame(with_eem=True)
+    # reference lumen starts at (0,2),(2,0),(4,2),(2,4) but the rs test's
+    # expectations are for lumen (0,2),(2,0),(4,2),(2,4) rotated about (1,1):
+    frame.rotate_inplace(math.pi / 2.0, (1.0, 1.0))
+    expected_lumen = [(0.0, 0.0), (2.0, 2.0), (0.0, 4.0), (-2.0, 2.0)]
+    # rs ordering differs (its lumen is (0,2),(2,0)...); assert as sets
+    got_lumen = {(round(p.x, 6), round(p.y, 6)) for p in frame.lumen.points}
+    assert got_lumen == {(round(x, 6), round(y, 6)) for x, y in expected_lumen}
+    expected_eem = [(0.0, -1.0), (-3.0, 2.0), (0.0, 5.0), (3.0, 0.0)]
+    got_eem = {(round(p.x, 6), round(p.y, 6)) for p in frame.extras["Eem"].points}
+    assert got_eem == {(round(x, 6), round(y, 6)) for x, y in expected_eem}
+
+
+def test_frame_rotate_back_and_forth_restores_reference():
+    """Rotating +theta then -theta restores lumen, eem and reference point
+    (frame.rs:393-445)."""
+    frame = _diamond_frame(with_eem=True, with_ref=True)
+    orig = [(p.x, p.y) for p in frame.lumen.points]
+    orig_eem = [(p.x, p.y) for p in frame.extras["Eem"].points]
+    orig_ref = (frame.reference_point.x, frame.reference_point.y)
+    frame.rotate_inplace(0.7, (1.0, 1.0))
+    frame.rotate_inplace(-0.7, (1.0, 1.0))
+    for p, (ox, oy) in zip(frame.lumen.points, orig):
+        assert abs(p.x - ox) < 1e-9 and abs(p.y - oy) < 1e-9
+    for p, (ox, oy) in zip(frame.extras["Eem"].points, orig_eem):
+        assert abs(p.x - ox) < 1e-9 and abs(p.y - oy) < 1e-9
+    assert abs(frame.reference_point.x - orig_ref[0]) < 1e-9
+    assert abs(frame.reference_point.y - orig_ref[1]) < 1e-9
+
+
+def test_frame_rotate_around_external_point():
+    """180-degree rotation around (1,1) maps (x,y) to (2-x,2-y)
+    (frame.rs test_frame_rotate_around_point)."""
+    frame = _diamond_frame()
+    originals = [(p.x, p.y) for p in frame.lumen.points]
+    frame.rotate_inplace(math.pi, (1.0, 1.0))
+    for p, (ox, oy) in zip(frame.lumen.points, originals):
+        assert abs(p.x - (2.0 - ox)) < 1e-6
+        assert abs(p.y - (2.0 - oy)) < 1e-6
+    assert abs(frame.centroid[0] - 1.0) < 1e-9  # centroid (1,1) is fixed
+
+
+def test_frame_translate_with_eem_and_reference():
+    """Translate moves lumen, eem, reference point and frame centroid
+    (frame.rs test_frame_translate_with_eem_and_reference)."""
+    frame = _diamond_frame(with_eem=True, with_ref=True)
+    out = frame.translate(1.0, 2.0, 3.0)
+    assert out.centroid == (2.0, 3.0, 3.0)
+    for p, q in zip(out.lumen.points, frame.lumen.points):
+        assert (p.x, p.y, p.z) == (q.x + 1.0, q.y + 2.0, q.z + 3.0)
+    for p, q in zip(out.extras["Eem"].points, frame.extras["Eem"].points):
+        assert (p.x, p.y, p.z) == (q.x + 1.0, q.y + 2.0, q.z + 3.0)
+    rp = out.reference_point
+    assert (rp.x, rp.y, rp.z) == (1.5, 2.5, 3.0)
+    # original untouched (translate is a copy)
+    assert frame.centroid == (1.0, 1.0, 0.0)
+
+
+def test_create_catheter_points_circle():
+    """20 catheter points on a radius-0.5 circle at the frame z
+    (frame.rs test_create_catheter_points)."""
+    from multimodars_tpu.models.frame import create_catheter_points
+
+    pts = [PyContourPoint(1, 0, 1.0, 2.0, 5.0, False)]
+    catheter = create_catheter_points(pts, (4.5, 4.5), 0.5, 20)
+    assert len(catheter) == 20
+    for p in catheter:
+        assert p.frame_index == 1
+        assert p.z == 5.0
+        dist = math.hypot(p.x - 4.5, p.y - 4.5)
+        assert abs(dist - 0.5) < 1e-6
+
+
+def test_frame_set_value_updates_all_targets():
+    """set_value propagates id / centroid / z to lumen, extras and the
+    reference point (frame.rs test_frame_set_value_updates_all_targets)."""
+    frame = _diamond_frame(with_eem=True, with_ref=True)
+    frame.set_value(id=7, centroid=(9.0, 9.0, 9.0), z_value=4.0)
+    assert frame.id == 7
+    assert frame.lumen.id == 7 and frame.extras["Eem"].id == 7
+    assert frame.centroid == (9.0, 9.0, 4.0)
+    assert frame.lumen.centroid == (9.0, 9.0, 4.0)
+    assert all(p.z == 4.0 for p in frame.lumen.points)
+    assert all(p.z == 4.0 for p in frame.extras["Eem"].points)
+    assert frame.reference_point.z == 4.0
+
+
+# --- geometry frame-index bookkeeping (ported from geometry.rs) ------------
+
+def _meta_frame(fid, original_frame, z, with_ref=False):
+    from multimodars_tpu.models.frame import PyFrame
+
+    lumen = PyContour(fid, original_frame, [], (0.0, 0.0, z), None, None, "Lumen")
+    ref = (
+        PyContourPoint(original_frame, 2, 1.0, 3.0, 2.0, False)
+        if with_ref
+        else None
+    )
+    return PyFrame(fid, (1.0, 1.0, z), lumen, {}, ref)
+
+
+def test_geometry_idx_and_ensure_proximal_at_zero():
+    """Parity: geometry.rs test_geometry_idx_and_ensure — proximal end is
+    the max-z frame; ensure_proximal_at_position_zero reverses frames and
+    renumbers z while the reference frame keeps its original_frame."""
+    from multimodars_tpu.models.geometry import PyGeometry
+
+    geom = PyGeometry(
+        [
+            _meta_frame(0, 621, 0.0),
+            _meta_frame(1, 678, 1.0, with_ref=True),
+            _meta_frame(2, 717, 2.0),
+        ],
+        "test",
+    )
+    prox = geom.find_proximal_end_idx()
+    ref = geom.find_ref_frame_idx()
+    assert prox == 2 and geom.frames[prox].lumen.original_frame == 717
+    assert geom.frames[prox].centroid[2] == 2.0
+    assert ref == 1 and geom.frames[ref].lumen.original_frame == 678
+    assert geom.frames[ref].centroid[2] == 1.0
+
+    geom.ensure_proximal_at_position_zero()
+    prox = geom.find_proximal_end_idx()
+    ref = geom.find_ref_frame_idx()
+    assert prox == 0 and geom.frames[prox].lumen.original_frame == 717
+    assert geom.frames[prox].centroid[2] == 0.0
+    assert ref == 1 and geom.frames[ref].lumen.original_frame == 678
+    assert geom.frames[ref].centroid[2] == 1.0
+
+
+def test_reorder_geometry_by_records():
+    """Parity: geometry.rs test_reorder_geometry — frames permute into
+    record order (unknown record frames ignored), ids and z renumber in
+    place, and the reference point follows its frame."""
+    from multimodars_tpu.models.geometry import PyGeometry
+    from multimodars_tpu.models.record import PyRecord
+
+    geom = PyGeometry(
+        [
+            _meta_frame(0, 621, 0.0),
+            _meta_frame(1, 678, 1.0, with_ref=True),
+            _meta_frame(2, 717, 2.0),
+        ],
+        "test",
+    )
+    records = [
+        PyRecord(678, "S", 1.1, 2.3),
+        PyRecord(717, "S", 1.2, None),
+        PyRecord(621, "S", None, None),
+        PyRecord(999, "D", 1.5, 2.1),
+    ]
+    geom.reorder_frames(records, False)
+    assert [f.lumen.original_frame for f in geom.frames] == [678, 717, 621]
+    assert [f.id for f in geom.frames] == [0, 1, 2]
+    assert [f.lumen.id for f in geom.frames] == [0, 1, 2]
+    assert [f.centroid[2] for f in geom.frames] == [0.0, 1.0, 2.0]
+    assert geom.frames[0].reference_point is not None
+    assert geom.frames[0].reference_point.z == 0.0
