@@ -655,6 +655,42 @@ def count_within_radius_multi(
     return out
 
 
+def count_within_radius_pairs(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]], radius: float
+) -> List[np.ndarray]:
+    """Counts for several independent (a, b) pairs in one dispatch wave —
+    the per-pair generalisation of :func:`count_within_radius_multi`.
+    Device-eligible pairs enqueue all their work before any result is
+    pulled, so the tunnel round-trip latency is paid once per wave."""
+    dtype = config.compute_dtype
+    states: List[Optional[dict]] = []
+    casts: List[Tuple[np.ndarray, np.ndarray]] = []
+    for a, b in pairs:
+        a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
+        b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
+        casts.append((a64, b64))
+        if (
+            len(a64)
+            and len(b64)
+            and _count_device_eligible(a64, b64, radius)
+            and np.isfinite(a64).all()
+            and np.isfinite(b64).all()
+        ):
+            states.append(_count_device_dispatch(a64, b64, float(radius), dtype))
+        else:
+            states.append(None)
+    device_counts = _collect_device_counts([st for st in states if st is not None])
+    out: List[np.ndarray] = []
+    di = 0
+    for (a64, b64), st in zip(casts, states):
+        if st is not None:
+            out.append(device_counts[di])
+            di += 1
+        else:
+            out.append(count_within_radius(a64, b64, radius))
+    return out
+
+
 def count_within_radius(a: np.ndarray, b: np.ndarray, radius: float) -> np.ndarray:
     """For each row of a, the number of rows of b with squared distance
     <= radius^2 (inclusive, matching rstar's locate_within_distance)."""
@@ -1129,6 +1165,18 @@ def final_reclassification(
     return tuple(buckets)
 
 
+def reassign_mask_from_counts(
+    ref_counts: np.ndarray, self_raw: np.ndarray, min_neigbor_ratio: float
+) -> np.ndarray:
+    """Density-ratio decision of the outlier absorption, given the two
+    neighbour counts (self_raw includes the point itself)."""
+    self_counts = np.maximum(self_raw - 1, 0)
+    total = ref_counts + self_counts
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.where(total > 0, ref_counts / np.maximum(total, 1), 0.0)
+    return (total > 0) & (ratio >= min_neigbor_ratio)
+
+
 def outlier_reassign_mask(
     cleanup_arr: np.ndarray,
     ref_arr: np.ndarray,
@@ -1142,11 +1190,7 @@ def outlier_reassign_mask(
     ref_counts, self_raw = count_within_radius_multi(
         cleanup_arr, [ref_arr, cleanup_arr], neighborhood_radius
     )
-    self_counts = np.maximum(self_raw - 1, 0)
-    total = ref_counts + self_counts
-    with np.errstate(invalid="ignore", divide="ignore"):
-        ratio = np.where(total > 0, ref_counts / np.maximum(total, 1), 0.0)
-    return (total > 0) & (ratio >= min_neigbor_ratio)
+    return reassign_mask_from_counts(ref_counts, self_raw, min_neigbor_ratio)
 
 
 def clean_outlier_points(

@@ -22,7 +22,9 @@ from .kernels import (
     centerline_bounded_mask,
     cl_region_split_masks,
     occlusion_remove_mask,
-    outlier_reassign_mask,
+    count_within_radius,
+    count_within_radius_pairs,
+    reassign_mask_from_counts,
     reclassify_labels,
 )
 from .mesh import Mesh
@@ -141,16 +143,33 @@ def label_geometry(
         lca_mask &= ~lca_removed
 
     # density-based island absorption: LCA vs the aorta complement, then
-    # RCA vs the grown complement (labeling.py's clean_outlier sequence)
+    # RCA vs the grown complement (labeling.py's clean_outlier sequence).
+    # aorta_grown = aorta | moved_lca is a disjoint union, so the RCA pass's
+    # reference count decomposes as count(rca, aorta) + count(rca, moved) —
+    # all four big counts dispatch in ONE device wave (one tunnel round-trip)
+    # and only the small moved-set count runs afterwards
     aorta_mask = ~(rca_mask | lca_mask)
     lca_idx = np.nonzero(lca_mask)[0]
-    move = outlier_reassign_mask(verts[lca_idx], verts[aorta_mask], 2.0, 0.4)
+    rca_idx = np.nonzero(rca_mask)[0]
+    lca_pts = verts[lca_idx]
+    rca_pts = verts[rca_idx]
+    aorta_pts = verts[aorta_mask]
+    lca_ref, lca_self, rca_ref_aorta, rca_self = count_within_radius_pairs(
+        [
+            (lca_pts, aorta_pts),
+            (lca_pts, lca_pts),
+            (rca_pts, aorta_pts),
+            (rca_pts, rca_pts),
+        ],
+        2.0,
+    )
+    move = reassign_mask_from_counts(lca_ref, lca_self, 0.4)
     lca_clean = lca_mask.copy()
     lca_clean[lca_idx[move]] = False
-    aorta_grown = aorta_mask | (lca_mask & ~lca_clean)
+    moved_pts = lca_pts[move]
 
-    rca_idx = np.nonzero(rca_mask)[0]
-    move = outlier_reassign_mask(verts[rca_idx], verts[aorta_grown], 2.0, 0.4)
+    rca_ref = rca_ref_aorta + count_within_radius(rca_pts, moved_pts, 2.0)
+    move = reassign_mask_from_counts(rca_ref, rca_self, 0.4)
     rca_clean = rca_mask.copy()
     rca_clean[rca_idx[move]] = False
     print(

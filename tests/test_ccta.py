@@ -870,3 +870,60 @@ class TestCenterlineBoundedSimpleGeometry:
         assert sorted(out) == sorted(inside)
         for p in outside:
             assert p not in out
+
+
+class TestBatchedIslandAbsorption:
+    """The one-wave decomposition used in labeling (count(rca, aorta|moved)
+    = count(rca, aorta) + count(rca, moved), disjoint union) must be
+    bit-identical to the sequential two-pass outlier absorption."""
+
+    def test_pairs_match_individual_counts(self):
+        from multimodars_tpu.ccta.kernels import (
+            count_within_radius,
+            count_within_radius_pairs,
+        )
+
+        rng = np.random.default_rng(5)
+        a = rng.uniform(-3, 3, (400, 3))
+        b = rng.uniform(-3, 3, (300, 3))
+        c = rng.uniform(-3, 3, (250, 3))
+        got = count_within_radius_pairs([(a, b), (a, a), (c, b), (c, c)], 1.5)
+        for g, (x, y) in zip(got, [(a, b), (a, a), (c, b), (c, c)]):
+            np.testing.assert_array_equal(g, count_within_radius(x, y, 1.5))
+
+    def test_decomposed_second_pass_equals_sequential(self):
+        from multimodars_tpu.ccta.kernels import (
+            count_within_radius,
+            count_within_radius_pairs,
+            outlier_reassign_mask,
+            reassign_mask_from_counts,
+        )
+
+        rng = np.random.default_rng(9)
+        verts = rng.uniform(-5, 5, (900, 3))
+        rca_mask = np.zeros(len(verts), dtype=bool)
+        lca_mask = np.zeros(len(verts), dtype=bool)
+        rca_mask[rng.choice(len(verts), 200, replace=False)] = True
+        lca_mask[np.nonzero(~rca_mask)[0][:250]] = True
+        aorta_mask = ~(rca_mask | lca_mask)
+        lca_pts, rca_pts = verts[lca_mask], verts[rca_mask]
+        aorta_pts = verts[aorta_mask]
+
+        # sequential reference: two outlier_reassign_mask passes
+        move_lca_seq = outlier_reassign_mask(lca_pts, aorta_pts, 2.0, 0.4)
+        grown = np.concatenate([aorta_pts, lca_pts[move_lca_seq]])
+        move_rca_seq = outlier_reassign_mask(rca_pts, grown, 2.0, 0.4)
+
+        # batched decomposition (labeling.py island absorption)
+        lca_ref, lca_self, rca_ref_aorta, rca_self = count_within_radius_pairs(
+            [(lca_pts, aorta_pts), (lca_pts, lca_pts),
+             (rca_pts, aorta_pts), (rca_pts, rca_pts)],
+            2.0,
+        )
+        move_lca = reassign_mask_from_counts(lca_ref, lca_self, 0.4)
+        moved = lca_pts[move_lca]
+        rca_ref = rca_ref_aorta + count_within_radius(rca_pts, moved, 2.0)
+        move_rca = reassign_mask_from_counts(rca_ref, rca_self, 0.4)
+
+        np.testing.assert_array_equal(move_lca, move_lca_seq)
+        np.testing.assert_array_equal(move_rca, move_rca_seq)
