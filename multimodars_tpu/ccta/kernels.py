@@ -628,31 +628,7 @@ def count_within_radius_multi(
     device-eligible targets enqueue all their work before any result is
     pulled, so the tunnel round-trip latency is paid once per wave instead
     of once per target."""
-    a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
-    dtype = config.compute_dtype
-    states: List[Optional[dict]] = []
-    for b in targets:
-        b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
-        if (
-            len(a64)
-            and len(b64)
-            and _count_device_eligible(a64, b64, radius)
-            and np.isfinite(a64).all()
-            and np.isfinite(b64).all()
-        ):
-            states.append(_count_device_dispatch(a64, b64, float(radius), dtype))
-        else:
-            states.append(None)
-    device_counts = _collect_device_counts([st for st in states if st is not None])
-    out: List[np.ndarray] = []
-    di = 0
-    for b, st in zip(targets, states):
-        if st is not None:
-            out.append(device_counts[di])
-            di += 1
-        else:
-            out.append(count_within_radius(a, b, radius))
-    return out
+    return count_within_radius_pairs([(a, b) for b in targets], radius)
 
 
 def count_within_radius_pairs(
@@ -1166,7 +1142,7 @@ def final_reclassification(
 
 
 def reassign_mask_from_counts(
-    ref_counts: np.ndarray, self_raw: np.ndarray, min_neigbor_ratio: float
+    ref_counts: np.ndarray, self_raw: np.ndarray, min_ratio: float
 ) -> np.ndarray:
     """Density-ratio decision of the outlier absorption, given the two
     neighbour counts (self_raw includes the point itself)."""
@@ -1174,7 +1150,7 @@ def reassign_mask_from_counts(
     total = ref_counts + self_counts
     with np.errstate(invalid="ignore", divide="ignore"):
         ratio = np.where(total > 0, ref_counts / np.maximum(total, 1), 0.0)
-    return (total > 0) & (ratio >= min_neigbor_ratio)
+    return (total > 0) & (ratio >= min_ratio)
 
 
 def outlier_reassign_mask(

@@ -22,7 +22,6 @@ from .kernels import (
     centerline_bounded_mask,
     cl_region_split_masks,
     occlusion_remove_mask,
-    count_within_radius,
     count_within_radius_pairs,
     reassign_mask_from_counts,
     reclassify_labels,
@@ -142,39 +141,26 @@ def label_geometry(
         )
         lca_mask &= ~lca_removed
 
-    # density-based island absorption: LCA vs the aorta complement, then
-    # RCA vs the grown complement (labeling.py's clean_outlier sequence).
-    # aorta_grown = aorta | moved_lca is a disjoint union, so the RCA pass's
-    # reference count decomposes as count(rca, aorta) + count(rca, moved) —
-    # all four big counts dispatch in ONE device wave (one tunnel round-trip)
-    # and only the small moved-set count runs afterwards
+    # density-based island absorption: LCA vs the aorta complement, both
+    # counts in one device wave (labeling.py's clean_outlier sequence).
+    # The reference also runs an RCA pass (its labeling.py:232-234), but its
+    # result only feeds an aorta set that final_reclassification's output
+    # immediately replaces — the reclassified labels are built from the
+    # UNCLEANED rca set (labeling.py:255-262) — so that pass is dead
+    # compute and is dropped here; the label array below matches the
+    # reference's observable output exactly.
     aorta_mask = ~(rca_mask | lca_mask)
     lca_idx = np.nonzero(lca_mask)[0]
-    rca_idx = np.nonzero(rca_mask)[0]
     lca_pts = verts[lca_idx]
-    rca_pts = verts[rca_idx]
     aorta_pts = verts[aorta_mask]
-    lca_ref, lca_self, rca_ref_aorta, rca_self = count_within_radius_pairs(
-        [
-            (lca_pts, aorta_pts),
-            (lca_pts, lca_pts),
-            (rca_pts, aorta_pts),
-            (rca_pts, rca_pts),
-        ],
-        2.0,
+    lca_ref, lca_self = count_within_radius_pairs(
+        [(lca_pts, aorta_pts), (lca_pts, lca_pts)], 2.0
     )
     move = reassign_mask_from_counts(lca_ref, lca_self, 0.4)
     lca_clean = lca_mask.copy()
     lca_clean[lca_idx[move]] = False
-    moved_pts = lca_pts[move]
-
-    rca_ref = rca_ref_aorta + count_within_radius(rca_pts, moved_pts, 2.0)
-    move = reassign_mask_from_counts(rca_ref, rca_self, 0.4)
-    rca_clean = rca_mask.copy()
-    rca_clean[rca_idx[move]] = False
     print(
         f"island absorption: LCA {int(lca_mask.sum())} -> {int(lca_clean.sum())}"
-        f" | RCA {int(rca_mask.sum())} -> {int(rca_clean.sum())}"
     )
 
     # adjacency reclassification over a single label array; assignment

@@ -740,12 +740,13 @@ class TestAxisBandedCountPlan:
         state = _count_device_dispatch(a, b, 4.0, jnp.float32)
         assert state["a_ord"] is None  # no reduction -> original plan
 
-    def test_default_floor_keeps_pipeline_scale_on_full_sweep(self):
+    def test_default_floor_keeps_pipeline_scale_on_full_sweep(self, monkeypatch):
         import jax.numpy as jnp
         from multimodars_tpu.ccta.kernels import _count_device_dispatch
 
         # at label's typical scale (<=60k x 60k, ~3.6e9 pairs) the plan's
         # host overhead loses to the overlapped full sweep: stay off
+        monkeypatch.delenv("MMTPU_CCTA_AXIS_BAND_MIN_PAIRS", raising=False)
         a, b = self._tube_clouds()
         state = _count_device_dispatch(a, b, 2.0, jnp.float32)
         assert state["a_ord"] is None
@@ -873,8 +874,9 @@ class TestCenterlineBoundedSimpleGeometry:
 
 
 class TestBatchedIslandAbsorption:
-    """The one-wave decomposition used in labeling (count(rca, aorta|moved)
-    = count(rca, aorta) + count(rca, moved), disjoint union) must be
+    """count_within_radius_pairs + reassign_mask_from_counts invariants:
+    the pair wave matches individual counts, and the additive disjoint-union
+    decomposition count(a, b|moved) = count(a, b) + count(a, moved) is
     bit-identical to the sequential two-pass outlier absorption."""
 
     def test_pairs_match_individual_counts(self):
