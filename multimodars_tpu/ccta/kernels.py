@@ -379,13 +379,56 @@ def _count_within_radius_grid(a64, b64, radius):
 
 def _count_rows_exact_host(a64: np.ndarray, b64: np.ndarray, r2: float) -> np.ndarray:
     """Exact f64 neighbour counts (gram matmul + exact recheck of
-    boundary-tolerance hits) for a typically-small row subset."""
+    boundary-tolerance hits) for a typically-small row subset.
+
+    Above ~2M raw pairs both sets are sorted along b's widest-spread axis
+    and each a-chunk grams only the b window it can reach: any b outside
+    [min_a - r - margin, max_a + r + margin] on that axis exceeds r along
+    a single coordinate, so exclusion is exact (the margin covers the one
+    rounding of ``min_a - r``; window membership compares unrounded f64)."""
+    n, m = len(a64), len(b64)
+    if n == 0 or m == 0:
+        return np.zeros(n, dtype=np.int64)
+    if n * m > 2_000_000:
+        r = math.sqrt(r2)
+        spread = b64.max(axis=0) - b64.min(axis=0)
+        ax = int(np.argmax(spread))
+        b_ord = np.argsort(b64[:, ax], kind="stable")
+        bs = b64[b_ord]
+        bz = np.ascontiguousarray(bs[:, ax])
+        a_ord = np.argsort(a64[:, ax], kind="stable")
+        a_sorted = a64[a_ord]
+        az = a_sorted[:, ax]
+        maxabs = max(float(np.abs(az).max()), float(np.abs(bz).max()))
+        margin = 1e-9 * (maxabs + r) + 1e-300
+        out_sorted = np.empty(n, dtype=np.int64)
+        # small chunks keep each window narrow even when the flagged rows
+        # scatter across the whole axis (797 scattered rows in 256-row
+        # chunks each spanned ~1/3 of the axis; 32-row chunks span ~4%)
+        chunk = 32
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            lo = int(np.searchsorted(bz, az[s] - r - margin, side="left"))
+            hi = int(np.searchsorted(bz, az[e - 1] + r + margin, side="right"))
+            out_sorted[s:e] = (
+                _count_rows_exact_dense(a_sorted[s:e], bs[lo:hi], r2)
+                if hi > lo
+                else 0
+            )
+        out = np.empty(n, dtype=np.int64)
+        out[a_ord] = out_sorted
+        return out
+    return _count_rows_exact_dense(a64, b64, r2)
+
+
+def _count_rows_exact_dense(a64: np.ndarray, b64: np.ndarray, r2: float) -> np.ndarray:
+    n, m = len(a64), len(b64)
     sb = (b64 * b64).sum(axis=1)
     bT = np.ascontiguousarray(b64.T)
-    out = np.empty(len(a64), dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
     tol = 1e-9 * max(r2, 1.0)
-    chunk = max(1, min(len(a64), 4_000_000 // max(len(b64), 1) + 1))
-    for start in range(0, len(a64), chunk):
+    chunk = max(1, min(n, 4_000_000 // max(m, 1) + 1))
+    for start in range(0, n, chunk):
         blk = a64[start : start + chunk]
         d2 = (blk * blk).sum(axis=1)[:, None] + sb[None, :] - 2.0 * (blk @ bT)
         near = np.abs(d2 - r2) < tol
