@@ -212,14 +212,22 @@ def _min_sqdist_host(a64: np.ndarray, b64: np.ndarray) -> Tuple[np.ndarray, np.n
     with near-tie exact refinement otherwise)."""
     if len(b64) <= 128:
         # column sweep: temporaries stay [N]-sized (cache-resident),
-        # strict < keeps the first j like argmin
+        # strict < keeps the first j like argmin; all work lands in two
+        # preallocated buffers so no iteration faults fresh pages
         ax, ay, az = a64[:, 0], a64[:, 1], a64[:, 2]
         best = np.full(len(a64), np.inf)
         args = np.zeros(len(a64), dtype=np.int64)
+        d = np.empty(len(a64))
+        t = np.empty(len(a64))
         for j in range(len(b64)):
-            d = (ax - b64[j, 0]) ** 2
-            d += (ay - b64[j, 1]) ** 2
-            d += (az - b64[j, 2]) ** 2
+            np.subtract(ax, b64[j, 0], out=d)
+            np.multiply(d, d, out=d)
+            np.subtract(ay, b64[j, 1], out=t)
+            np.multiply(t, t, out=t)
+            d += t
+            np.subtract(az, b64[j, 2], out=t)
+            np.multiply(t, t, out=t)
+            d += t
             upd = d < best
             args[upd] = j
             best[upd] = d[upd]
@@ -252,10 +260,19 @@ def _min_sqdist_host(a64: np.ndarray, b64: np.ndarray) -> Tuple[np.ndarray, np.n
                     + sb[None, :]
                     - 2.0 * (sub @ bT)
                 )
-                # exact recompute of candidate columns near the min
-                jj = np.argsort(d2, axis=1, kind="stable")[:, :4]
+                # 4 smallest candidate columns in ascending (value, column)
+                # order — identical to stable argsort's first 4 (argmin is
+                # first-wins on ties) but O(M) per pass instead of a full
+                # row sort, which dominated on tie-heavy lattice meshes
+                k = min(4, d2.shape[1])
+                jj = np.empty((len(rows), k), dtype=np.int64)
+                rr = np.arange(len(rows))
+                for c in range(k):
+                    jj[:, c] = d2.argmin(axis=1)
+                    if c + 1 < k:
+                        d2[rr, jj[:, c]] = np.inf
                 exact = ((sub[:, None, :] - b64[jj]) ** 2).sum(-1)
-                am[rows] = jj[np.arange(len(rows)), exact.argmin(axis=1)]
+                am[rows] = jj[rr, exact.argmin(axis=1)]
         args[start : start + chunk] = am
     mins = ((a64 - b64[args]) ** 2).sum(axis=1)
     return mins, args

@@ -929,3 +929,32 @@ class TestBatchedIslandAbsorption:
 
         np.testing.assert_array_equal(move_lca, move_lca_seq)
         np.testing.assert_array_equal(move_rca, move_rca_seq)
+
+
+class TestMinSqdistTieParity:
+    """min_sqdist must resolve equal distances to the FIRST b index (the
+    reference's sequential strict-< scan), including on tie-heavy lattice
+    clouds that exercise the gram path's candidate re-resolution."""
+
+    def test_lattice_first_wins(self):
+        from multimodars_tpu.ccta.kernels import _min_sqdist_host
+
+        rng = np.random.default_rng(2)
+        g = np.stack(
+            np.meshgrid(np.arange(12), np.arange(12), np.arange(10)), -1
+        ).reshape(-1, 3).astype(float)
+        a = g[rng.choice(len(g), 300, replace=False)] + 0.5  # centers: 8-way ties
+        mins, args = _min_sqdist_host(a, g)
+        # naive first-wins reference
+        d2 = ((a[:, None, :] - g[None, :, :]) ** 2).sum(-1)
+        np.testing.assert_array_equal(args, d2.argmin(axis=1))
+        np.testing.assert_allclose(mins, d2.min(axis=1), rtol=0, atol=1e-12)
+
+    def test_small_b_column_sweep_first_wins(self):
+        from multimodars_tpu.ccta.kernels import _min_sqdist_host
+
+        a = np.array([[0.5, 0.0, 0.0], [2.0, 0.0, 0.0]])
+        b = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [3.0, 0.0, 0.0]])
+        mins, args = _min_sqdist_host(a, b)
+        np.testing.assert_array_equal(args, [0, 1])  # 0.5 ties 0-vs-1 -> 0
+        np.testing.assert_allclose(mins, [0.25, 1.0])
