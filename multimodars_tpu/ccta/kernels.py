@@ -120,6 +120,33 @@ def _count_band_block(block, b_arr, r2lo, r2hi, ch):
     return jnp.stack([certain, near])
 
 
+@partial(jax.jit, static_argnames=("ch", "w"))
+def _count_band_window_block(block, b_full, lo, r2lo, r2hi, ch, w):
+    """Axis-windowed variant of :func:`_count_band_block`: ``b_full`` is the
+    device-resident axis-sorted b set (uploaded once per plan) and each
+    a-chunk sweeps only the ``w``-column window starting at ``lo`` — one
+    executable for every chunk because ``w`` is static.  Real points that
+    fall inside the fixed-width window but outside the chunk's true axis
+    band are provably beyond the near-band (the dispatch margin exceeds
+    3*band/(2r)), so they contribute nothing; dynamic_slice's clamping at
+    the array ends only widens the window, which is harmless for the same
+    reason."""
+    win = lax.dynamic_slice(b_full, (lo, 0), (w, 3))
+    bc = win.reshape(-1, ch, 3)
+
+    def step(carry, bi):
+        d2 = ((block[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
+        c, nr = carry
+        return (
+            c + (d2 <= r2lo).sum(axis=1, dtype=jnp.int32),
+            nr + ((d2 > r2lo) & (d2 <= r2hi)).sum(axis=1, dtype=jnp.int32),
+        ), None
+
+    z = jnp.zeros(block.shape[0], jnp.int32)
+    (certain, near), _ = lax.scan(step, (z, z), bc)
+    return jnp.stack([certain, near])
+
+
 # Above this many pairwise evaluations min_sqdist runs on the device
 # (bucket-padded shapes keep the jit cache small; winning distances are
 # recomputed exactly in f64 on the host).  Below it, the BLAS/gram and
@@ -472,16 +499,16 @@ def _count_device_dispatch(a64, b64, radius, dtype):
     """Dispatch phase of the banded device neighbour count: enqueue every
     chunk's transfer + kernel, return the collect state.
 
-    Axis-banded prefilter (the R-tree spirit of label_coronary.rs on the
+    Axis-windowed prefilter (the R-tree spirit of label_coronary.rs on the
     device path): both sets are sorted along the widest-spread axis of b;
-    a consecutive a-chunk then spans a narrow window, and only b rows whose
-    axis coordinate falls within window +/- radius (+ a rigorous centering-
-    rounding margin) can contribute — everything outside already exceeds
-    the radius along that single axis in exact arithmetic, so the final
-    counts are identical to the unfiltered sweep.  On vessel-like meshes
-    this cuts the evaluated pair space ~5-30x.  Engages only when the
-    estimated reduction is at least 2x; otherwise the original shared-b
-    full sweep runs."""
+    the sorted b uploads ONCE, and each consecutive a-chunk sweeps only the
+    fixed-width device window (lax.dynamic_slice) covering its axis band —
+    one executable for every chunk.  Real points inside the fixed window
+    but outside a chunk's true band sit beyond the near-band by the margin
+    construction (margin > 3*band/(2r)), so counts are identical to the
+    unfiltered sweep.  On vessel-like meshes this cuts the evaluated pair
+    space ~3-20x; engages when the padded-window estimate shows >=1.5x
+    reduction (MMTPU_CCTA_AXIS_BAND=0 disables)."""
     r2 = radius * radius
     # center to minimise the magnitude entering the low-precision square
     mid = 0.5 * (
@@ -498,18 +525,15 @@ def _count_device_dispatch(a64, b64, radius, dtype):
     r2lo = jnp.asarray(r2 - band, dtype)
     r2hi = jnp.asarray(r2 + band, dtype)
 
-    # --- axis-banded plan ---------------------------------------------------
+    # --- axis-windowed plan --------------------------------------------------
     a_ord = None
     plan = None
     banded_enabled = os.environ.get("MMTPU_CCTA_AXIS_BAND", "1") != "0"
-    # absolute floor: below ~1e10 raw pairs the plan's host-side cost (axis
-    # sorts + per-chunk pad/upload) exceeds the device time it saves — the
-    # multi-target dispatch wave already overlaps device compute (measured
-    # on label's 12k-60k point sets: banded ~6% slower; at 160k x 160k it
-    # is ~25% faster)
-    min_pairs = float(
-        os.environ.get("MMTPU_CCTA_AXIS_BAND_MIN_PAIRS", 1e10)
-    )
+    # absolute floor: below ~1e10 raw pairs the plan's many smaller kernel
+    # launches lose to the single overlapped full-sweep wave (measured on
+    # label's 50k x 60k sets: windowed ~35% slower; at 160k x 160k it is
+    # ~25% faster)
+    min_pairs = float(os.environ.get("MMTPU_CCTA_AXIS_BAND_MIN_PAIRS", 1e10))
     if banded_enabled and len(a64) * len(b64) >= min_pairs and len(a64) and len(b64):
         spread = bc.max(axis=0) - bc.min(axis=0)
         ax = int(np.argmax(spread))
@@ -518,52 +542,54 @@ def _count_device_dispatch(a64, b64, radius, dtype):
         bz = np.ascontiguousarray(bs[:, ax])
         a_ord_c = np.argsort(ac[:, ax], kind="stable")
         a_sorted = ac[a_ord_c]
-        # adaptive chunk: keep at least ~8 chunks so each spans a narrow
-        # axis window even on small clouds; dispatch count stays bounded
-        # by the 1024-row floor
+        # adaptive chunk: at least ~8 chunks so each spans a narrow axis
+        # window even on small clouds; a 1024-row floor bounds dispatches
         chunk = _COUNT_A_CHUNK_BANDED
         while chunk > 1024 and chunk * 8 > len(a64):
             chunk //= 2
         starts = np.arange(0, len(a64), chunk)
         ends = np.minimum(starts + chunk, len(a64))
-        # rigorous margin for the f64 centering rounding of both sides
-        margin = 64.0 * np.finfo(np.float64).eps * (maxc + radius)
+        # margin: out-of-band points inside the fixed window must sit above
+        # the near-band (needs > 3*band/(2r) of axis slack; factor 4 used)
+        # plus the f64 centering/endpoint rounding
+        margin = (
+            2.0 * band / max(radius, 1e-30)
+            + 64.0 * np.finfo(np.float64).eps * (maxc + radius)
+        )
         z0 = a_sorted[starts, ax] - radius - margin
         z1 = a_sorted[ends - 1, ax] + radius + margin
         los = np.searchsorted(bz, z0, side="left")
         his = np.searchsorted(bz, z1, side="right")
-        # device cost is over the padded shapes, so estimate with those,
-        # not the raw window sums
-        n_pads = np.array([_pow2_at_least(int(n), 1024) for n in ends - starts])
-        m_pads = np.array([_pow2_at_least(max(int(m), 1), 1024) for m in his - los])
-        banded_pairs = int((n_pads * m_pads).sum())
-        full_pairs = len(a64) * _pow2_at_least(len(bc), 1024)
-        if banded_pairs * 2 <= full_pairs:
+        m_pad_full = _pow2_at_least(len(bc), 1024)
+        w = min(_pow2_at_least(max(int((his - los).max()), 1), 1024), m_pad_full)
+        n_pad = _pow2_at_least(int((ends - starts).max()), 1024)
+        banded_pairs = len(starts) * n_pad * w
+        full_pairs = len(a64) * m_pad_full
+        if banded_pairs * 3 <= full_pairs * 2:
             a_ord = a_ord_c
-            plan = (a_sorted, bs, starts, ends, los, his)
+            plan = (a_sorted, bs, starts, ends, los, n_pad, w, m_pad_full)
 
     handles = []
     if plan is not None:
-        a_sorted, bs, starts, ends, los, his = plan
-        # per-chunk pow2 pads: window sizes bucket onto a handful of
-        # distinct executable shapes, amortised by the persistent cache
-        for s, e, lo, hi in zip(starts, ends, los, his):
+        a_sorted, bs, starts, ends, los, n_pad, w, m_pad_full = plan
+        # the axis-sorted b uploads once; every chunk shares one executable
+        # (static n_pad / w / ch)
+        b_pad = np.full((m_pad_full, 3), _FAR)
+        b_pad[: len(bs)] = bs
+        b_d = to_device(b_pad, dtype)
+        ch = min(_COUNT_B_SLICE, w)
+        for s, e, lo in zip(starts, ends, los):
             n = int(e - s)
-            n_pad = _pow2_at_least(n, 1024)
             blk = a_sorted[s:e]
             if n < n_pad:
                 pad = np.full((n_pad, 3), _FAR)
                 pad[:n] = blk
                 blk = pad
-            m_pad = _pow2_at_least(max(int(hi - lo), 1), 1024)
-            b_pad = np.full((m_pad, 3), _FAR)
-            b_pad[: int(hi - lo)] = bs[lo:hi]
-            ch = min(_COUNT_B_SLICE, m_pad)
             handles.append(
                 (int(s), n, n_pad,
-                 _count_band_block(
-                     to_device(blk, dtype), to_device(b_pad, dtype),
-                     r2lo, r2hi, ch,
+                 _count_band_window_block(
+                     to_device(blk, dtype), b_d, jnp.asarray(int(lo)),
+                     r2lo, r2hi, ch, w,
                  ))
             )
         return dict(

@@ -724,7 +724,7 @@ class TestAxisBandedCountPlan:
         monkeypatch.setenv("MMTPU_CCTA_AXIS_BAND_MIN_PAIRS", "0")
         a, b = self._tube_clouds()
         state = _count_device_dispatch(a, b, 2.0, jnp.float32)
-        assert state["a_ord"] is not None  # banded plan engaged
+        assert state["a_ord"] is not None  # windowed plan engaged
         dev = _count_device_collect(state)
         exact = _count_rows_exact_host(a, b, 4.0)
         np.testing.assert_array_equal(dev, exact)
@@ -738,18 +738,44 @@ class TestAxisBandedCountPlan:
         a = rng.uniform(-5, 5, (3000, 3))
         b = rng.uniform(-5, 5, (3000, 3))
         state = _count_device_dispatch(a, b, 4.0, jnp.float32)
-        assert state["a_ord"] is None  # no reduction -> original plan
+        assert state["a_ord"] is None  # no reduction -> full-sweep plan
 
-    def test_default_floor_keeps_pipeline_scale_on_full_sweep(self, monkeypatch):
+    def test_env_kill_switch_disables_plan(self, monkeypatch):
         import jax.numpy as jnp
         from multimodars_tpu.ccta.kernels import _count_device_dispatch
 
-        # at label's typical scale (<=60k x 60k, ~3.6e9 pairs) the plan's
-        # host overhead loses to the overlapped full sweep: stay off
-        monkeypatch.delenv("MMTPU_CCTA_AXIS_BAND_MIN_PAIRS", raising=False)
+        monkeypatch.setenv("MMTPU_CCTA_AXIS_BAND", "0")
         a, b = self._tube_clouds()
         state = _count_device_dispatch(a, b, 2.0, jnp.float32)
         assert state["a_ord"] is None
+
+    def test_boundary_pairs_at_exact_radius_survive_windowing(self):
+        """Pairs exactly AT the radius along the sort axis sit on the
+        window boundary — the margin must keep them inside."""
+        import jax.numpy as jnp
+        from multimodars_tpu.ccta.kernels import (
+            _count_device_dispatch,
+            _count_device_collect,
+            _count_rows_exact_host,
+        )
+
+        import pytest  # noqa: F401
+        # long line of points spaced exactly radius apart: every neighbour
+        # pair is exactly at distance r
+        n = 4096
+        a = np.stack([np.arange(n, dtype=float) * 2.0,
+                      np.zeros(n), np.zeros(n)], -1)
+        import os
+        os.environ["MMTPU_CCTA_AXIS_BAND_MIN_PAIRS"] = "0"
+        try:
+            state = _count_device_dispatch(a, a, 2.0, jnp.float32)
+        finally:
+            del os.environ["MMTPU_CCTA_AXIS_BAND_MIN_PAIRS"]
+        assert state["a_ord"] is not None
+        dev = _count_device_collect(state)
+        exact = _count_rows_exact_host(a, a, 4.0)
+        np.testing.assert_array_equal(dev, exact)
+        assert (exact[1:-1] == 3).all()  # self + both exact-r neighbours
 
 
 class TestFixMeshWindingParity:
