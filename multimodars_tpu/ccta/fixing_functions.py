@@ -28,20 +28,32 @@ def manual_hole_fill(mesh: Mesh) -> Mesh:
     re-ordering pass is a no-op here — fan faces pair consecutive loop
     vertices directly, and the final ``fix_normals`` establishes a
     consistent orientation exactly as it would for any cyclic order."""
-    new_vertices = list(mesh.vertices)
-    new_faces = list(mesh.faces)
-
+    add_vertices = []
+    add_faces = []
+    next_idx = len(mesh.vertices)
     for loop in mesh.boundary_loops():
         n = len(loop)
         if n < 3:
             continue
-        centroid = mesh.vertices[loop].mean(axis=0)
-        centroid_idx = len(new_vertices)
-        new_vertices.append(centroid)
-        for i in range(n):
-            new_faces.append([loop[i], loop[(i + 1) % n], centroid_idx])
+        add_vertices.append(mesh.vertices[loop].mean(axis=0))
+        loop_arr = np.asarray(loop, dtype=np.int64)
+        add_faces.append(
+            np.stack(
+                [loop_arr, np.roll(loop_arr, -1), np.full(n, next_idx, np.int64)],
+                axis=1,
+            )
+        )
+        next_idx += 1
 
-    result = Mesh(np.array(new_vertices), np.array(new_faces, dtype=np.int64))
+    if add_vertices:
+        verts = np.vstack([mesh.vertices, np.array(add_vertices)])
+        faces = np.vstack(
+            [mesh.faces.astype(np.int64, copy=False), np.concatenate(add_faces)]
+        )
+    else:
+        verts = mesh.vertices.copy()
+        faces = np.array(mesh.faces, dtype=np.int64)
+    result = Mesh(verts, faces)
     result.fix_normals()
     return result
 

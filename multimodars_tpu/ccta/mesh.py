@@ -106,7 +106,10 @@ class Mesh:
                 ])
             else:
                 keys = np.zeros(0, dtype=np.int64)
-            order = np.argsort(keys, kind="stable")
+            # introsort, not stable: the cached order is only ever consulted
+            # for multiplicity-1 keys (boundary_edges), whose original
+            # positions are unique — equal-key order is never observed
+            order = np.argsort(keys)
             self._cache["edge_key_order"] = order
             self._cache["edge_keys_sorted"] = (keys[order], keys)
         return self._cache["edge_keys_sorted"]
