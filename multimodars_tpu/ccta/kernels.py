@@ -89,48 +89,30 @@ def _count_within_block(block, b_arr, r2):
     return (d2 <= r2).sum(axis=1)
 
 
-@partial(jax.jit, static_argnames=("ch",))
-def _count_band_block(block, b_arr, r2lo, r2hi, ch):
-    """Banded neighbour count: pairs certainly inside (d2 <= r2lo) and pairs
-    inside the uncertainty band (r2lo, r2hi] whose rows need an exact f64
-    recount on the host.  Stacked into one array so each chunk costs a
-    single device->host pull.
-
-    TPU mapping: b is swept in ``ch``-column slices under ``lax.scan`` so
-    the [N, ch] tile is the largest live intermediate — the unsliced
-    [N, M, 3] broadcast form materialised an [N, M] HBM temp (8-16 GB at
-    clinical sizes) and ran ~4x slower, HBM-bound.  d2 is the direct
-    difference form: the gram identity |a|^2+|b|^2-2ab measured only ~10%
-    faster here, and its f32 cancellation error (~96 maxc^2 eps) forces an
-    uncertainty band wide enough that regular-lattice meshes flag nearly
-    every row for the exact host recount — the diff form keeps the band at
-    the ~(24 r maxc + 10 r^2) eps rounding floor."""
-    bc = b_arr.reshape(-1, ch, 3)
-
-    def step(carry, bi):
-        d2 = ((block[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
-        c, nr = carry
-        return (
-            c + (d2 <= r2lo).sum(axis=1, dtype=jnp.int32),
-            nr + ((d2 > r2lo) & (d2 <= r2hi)).sum(axis=1, dtype=jnp.int32),
-        ), None
-
-    z = jnp.zeros(block.shape[0], jnp.int32)
-    (certain, near), _ = lax.scan(step, (z, z), bc)
-    return jnp.stack([certain, near])
-
-
 @partial(jax.jit, static_argnames=("ch", "w"))
 def _count_band_window_block(block, b_full, lo, r2lo, r2hi, ch, w):
-    """Axis-windowed variant of :func:`_count_band_block`: ``b_full`` is the
-    device-resident axis-sorted b set (uploaded once per plan) and each
-    a-chunk sweeps only the ``w``-column window starting at ``lo`` — one
-    executable for every chunk because ``w`` is static.  Real points that
-    fall inside the fixed-width window but outside the chunk's true axis
-    band are provably beyond the near-band (the dispatch margin exceeds
-    3*band/(2r)), so they contribute nothing; dynamic_slice's clamping at
-    the array ends only widens the window, which is harmless for the same
-    reason."""
+    """Banded neighbour count over a ``w``-column window of ``b_full``
+    starting at ``lo``: pairs certainly inside (d2 <= r2lo) and pairs in
+    the uncertainty band (r2lo, r2hi] whose rows need an exact f64 recount
+    on the host, stacked so each chunk costs a single device->host pull.
+    The full sweep is the lo=0, w=len(b) case.
+
+    TPU mapping: the window is swept in ``ch``-column slices under
+    ``lax.scan`` so the [N, ch] tile is the largest live intermediate —
+    the unsliced [N, M, 3] broadcast form materialised an [N, M] HBM temp
+    (8-16 GB at clinical sizes) and ran ~4x slower, HBM-bound.  d2 is the
+    direct difference form: the gram identity |a|^2+|b|^2-2ab measured
+    only ~10% faster here, and its f32 cancellation error (~96 maxc^2 eps)
+    forces an uncertainty band wide enough that regular-lattice meshes
+    flag nearly every row for the exact host recount — the diff form
+    keeps the band at the ~(24 r maxc + 10 r^2) eps rounding floor.
+
+    Windowing: ``w`` is static so every chunk of a plan shares one
+    executable.  Real points inside the fixed-width window but outside a
+    chunk's true axis band are provably beyond the near-band (the dispatch
+    margin exceeds 3*band/(2r)), so they contribute nothing;
+    dynamic_slice's clamping at the array ends only widens the window,
+    which is harmless for the same reason."""
     win = lax.dynamic_slice(b_full, (lo, 0), (w, 3))
     bc = win.reshape(-1, ch, 3)
 
@@ -616,7 +598,10 @@ def _count_device_dispatch(a64, b64, radius, dtype):
             blk = pad
         handles.append(
             (start, n, n_pad,
-             _count_band_block(to_device(blk, dtype), b_d, r2lo, r2hi, ch))
+             _count_band_window_block(
+                 to_device(blk, dtype), b_d, jnp.asarray(0),
+                 r2lo, r2hi, ch, m_pad,
+             ))
         )
     return dict(
         a64=a64, b64=b64, radius=radius, r2=r2, handles=handles, a_ord=None

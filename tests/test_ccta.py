@@ -749,7 +749,7 @@ class TestAxisBandedCountPlan:
         state = _count_device_dispatch(a, b, 2.0, jnp.float32)
         assert state["a_ord"] is None
 
-    def test_boundary_pairs_at_exact_radius_survive_windowing(self):
+    def test_boundary_pairs_at_exact_radius_survive_windowing(self, monkeypatch):
         """Pairs exactly AT the radius along the sort axis sit on the
         window boundary — the margin must keep them inside."""
         import jax.numpy as jnp
@@ -759,23 +759,31 @@ class TestAxisBandedCountPlan:
             _count_rows_exact_host,
         )
 
-        import pytest  # noqa: F401
         # long line of points spaced exactly radius apart: every neighbour
         # pair is exactly at distance r
         n = 4096
         a = np.stack([np.arange(n, dtype=float) * 2.0,
                       np.zeros(n), np.zeros(n)], -1)
-        import os
-        os.environ["MMTPU_CCTA_AXIS_BAND_MIN_PAIRS"] = "0"
-        try:
-            state = _count_device_dispatch(a, a, 2.0, jnp.float32)
-        finally:
-            del os.environ["MMTPU_CCTA_AXIS_BAND_MIN_PAIRS"]
+        monkeypatch.setenv("MMTPU_CCTA_AXIS_BAND_MIN_PAIRS", "0")
+        state = _count_device_dispatch(a, a, 2.0, jnp.float32)
         assert state["a_ord"] is not None
         dev = _count_device_collect(state)
         exact = _count_rows_exact_host(a, a, 4.0)
         np.testing.assert_array_equal(dev, exact)
         assert (exact[1:-1] == 3).all()  # self + both exact-r neighbours
+
+    def test_default_floor_keeps_pipeline_scale_on_full_sweep(self, monkeypatch):
+        """The default 1e10 raw-pair floor must keep label-scale counts
+        (~4e7 pairs here, ~3e9 in the pipeline) on the overlapped full
+        sweep, where the windowed plan's many small launches measured
+        ~35% slower."""
+        import jax.numpy as jnp
+        from multimodars_tpu.ccta.kernels import _count_device_dispatch
+
+        monkeypatch.delenv("MMTPU_CCTA_AXIS_BAND_MIN_PAIRS", raising=False)
+        a, b = self._tube_clouds()
+        state = _count_device_dispatch(a, b, 2.0, jnp.float32)
+        assert state["a_ord"] is None
 
 
 class TestFixMeshWindingParity:
