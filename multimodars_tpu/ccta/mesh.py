@@ -392,13 +392,17 @@ class Mesh:
         loops = self.boundary_loops()
         new_faces = []
         for loop in loops:
-            anchor = loop[0]
-            for i in range(1, len(loop) - 1):
-                new_faces.append([anchor, loop[i], loop[i + 1]])
-        if new_faces:
-            self.faces = np.concatenate(
-                [self.faces, np.asarray(new_faces, dtype=np.int64)], axis=0
+            if len(loop) < 3:
+                continue
+            la = np.asarray(loop, dtype=np.int64)
+            new_faces.append(
+                np.stack(
+                    [np.full(len(la) - 2, la[0], np.int64), la[1:-1], la[2:]],
+                    axis=1,
+                )
             )
+        if new_faces:
+            self.faces = np.concatenate([self.faces, *new_faces], axis=0)
             self._invalidate()
         return self.is_watertight
 
