@@ -1421,17 +1421,17 @@ def _grid_sweep_scaling(points: np.ndarray, reference: np.ndarray, cl_pos: np.nd
         pts_p, pmask = _pad_rows(np.ascontiguousarray(points), 2048)
         unit_p, _ = _pad_rows(np.ascontiguousarray(unit), 2048)
         ref_p, rmask = _pad_rows(np.ascontiguousarray(reference), 256)
-        costs = np.asarray(
-            _sweep_cost_table(
-                to_device(pts_p, dtype),
-                to_device(unit_p, dtype),
-                to_device(pmask),
-                to_device(ref_p, dtype),
-                to_device(rmask),
-                to_device(xs, dtype),
-            ),
-            dtype=np.float64,
+        # one batched pytree transfer: each device_put call pays a fixed
+        # dispatch cost over the tunneled backend, so six separate uploads
+        # cost ~6x one
+        np_dtype = np.dtype(dtype)
+        operands = jax.device_put(
+            (
+                pts_p.astype(np_dtype), unit_p.astype(np_dtype), pmask,
+                ref_p.astype(np_dtype), rmask, xs.astype(np_dtype),
+            )
         )
+        costs = np.asarray(_sweep_cost_table(*operands), dtype=np.float64)
         # certify the low-precision argmin: any candidate whose device cost
         # sits within the rounding band of the minimum is re-evaluated
         # exactly in f64; the true argmin is provably among them and the
