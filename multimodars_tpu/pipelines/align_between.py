@@ -9,15 +9,23 @@ a single frame slot and the reference cloud's global centroid as pivot.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import config
 from ..models.contour import downsample_contour_points
 from ..models.geometry import PyGeometry, PyGeometryPair
-from ..ops.rotation_search import multires_rotation_search
+from ..ops.rotation_search import (
+    _fast_ladder,
+    _multires_rotation_search_impl,
+    _prune_enabled,
+    multires_rotation_search,
+    plan_is_bruteforce,
+)
 from ..utils.device import to_device
 from ..utils.trace import trace
 
@@ -152,6 +160,146 @@ def dispatch_between_search(
         float(step_deg),
         float(range_deg),
         bool(bruteforce),
+    )
+    try:
+        best.copy_to_host_async()
+    except Exception:
+        pass
+    return best
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "step_deg", "range_deg", "bruteforce", "dtype_name", "fast", "prune",
+    ),
+)
+def _fused_full_between_impl(
+    ref1,
+    test1,
+    rmask1,
+    tmask1,
+    pivots_xy,
+    t0_xy,
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool,
+    dtype_name: str,
+    fast: bool = True,
+    prune: bool = True,
+):
+    """Both between-alignment stages of the full pipeline in ONE device
+    program — the chained equivalent of two sequential
+    :func:`dispatch_between_search` round-trips (entry.rs:206-277).
+
+    ``ref1``/``test1``: f64 ``[2, P, 2]`` raw (uncentered) stage-1 clouds —
+    slot 0 = (a, b+t0_ab), slot 1 = (c, d+t0_cd) — padded to a common
+    width with ``rmask1``/``tmask1`` validity masks.  ``pivots_xy``
+    ``[2, 2]`` holds the epilogue rotation pivots (a's and c's reference
+    centroids); ``t0_xy`` ``[2]`` is the stage-2 initial translation
+    (ca − cc, identical for both stage-2 slots because stage 1 leaves each
+    target's reference centroid exactly on its reference's).
+
+    Stage-2 clouds are composed on device in f64 with the exact host
+    epilogue arithmetic (``tx*c − ty*s + cx``, align_between.rs:95-145),
+    then cast to the compute dtype — so the search sees the same f32 bits
+    the host-built clouds would produce, and the returned grid angles match
+    the sequential orchestration except on exact cost ties.
+    Returns ``[r_ab, r_cd, r_ac, r_bd]``.
+    """
+    dtype = jnp.dtype(dtype_name)
+    f64 = ref1.dtype
+
+    def masked_mean(x, m):
+        w = m[..., None].astype(f64)
+        return (x * w).sum(axis=1, keepdims=True) / (
+            m.sum(axis=1).astype(f64)[:, None, None]
+        )
+
+    def centered(x, piv, m):
+        return ((x - piv) * m[..., None].astype(f64)).astype(dtype)
+
+    p1 = masked_mean(ref1, rmask1)
+    r1 = _multires_rotation_search_impl(
+        centered(test1, p1, tmask1),
+        centered(ref1, p1, rmask1),
+        tmask1,
+        rmask1,
+        step_deg,
+        range_deg,
+        bruteforce,
+        False,
+        fast=fast,
+        prune=prune,
+    )
+
+    # stage-1 epilogue applied to the target clouds: rotate (b+t0_ab) about
+    # ca and (d+t0_cd) about cc by the stage-1 winners, in f64
+    ang = r1.astype(f64)
+    c = jnp.cos(ang)[:, None]
+    s = jnp.sin(ang)[:, None]
+    piv = pivots_xy[:, None, :]
+    tx = test1[..., 0] - piv[..., 0]
+    ty = test1[..., 1] - piv[..., 1]
+    rotated = jnp.stack(
+        [tx * c - ty * s + piv[..., 0], tx * s + ty * c + piv[..., 1]],
+        axis=-1,
+    )  # slot 0 = b2, slot 1 = d2
+
+    # stage-2 slots: (ref=a, tgt=c+t0) and (ref=b2, tgt=d2+t0)
+    ref2 = jnp.stack([ref1[0], rotated[0]])
+    rmask2 = jnp.stack([rmask1[0], tmask1[0]])
+    test2 = jnp.stack([ref1[1] + t0_xy, rotated[1] + t0_xy])
+    tmask2 = jnp.stack([rmask1[1], tmask1[1]])
+    p2 = masked_mean(ref2, rmask2)
+    r2 = _multires_rotation_search_impl(
+        centered(test2, p2, tmask2),
+        centered(ref2, p2, rmask2),
+        tmask2,
+        rmask2,
+        step_deg,
+        range_deg,
+        bruteforce,
+        False,
+        fast=fast,
+        prune=prune,
+    )
+    return jnp.concatenate([r1, r2])
+
+
+def dispatch_fused_between(
+    clouds: List[Tuple[np.ndarray, np.ndarray]],
+    ca,
+    cc,
+    step_deg: float,
+    range_deg: float,
+):
+    """Enqueue the fused two-stage between search of the full pipeline.
+
+    ``clouds`` = [(cloud_a, cloud_b + t0_ab), (cloud_c, cloud_d + t0_cd)]
+    raw xy clouds; ``ca``/``cc`` the (x, y, z) reference centroids of a and
+    c.  Returns the device handle of ``[r_ab, r_cd, r_ac, r_bd]``.
+    """
+    P = max(arr.shape[0] for pair in clouds for arr in pair)
+    ref = np.zeros((2, P, 2))
+    test = np.zeros((2, P, 2))
+    rmask = np.zeros((2, P), dtype=bool)
+    tmask = np.zeros((2, P), dtype=bool)
+    for k, (reference_xy, target_xy) in enumerate(clouds):
+        m, n = reference_xy.shape[0], target_xy.shape[0]
+        ref[k, :m] = reference_xy
+        test[k, :n] = target_xy
+        rmask[k, :m] = True
+        tmask[k, :n] = True
+    pivots = np.array([[ca[0], ca[1]], [cc[0], cc[1]]])
+    t0 = np.array([ca[0] - cc[0], ca[1] - cc[1]])
+    step = float(step_deg)
+    rng = float(range_deg)
+    best = _fused_full_between_impl(
+        ref, test, rmask, tmask, pivots, t0, step, rng,
+        bool(plan_is_bruteforce(step, rng)),
+        jnp.dtype(config.compute_dtype).name,
+        fast=_fast_ladder(), prune=_prune_enabled(),
     )
     try:
         best.copy_to_host_async()

@@ -245,16 +245,17 @@ def full_processing(
         raise ValueError(f"Full processing requires exactly 4 geometries, got {len(geometries)}")
 
     # AB ‖ CD then AC ‖ BD: the reference's two concurrent scoped-thread
-    # stages (entry.rs:206-277) become two batched device searches.  Each
-    # search is dispatched from the post-finish coordinate tensors with the
-    # initial translation applied to the CLOUD only, so the object
-    # materialisation / geometry mutation / pair copies run inside the
-    # search round-trips instead of before them — same operations, same
-    # bits, reordered onto the tunnel latency.
+    # stages (entry.rs:206-277) become ONE fused device program — stage 2's
+    # clouds are rigid transforms of stage 1's (b/d rotated by the stage-1
+    # winners about a's/c's reference centroids), so the chain composes on
+    # device and the whole between phase costs a single tunnel round-trip.
+    # The object materialisation / geometry mutation / pair copies run
+    # inside that round-trip — same operations, same bits, reordered onto
+    # the tunnel latency.
     from .align_between import (
         apply_between_epilogue,
         build_pair,
-        dispatch_between_search,
+        dispatch_fused_between,
         extract_geometry_points,
         extract_stack_points,
     )
@@ -271,45 +272,53 @@ def full_processing(
         d_a.anomalous, d_b.anomalous, d_c.anomalous, d_d.anomalous,
     )
 
-    # build_pairs=False: pair_ab/pair_cd are built below, inside the
-    # stage-2 search round-trip
-    _, geoms1, preps1 = _between_stage_deferred(
-        [(d_a, d_b), (d_c, d_d)], step_deg, range_deg, sample_size, verbose,
-        build_pairs=False,
+    def _cloud(d):
+        lum = d.lumen_coords()
+        if lum is not None:
+            return extract_stack_points(lum, between_sample)
+        return extract_geometry_points(d.materialize(), between_sample)
+
+    ca = d_a.ref_centroid()
+    cb = d_b.ref_centroid()
+    cc = d_c.ref_centroid()
+    cd = d_d.ref_centroid()
+    t0_ab = tuple(ca[k] - cb[k] for k in range(3))
+    t0_cd = tuple(cc[k] - cd[k] for k in range(3))
+    cloud_a = _cloud(d_a)
+    cloud_b = _cloud(d_b) + np.array([t0_ab[0], t0_ab[1]])
+    cloud_c = _cloud(d_c)
+    cloud_d = _cloud(d_d) + np.array([t0_cd[0], t0_cd[1]])
+    handle = dispatch_fused_between(
+        [(cloud_a, cloud_b), (cloud_c, cloud_d)], ca, cc, step_deg, range_deg,
     )
-    (geom_a, geom_b), (geom_c, geom_d) = geoms1
 
-    # stage 2: a and c are untouched by stage 1 (only b/d mutate), so their
-    # stage-1 reference clouds are reused verbatim
-    preps2 = []
-    clouds2 = []
-    for A_g, B_g, cloud_ref in (
-        (geom_a, geom_c, preps1[0][2]),
-        (geom_b, geom_d, None),
-    ):
-        ca = A_g.frames[A_g.ref_or_proximal_idx()].centroid
-        cb = B_g.frames[B_g.ref_or_proximal_idx()].centroid
-        t0 = tuple(ca[k] - cb[k] for k in range(3))
-        if cloud_ref is None:
-            cloud_ref = extract_geometry_points(A_g, between_sample)
-        cloud_tgt = (
-            extract_geometry_points(B_g, between_sample)
-            + np.array([t0[0], t0[1]])
-        )
-        preps2.append((ca, t0))
-        clouds2.append((cloud_ref, cloud_tgt))
-    handle2 = dispatch_between_search(clouds2, step_deg, range_deg)
+    # materialise the geometry objects while the fused search flies
+    geom_a = d_a.materialize()
+    geom_b = d_b.materialize()
+    geom_c = d_c.materialize()
+    geom_d = d_d.materialize()
 
-    # build the stage-1 pairs while the stage-2 search flies
+    r_ab, r_cd, r_ac, r_bd = np.asarray(handle, dtype=np.float64)
+
+    # stage-1 epilogues (b onto a, d onto c), then the stage-1 pairs
+    apply_between_epilogue(
+        geom_a, geom_b, float(r_ab), ca, t0_ab, range_deg, step_deg, verbose,
+        pre_translated=False,
+    )
+    apply_between_epilogue(
+        geom_c, geom_d, float(r_cd), cc, t0_cd, range_deg, step_deg, verbose,
+        pre_translated=False,
+    )
     pair_ab = build_pair(geom_a, geom_b)
     pair_cd = build_pair(geom_c, geom_d)
 
-    rot2 = np.asarray(handle2, dtype=np.float64)
-    for (A_g, B_g), (ca, t0), r in zip(
-        ((geom_a, geom_c), (geom_b, geom_d)), preps2, rot2
-    ):
+    # stage-2 epilogues (c onto a, d onto b) with host-exact translations
+    for A_g, B_g, r in ((geom_a, geom_c, r_ac), (geom_b, geom_d, r_bd)):
+        ca2 = A_g.frames[A_g.ref_or_proximal_idx()].centroid
+        cb2 = B_g.frames[B_g.ref_or_proximal_idx()].centroid
+        t0 = tuple(ca2[k] - cb2[k] for k in range(3))
         apply_between_epilogue(
-            A_g, B_g, float(r), ca, t0, range_deg, step_deg, verbose,
+            A_g, B_g, float(r), ca2, t0, range_deg, step_deg, verbose,
             pre_translated=False,
         )
     pair_ac = build_pair(geom_a, geom_c)
