@@ -250,18 +250,21 @@ def _wall_tensor(tg: TensorGeometry, anomalous: bool) -> None:
     tg.pulm_th["Wall"] = tg.pulm_th[src_kind].copy()
 
     aortic_frames = np.nonzero(~np.isnan(tg.aortic_th[src_kind]))[0]
-    for i in aortic_frames:
-        source = tg.frame_view(int(i))
-        contour = source.lumen if src_kind == "Lumen" else source.extras[src_kind]
-        composite = wall.create_aortic_wall(contour)
-        if composite.n_points != P:
+    if aortic_frames.size:
+        # one vectorised pass over every thickness-bearing frame; the
+        # composite's frame/point/aortic index arrays equal the source's,
+        # already copied above
+        batch = wall.aortic_walls_batch(
+            src[aortic_frames],
+            tg.pt_index[src_kind][aortic_frames],
+            tg.aortic_th[src_kind][aortic_frames],
+        )
+        if batch is None:
             raise _TensorFallback("aortic wall point count mismatch")
-        tg.coords["Wall"][i] = composite._coords
-        tg.pt_frame["Wall"][i] = composite._frame_idx
-        tg.pt_index["Wall"][i] = composite._point_idx
-        tg.pt_aortic["Wall"][i] = composite._aortic
-        if composite.centroid is not None:
-            tg.con_centroid["Wall"][i] = composite.centroid
+        tg.coords["Wall"][aortic_frames] = batch
+        cen_src = tg.con_centroid[src_kind][aortic_frames]
+        valid = ~np.isnan(cen_src[:, 0])
+        tg.con_centroid["Wall"][aortic_frames[valid]] = cen_src[valid]
 
 
 def _validate_and_pack(geometry, sample_size: int):

@@ -126,6 +126,83 @@ def create_aortic_wall(contour: PyContour) -> PyContour:
     )
 
 
+def aortic_walls_batch(
+    xyz: np.ndarray, pidx: np.ndarray, thickness: np.ndarray
+) -> Optional[np.ndarray]:
+    """Vectorised :func:`create_aortic_wall` coordinates over a rectangular
+    ``[K, P, 3]`` stack of thickness-bearing contours (even ``P``).
+
+    Each frame's composite is assembled with the exact per-frame
+    expression tree of the scalar function (wall.rs:109-213): offset lumen
+    half on the coronary side (``P//2 + 1`` points when ``P`` is odd) +
+    rectangular profile whose three segment lengths are proportional to
+    their distances — so results are bitwise identical.  The
+    frame/point/aortic index arrays of a composite equal the source's
+    (left half comes from the offset copy, right half from the source
+    slice at the same positions), so only coordinates are returned.
+    Returns None when a frame's segment rounding overflows the half
+    budget (the scalar path then produces a short contour the tensor
+    spine can't hold; callers fall back to the object pipeline).
+    """
+    K, P = xyz.shape[:2]
+    half = P // 2
+    left_len = half + (P % 2)
+    f64 = np.float64
+
+    outer_x = xyz[:, (P // 4) * 3, 0] + thickness
+    z = xyz[:, (P // 4) * 3, 2]
+    up_mid_x = xyz[:, 0, 0]
+    up_mid_y = xyz[:, 0, 1] + 1.0
+    low_mid_x = xyz[:, half, 0]
+    low_mid_y = xyz[:, half, 1] - 1.0
+
+    dist_up = np.abs(outer_x - up_mid_x)
+    dist_right = np.abs(up_mid_y - low_mid_y)
+    dist_low = np.abs(outer_x - low_mid_x)
+    total = dist_up + dist_right + dist_low
+
+    # int(round(x)) rounds half to even, as does np.rint
+    n_up = np.rint(dist_up / total * half).astype(np.int64)
+    n_mid = np.rint(dist_right / total * half).astype(np.int64)
+    n_low = half - n_up - n_mid
+    if (n_low < 0).any():
+        return None
+
+    j = np.arange(half, dtype=np.int64)[None, :]
+    nl = n_low[:, None]
+    nm = n_mid[:, None]
+    nu = n_up[:, None]
+    in_low = j < nl
+    in_mid = ~in_low & (j < nl + nm)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_low = j / (nl - 1).astype(f64)
+        t_mid = (j - nl) / (nm - 1).astype(f64)
+        t_up = (j - nl - nm) / (np.maximum(nu, 1) - 1).astype(f64)
+        x_low = low_mid_x[:, None] + t_low * (outer_x - low_mid_x)[:, None]
+        y_mid = low_mid_y[:, None] + t_mid * (up_mid_y - low_mid_y)[:, None]
+        x_up = outer_x[:, None] - t_up * (outer_x - up_mid_x)[:, None]
+    rx = np.where(in_low, x_low, np.where(in_mid, outer_x[:, None], x_up))
+    ry = np.where(
+        in_low, low_mid_y[:, None], np.where(in_mid, y_mid, up_mid_y[:, None])
+    )
+
+    # left half: offset_contour(contour, 1.0, (0, half)) on the recomputed
+    # 3-D centroid, identical expressions
+    centroid = xyz.mean(axis=1)
+    rel = xyz - centroid[:, None, :]
+    length = np.sqrt((rel * rel).sum(-1))
+    ok = length > np.finfo(np.float64).eps
+    ok = ok & (pidx >= 0) & (pidx <= half)
+    scale = np.where(ok, 1.0 / np.where(length > 0, length, 1.0), 0.0)
+
+    coords = np.empty((K, P, 3))
+    coords[:, :left_len] = (xyz + rel * scale[:, :, None])[:, :left_len]
+    coords[:, left_len:, 0] = rx
+    coords[:, left_len:, 1] = ry
+    coords[:, left_len:, 2] = z[:, None]
+    return coords
+
+
 def _create_wall_contour_aortic_only(contour: PyContour) -> PyContour:
     if contour.aortic_thickness is None:
         return offset_contour(contour, 1.0, None)

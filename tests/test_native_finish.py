@@ -371,3 +371,91 @@ class TestDeferredBetweenOrchestration:
         a = extract_geometry_points(geom, 500)
         b = extract_stack_points(base, 500)
         assert (a == b).all()
+
+
+class TestAorticWallBatch:
+    """wall.aortic_walls_batch must be bitwise-identical to per-frame
+    create_aortic_wall (wall.rs:109-213) on rectangular stacks."""
+
+    def _contour(self, xyz, pidx, th, cid=0):
+        from multimodars_tpu.models.contour import PyContour
+
+        n = xyz.shape[0]
+        return PyContour.from_arrays(
+            cid, cid, xyz.copy(), tuple(xyz.mean(axis=0)),
+            np.full(n, cid, dtype=np.int64), pidx.copy(),
+            np.zeros(n, dtype=bool), float(th), None, "Lumen",
+        )
+
+    @pytest.mark.parametrize("P", [40, 120, 500, 501, 41])
+    def test_matches_scalar(self, P):
+        from multimodars_tpu.pipelines import wall
+
+        rng = np.random.default_rng(11)
+        K = 7
+        theta = np.linspace(0, 2 * np.pi, P, endpoint=False)
+        xyz = np.empty((K, P, 3))
+        for k in range(K):
+            r = 1.8 + 0.4 * rng.standard_normal(P)
+            xyz[k, :, 0] = 4.5 + r * np.cos(theta)
+            xyz[k, :, 1] = 4.5 + r * np.sin(theta)
+            xyz[k, :, 2] = 0.3 * k
+        pidx = np.tile(np.arange(P, dtype=np.int64), (K, 1))
+        th = rng.uniform(0.3, 2.0, K)
+
+        batch = wall.aortic_walls_batch(xyz, pidx, th)
+        assert batch is not None
+        for k in range(K):
+            scalar = wall.create_aortic_wall(
+                self._contour(xyz[k], pidx[k], th[k], cid=k)
+            )
+            assert scalar.n_points == P
+            sv = scalar.xyz_view()
+            # 1-point segments parameterise as 0/0 -> nan in BOTH paths
+            same = (batch[k] == sv) | (np.isnan(batch[k]) & np.isnan(sv))
+            assert same.all()
+            assert (scalar.frame_indices == np.full(P, k)).all()
+            assert (scalar.point_indices == pidx[k]).all()
+
+    def test_segment_overflow_falls_back(self):
+        from multimodars_tpu.pipelines import wall
+
+        # dist_up and dist_right round up hard enough that n_low < 0:
+        # an L-shaped degenerate frame with a huge thickness
+        xyz = np.zeros((1, 8, 3))
+        xyz[0, :, 0] = [0, 0, 0, 0, 0.0, 0, 0, 0]
+        xyz[0, 0, 1] = 100.0  # up_mid far above low_mid -> dist_right huge
+        pidx = np.tile(np.arange(8, dtype=np.int64), (1, 1))
+        res = wall.aortic_walls_batch(xyz, pidx, np.array([1000.0]))
+        if res is not None:  # rounding kept n_low >= 0: parity still holds
+            from multimodars_tpu.models.contour import PyContour
+
+            c = PyContour.from_arrays(
+                0, 0, xyz[0].copy(), tuple(xyz[0].mean(axis=0)),
+                np.zeros(8, dtype=np.int64), pidx[0].copy(),
+                np.zeros(8, dtype=bool), 1000.0, None, "Lumen",
+            )
+            scalar = wall.create_aortic_wall(c)
+            assert scalar.n_points == 8
+
+    def test_degenerate_segments_match(self):
+        """Tiny contours force 0/1-length segments (nan propagation from
+        the 0/0 parameterisation) — the batch must reproduce them."""
+        from multimodars_tpu.pipelines import wall
+
+        rng = np.random.default_rng(5)
+        P = 8
+        xyz = rng.uniform(0, 9, (4, P, 3))
+        xyz[:, :, 2] = xyz[:, :1, 2]
+        pidx = np.tile(np.arange(P, dtype=np.int64), (4, 1))
+        th = rng.uniform(0.1, 4.0, 4)
+        batch = wall.aortic_walls_batch(xyz, pidx, th)
+        if batch is None:
+            return  # segment overflow: scalar path shortens, spine falls back
+        for k in range(4):
+            scalar = wall.create_aortic_wall(self._contour(xyz[k], pidx[k], th[k]))
+            if scalar.n_points != P:
+                continue
+            sv = scalar.xyz_view()
+            same = (batch[k] == sv) | (np.isnan(batch[k]) & np.isnan(sv))
+            assert same.all()
