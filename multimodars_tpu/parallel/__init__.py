@@ -1,6 +1,7 @@
 """Multi-chip scaling: device-mesh sharding of the registration workload."""
 
 from .angle_shard import angle_mesh, sharded_multires_search
+from .ccta_shard import rows_mesh, sharded_count_within_radius
 from .cohort import (
     cohort_mesh,
     cohort_relative_rotations,
@@ -10,6 +11,8 @@ from .cohort import (
 __all__ = [
     "angle_mesh",
     "sharded_multires_search",
+    "rows_mesh",
+    "sharded_count_within_radius",
     "cohort_mesh",
     "cohort_relative_rotations",
     "batched_pairs_from_geometries",

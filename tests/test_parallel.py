@@ -228,3 +228,53 @@ class TestAngleShardedSearch:
             bruteforce=True,
         )
         np.testing.assert_allclose(sharded, single, rtol=0, atol=1e-13)
+
+
+class TestShardedCctaCount:
+    """sharded_count_within_radius must be bit-identical across mesh sizes
+    and to the host count semantics (kernels.count_within_radius)."""
+
+    def _clouds(self, seed=0, n=700, m=900):
+        rng = np.random.default_rng(seed)
+        t = np.linspace(0, 4 * math.pi, n)
+        a = np.stack([np.cos(t), np.sin(t), t / 4.0], -1)
+        a += 0.05 * rng.standard_normal(a.shape)
+        s = np.linspace(0, 4 * math.pi, m)
+        b = np.stack([np.cos(s), np.sin(s), s / 4.0], -1)
+        b += 0.05 * rng.standard_normal(b.shape)
+        return a, b
+
+    def test_identical_across_mesh_sizes(self):
+        import jax
+
+        from multimodars_tpu.ccta.kernels import count_within_radius
+        from multimodars_tpu.parallel import (
+            rows_mesh, sharded_count_within_radius,
+        )
+
+        cpus = jax.devices("cpu")
+        a, b = self._clouds()
+        results = {}
+        for n_dev in (1, 2, 4, 8):
+            if len(cpus) < n_dev:
+                pytest.skip("not enough virtual devices")
+            results[n_dev] = sharded_count_within_radius(
+                a, b, 0.35, mesh=rows_mesh(cpus[:n_dev])
+            )
+        for n_dev in (2, 4, 8):
+            np.testing.assert_array_equal(results[n_dev], results[1])
+        host = count_within_radius(a, b, 0.35)
+        np.testing.assert_array_equal(results[1], host)
+
+    def test_empty_sets(self):
+        import jax
+
+        from multimodars_tpu.parallel import (
+            rows_mesh, sharded_count_within_radius,
+        )
+
+        mesh = rows_mesh(jax.devices("cpu")[:2])
+        out = sharded_count_within_radius(
+            np.zeros((0, 3)), np.ones((5, 3)), 1.0, mesh=mesh
+        )
+        assert out.shape == (0,)
