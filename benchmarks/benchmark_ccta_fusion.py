@@ -144,9 +144,16 @@ def main() -> None:
         "repeats": REPEATS,
         **{k: round(v, 3) for k, v in timings.items()},
         "total_s": round(total, 3),
+        # the reference's ~24 s fullworkflow was measured on its bundled
+        # ~57k-vertex case (CHANGELOG.md:30-38); at other scales the ratio
+        # is a floor (the reference would only get slower on more vertices)
         "reference_fullworkflow_s": REFERENCE_SECONDS,
-        "vs_reference": round(REFERENCE_SECONDS / total, 2),
+        "reference_measured_at_vertices": 57606,
     }
+    if scale == 3:
+        payload["vs_reference"] = round(REFERENCE_SECONDS / total, 2)
+    else:
+        payload["vs_reference_57k_floor"] = round(REFERENCE_SECONDS / total, 2)
     name = "ccta_fusion.json" if scale == 3 else f"ccta_fusion_scale{scale}.json"
     (RESULTS_DIR / name).write_text(json.dumps(payload, indent=2))
     print(json.dumps(payload, indent=2))
