@@ -129,6 +129,325 @@ def _count_band_window_block(block, b_full, lo, r2lo, r2hi, ch, w):
     return jnp.stack([certain, near])
 
 
+@partial(jax.jit, static_argnames=("ch", "w"))
+def _count_band_window_block_idx(buf, a_rows, b_buf, lo, r2lo, r2hi, ch, w):
+    """:func:`_count_band_window_block` with the a-block gathered on device
+    from the resident buffer ``buf`` by ``a_rows`` (pad positions index the
+    _FAR sentinel row) — only int32 indices travel over the tunnel."""
+    block = buf[a_rows]
+    win = lax.dynamic_slice(b_buf, (lo, 0), (w, 3))
+    bc = win.reshape(-1, ch, 3)
+
+    def step(carry, bi):
+        d2 = ((block[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
+        c, nr = carry
+        return (
+            c + (d2 <= r2lo).sum(axis=1, dtype=jnp.int32),
+            nr + ((d2 > r2lo) & (d2 <= r2hi)).sum(axis=1, dtype=jnp.int32),
+        ), None
+
+    z = jnp.zeros(block.shape[0], jnp.int32)
+    (certain, near), _ = lax.scan(step, (z, z), bc)
+    return jnp.stack([certain, near])
+
+
+@partial(jax.jit, static_argnames=("ch", "n_pad"))
+def _bounded_flags_all(buf, b_buf, r2lo, r2hi, ch, n_pad):
+    """Per-row (certainly-bounded, near-band) uint8 flags of EVERY resident
+    row against a small target cloud — the device core of the
+    centerline-bounded mask.  No index upload (rows pad inside the jit) and
+    a 2-byte/row pull instead of 8 (the tunnel moves ~15-30 MB/s, so pull
+    size is the cost)."""
+    block = jnp.pad(
+        buf[:-1], ((0, n_pad - (buf.shape[0] - 1)), (0, 0)),
+        constant_values=_FAR,
+    )
+    bc = b_buf.reshape(-1, ch, 3)
+
+    def step(carry, bi):
+        d2 = ((block[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
+        c, nr = carry
+        return (c | (d2 <= r2lo).any(axis=1), nr | (d2 <= r2hi).any(axis=1)), None
+
+    z = jnp.zeros(block.shape[0], bool)
+    (certain, near), _ = lax.scan(step, (z, z), bc)
+    return jnp.stack([certain, near]).astype(jnp.uint8)
+
+
+@jax.jit
+def _gather_rows(buf, idx):
+    return buf[idx]
+
+
+class DeviceVerts:
+    """Globally-centered compute-dtype device residency of a vertex cloud.
+
+    Over the tunneled backend transfers run at ~15-30 MB/s, so re-uploading
+    vertex SUBSETS for every count wave dominates the labeling stage.  The
+    cloud uploads ONCE — centered at its f64 bounding-box midpoint, cast on
+    the host, one _FAR sentinel row appended for gather padding — and every
+    subsequent wave ships int32 gather indices (3x smaller than points, or
+    nothing at all for whole-cloud queries).
+
+    Exactness is unchanged: the rounding model is identical to the per-call
+    path (f64 centering, then one cast), only the centering midpoint is
+    global, so the certification band uses the global ``maxc``; rows inside
+    the band still recount exactly in f64 on the host.
+    """
+
+    def __init__(self, verts, dtype=None):
+        if dtype is None:
+            dtype = config.compute_dtype
+        self.verts64 = np.ascontiguousarray(verts, dtype=np.float64).reshape(-1, 3)
+        n = len(self.verts64)
+        if n:
+            lo = self.verts64.min(axis=0)
+            hi = self.verts64.max(axis=0)
+        else:
+            lo = hi = np.zeros(3)
+        self.mid = 0.5 * (lo + hi)
+        self.centered = self.verts64 - self.mid
+        self.maxc = max(
+            float(np.abs(self.centered).max()) if n else 0.0, 1e-30
+        )
+        self.n = n
+        self.dtype = dtype
+        pad = np.concatenate([self.centered, np.full((1, 3), _FAR)])
+        # dispatch the upload immediately; callers create the cache right
+        # after loading the mesh so the transfer overlaps host prep work
+        self.dev = to_device(pad, dtype)
+
+    def _band(self, radius: float, maxb: float) -> Tuple[float, float, float]:
+        r2 = radius * radius
+        maxc = max(self.maxc, maxb)
+        eps = float(np.finfo(np.dtype(self.dtype)).eps)
+        band = (24.0 * radius * maxc + 10.0 * r2) * eps
+        return r2, r2 - band, r2 + band
+
+
+def _resident_b_side(dv: DeviceVerts, b):
+    """(bc_centered_f64, b64_original, maxb) for an index-array or explicit
+    coordinate b side."""
+    b = np.asarray(b)
+    if b.ndim == 1 and np.issubdtype(b.dtype, np.integer):
+        b_idx = b.astype(np.int64)
+        return dv.centered[b_idx], dv.verts64[b_idx], dv.maxc
+    b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(-1, 3)
+    bc = b64 - dv.mid
+    maxb = max(float(np.abs(bc).max()) if len(bc) else 0.0, 1e-30)
+    return bc, b64, maxb
+
+
+def _count_device_dispatch_resident(dv: DeviceVerts, a_idx, b, radius: float):
+    """:func:`_count_device_dispatch` against the resident buffer: the same
+    host-side banded/full planning (sort orders, windows) computed from the
+    host copies, but the device arrays are built by ON-DEVICE gathers, so
+    only int32 index arrays travel.  Returns a _collect_device_counts-
+    compatible state."""
+    dtype = dv.dtype
+    a_idx = np.asarray(a_idx, dtype=np.int64)
+    ac = dv.centered[a_idx]
+    bc, b64, maxb = _resident_b_side(dv, b)
+    r2, r2lo_f, r2hi_f = dv._band(radius, maxb)
+    r2lo = jnp.asarray(r2lo_f, dtype)
+    r2hi = jnp.asarray(r2hi_f, dtype)
+    band = r2hi_f - r2
+    maxc = max(dv.maxc, maxb)
+
+    b_is_idx = np.asarray(b).ndim == 1
+    handles = []
+    a_ord = None
+    plan = None
+    banded_enabled = os.environ.get("MMTPU_CCTA_AXIS_BAND", "1") != "0"
+    min_pairs = float(os.environ.get("MMTPU_CCTA_AXIS_BAND_MIN_PAIRS", 1e10))
+    if banded_enabled and len(ac) * len(bc) >= min_pairs and len(ac) and len(bc):
+        spread = bc.max(axis=0) - bc.min(axis=0)
+        ax = int(np.argmax(spread))
+        b_ord = np.argsort(bc[:, ax], kind="stable")
+        bz = np.ascontiguousarray(bc[b_ord, ax])
+        a_ord_c = np.argsort(ac[:, ax], kind="stable")
+        a_sorted_c = ac[a_ord_c]
+        chunk = _COUNT_A_CHUNK_BANDED
+        while chunk > 1024 and chunk * 8 > len(ac):
+            chunk //= 2
+        starts = np.arange(0, len(ac), chunk)
+        ends = np.minimum(starts + chunk, len(ac))
+        margin = (
+            2.0 * band / max(radius, 1e-30)
+            + 64.0 * np.finfo(np.float64).eps * (maxc + radius)
+        )
+        z0 = a_sorted_c[starts, ax] - radius - margin
+        z1 = a_sorted_c[ends - 1, ax] + radius + margin
+        los = np.searchsorted(bz, z0, side="left")
+        his = np.searchsorted(bz, z1, side="right")
+        m_pad_full = _pow2_at_least(len(bc), 1024)
+        w = min(_pow2_at_least(max(int((his - los).max()), 1), 1024), m_pad_full)
+        n_pad = _pow2_at_least(int((ends - starts).max()), 1024)
+        if len(starts) * n_pad * w * 3 <= len(ac) * m_pad_full * 2:
+            a_ord = a_ord_c
+            plan = (b_ord, starts, ends, los, n_pad, w, m_pad_full)
+
+    if plan is not None:
+        b_ord, starts, ends, los, n_pad, w, m_pad_full = plan
+        if b_is_idx:
+            perm = np.full(m_pad_full, dv.n, dtype=np.int32)
+            perm[: len(bc)] = np.asarray(b, dtype=np.int64)[b_ord]
+            b_d = _gather_rows(dv.dev, to_device(perm, np.int32))
+        else:
+            b_pad = np.full((m_pad_full, 3), _FAR)
+            b_pad[: len(bc)] = bc[b_ord]
+            b_d = to_device(b_pad, dtype)
+        ch = min(_COUNT_B_SLICE, w)
+        a_sorted_idx = a_idx[a_ord]
+        for s, e, lo in zip(starts, ends, los):
+            n_blk = int(e - s)
+            rows = np.full(n_pad, dv.n, dtype=np.int32)
+            rows[:n_blk] = a_sorted_idx[s:e]
+            handles.append(
+                (int(s), n_blk, n_pad,
+                 _count_band_window_block_idx(
+                     dv.dev, to_device(rows, np.int32), b_d,
+                     jnp.asarray(int(lo)), r2lo, r2hi, ch, w,
+                 ))
+            )
+        return dict(
+            a64=dv.verts64[a_idx], b64=b64, radius=radius, r2=r2,
+            handles=handles, a_ord=a_ord,
+        )
+
+    m_pad = _pow2_at_least(len(bc), 1024)
+    ch = min(_COUNT_B_SLICE, m_pad)
+    if b_is_idx:
+        perm = np.full(m_pad, dv.n, dtype=np.int32)
+        perm[: len(bc)] = np.asarray(b, dtype=np.int64)
+        b_d = _gather_rows(dv.dev, to_device(perm, np.int32))
+    else:
+        b_pad = np.full((m_pad, 3), _FAR)
+        b_pad[: len(bc)] = bc
+        b_d = to_device(b_pad, dtype)
+    for start in range(0, len(ac), _COUNT_A_CHUNK):
+        n_blk = min(_COUNT_A_CHUNK, len(ac) - start)
+        n_pad = _pow2_at_least(n_blk, 2048)
+        rows = np.full(n_pad, dv.n, dtype=np.int32)
+        rows[:n_blk] = a_idx[start : start + n_blk]
+        handles.append(
+            (start, n_blk, n_pad,
+             _count_band_window_block_idx(
+                 dv.dev, to_device(rows, np.int32), b_d, jnp.asarray(0),
+                 r2lo, r2hi, ch, m_pad,
+             ))
+        )
+    return dict(
+        a64=dv.verts64[a_idx], b64=b64, radius=radius, r2=r2,
+        handles=handles, a_ord=None,
+    )
+
+
+# resident waves beat the host grid from a few million pairs: the upload is
+# indices-only, so the crossover sits far below the re-upload path's
+_RESIDENT_MIN_PAIRS = int(os.environ.get("MMTPU_CCTA_RESIDENT_PAIRS", 8_000_000))
+
+
+def _resident_eligible(dv, n_a: int, n_b: int, radius: float) -> bool:
+    if radius <= 0 or n_a == 0 or n_b == 0:
+        return False
+    if os.environ.get("MMTPU_CCTA_RESIDENT", "1") == "0":
+        return False
+    if os.environ.get("MMTPU_CCTA_RESIDENT") == "1":
+        return True  # forced (tests exercise the path on the CPU backend)
+    return n_a * n_b >= _RESIDENT_MIN_PAIRS and default_backend() == "tpu"
+
+
+def count_pairs_resident(
+    dv: DeviceVerts, pairs: Sequence[Tuple], radius: float
+) -> List[np.ndarray]:
+    """:func:`count_within_radius_pairs` with both sides drawn from the
+    resident cloud (index arrays) or small explicit coordinate sets; one
+    dispatch wave, exact counts."""
+    states = []
+    fallbacks = []
+    for a_idx, b in pairs:
+        n_b = len(b)
+        if _resident_eligible(dv, len(a_idx), n_b, radius):
+            states.append(_count_device_dispatch_resident(dv, a_idx, b, radius))
+            fallbacks.append(None)
+        else:
+            states.append(None)
+            _, b64, _ = _resident_b_side(dv, b)
+            fallbacks.append((dv.verts64[np.asarray(a_idx, np.int64)], b64))
+    device_counts = _collect_device_counts([st for st in states if st is not None])
+    out = []
+    di = 0
+    for st, fb in zip(states, fallbacks):
+        if st is not None:
+            out.append(device_counts[di])
+            di += 1
+        else:
+            out.append(count_within_radius(fb[0], fb[1], radius))
+    return out
+
+
+def bounded_masks_resident(
+    dv: DeviceVerts, centerlines: Sequence[PyCenterline], radius: float
+) -> List[np.ndarray]:
+    """bool[n] per centerline: resident row within ``radius`` of any
+    centerline point — every mask in ONE device wave, exact (near-band rows
+    recount on the host against the tiny centerline cloud)."""
+    states = []
+    n_pad = _pow2_at_least(max(dv.n, 1), 1024)
+    for cl in centerlines:
+        cl_pos = _check_centerline_sorted(cl)
+        bc, b64, maxb = _resident_b_side(dv, cl_pos)
+        r2, r2lo_f, r2hi_f = dv._band(radius, maxb)
+        m_pad = _pow2_at_least(max(len(bc), 1), 64)
+        b_pad = np.full((m_pad, 3), _FAR)
+        b_pad[: len(bc)] = bc
+        h = _bounded_flags_all(
+            dv.dev,
+            to_device(b_pad, dv.dtype),
+            jnp.asarray(r2lo_f, dv.dtype),
+            jnp.asarray(r2hi_f, dv.dtype),
+            min(_COUNT_B_SLICE, m_pad),
+            n_pad,
+        )
+        states.append((h, b64, r2))
+    try:
+        for h, _, _ in states:
+            h.copy_to_host_async()
+    except Exception:
+        pass
+    out = []
+    for h, b64, r2 in states:
+        flags = np.asarray(h)
+        certain = flags[0, : dv.n].astype(bool)
+        near = flags[1, : dv.n].astype(bool) & ~certain
+        if near.any():
+            sub = np.ascontiguousarray(dv.verts64[near])
+            d2 = ((sub[:, None, :] - b64[None, :, :]) ** 2).sum(-1).min(axis=1)
+            certain[near] = d2 <= r2
+        out.append(certain)
+    return out
+
+
+def outlier_reassign_mask_resident(
+    dv: DeviceVerts,
+    cleanup_idx: np.ndarray,
+    ref_idx: np.ndarray,
+    neighborhood_radius: float,
+    min_neigbor_ratio: float,
+) -> np.ndarray:
+    """:func:`outlier_reassign_mask` with index-resident counts."""
+    cleanup_idx = np.asarray(cleanup_idx, dtype=np.int64)
+    if len(cleanup_idx) == 0:
+        return np.zeros(0, dtype=bool)
+    ref_counts, self_raw = count_pairs_resident(
+        dv,
+        [(cleanup_idx, np.asarray(ref_idx, np.int64)), (cleanup_idx, cleanup_idx)],
+        neighborhood_radius,
+    )
+    return reassign_mask_from_counts(ref_counts, self_raw, min_neigbor_ratio)
+
+
 # Above this many pairwise evaluations min_sqdist runs on the device
 # (bucket-padded shapes keep the jit cache small; winning distances are
 # recomputed exactly in f64 on the host).  Below it, the BLAS/gram and
@@ -1265,10 +1584,14 @@ def cl_region_split_masks(
     centerline: PyCenterline,
     frames: Sequence[PyFrame],
     pts: np.ndarray,
+    dv: "DeviceVerts" = None,
+    pts_idx: np.ndarray = None,
 ):
     """(proximal, distal, between) bool[N] masks — vectorised core of the
     region partition (scale_coronary.rs:263-312) incl. the two outlier
-    absorption passes."""
+    absorption passes.  ``dv``/``pts_idx``: optional device residency of the
+    full vertex cloud + the indices of ``pts`` in it, letting the two
+    absorption counts ship indices instead of coordinates."""
     centroids = np.array([f.centroid for f in frames], dtype=np.float64)
     zdiffs = np.abs(np.diff(centroids[:, 2]))
     cumulative = float(zdiffs.sum() / (len(frames) - 1)) if len(frames) > 1 else 0.0
@@ -1289,12 +1612,21 @@ def cl_region_split_masks(
     proximal = ~between & above
     distal = ~between & ~above
 
-    move = outlier_reassign_mask(pts[proximal], pts[between], 1.0, 0.6)
+    resident = dv is not None and pts_idx is not None
+
+    def _absorb(cleanup_m, ref_m):
+        if resident:
+            return outlier_reassign_mask_resident(
+                dv, pts_idx[cleanup_m], pts_idx[ref_m], 1.0, 0.6
+            )
+        return outlier_reassign_mask(pts[cleanup_m], pts[ref_m], 1.0, 0.6)
+
+    move = _absorb(proximal, between)
     if move.any():
         moved = np.nonzero(proximal)[0][move]
         proximal[moved] = False
         between[moved] = True
-    move = outlier_reassign_mask(pts[distal], pts[between], 1.0, 0.6)
+    move = _absorb(distal, between)
     if move.any():
         moved = np.nonzero(distal)[0][move]
         distal[moved] = False

@@ -19,10 +19,13 @@ from ..io.read_geometrical import read_mesh
 from ..models.centerline import PyCenterline
 from .debug_plots import plot_results_key
 from .kernels import (
+    DeviceVerts,
+    _resident_eligible,
+    bounded_masks_resident,
     centerline_bounded_mask,
     cl_region_split_masks,
+    count_pairs_resident,
     occlusion_remove_mask,
-    count_within_radius_pairs,
     reassign_mask_from_counts,
     reclassify_labels,
 )
@@ -122,8 +125,17 @@ def label_geometry(
     verts = np.ascontiguousarray(mesh.vertices, dtype=np.float64)
     n = len(verts)
 
-    rca_mask = centerline_bounded_mask(cl_rca, verts, bounding_sphere_radius_mm)
-    lca_mask = centerline_bounded_mask(cl_lca, verts, bounding_sphere_radius_mm)
+    # one vertex upload for the whole stage: the tunnel moves ~15-30 MB/s,
+    # so every later count wave ships int32 indices instead of point subsets
+    dv = DeviceVerts(verts)
+    if _resident_eligible(dv, n, max(len(cl_rca.points), len(cl_lca.points)),
+                          bounding_sphere_radius_mm):
+        rca_mask, lca_mask = bounded_masks_resident(
+            dv, [cl_rca, cl_lca], bounding_sphere_radius_mm
+        )
+    else:
+        rca_mask = centerline_bounded_mask(cl_rca, verts, bounding_sphere_radius_mm)
+        lca_mask = centerline_bounded_mask(cl_lca, verts, bounding_sphere_radius_mm)
     print(f"bounded: RCA {int(rca_mask.sum())} | LCA {int(lca_mask.sum())}")
 
     rca_removed = np.zeros(n, dtype=bool)
@@ -151,10 +163,9 @@ def label_geometry(
     # reference's observable output exactly.
     aorta_mask = ~(rca_mask | lca_mask)
     lca_idx = np.nonzero(lca_mask)[0]
-    lca_pts = verts[lca_idx]
-    aorta_pts = verts[aorta_mask]
-    lca_ref, lca_self = count_within_radius_pairs(
-        [(lca_pts, aorta_pts), (lca_pts, lca_pts)], 2.0
+    aorta_idx = np.nonzero(aorta_mask)[0]
+    lca_ref, lca_self = count_pairs_resident(
+        dv, [(lca_idx, aorta_idx), (lca_idx, lca_idx)], 2.0
     )
     move = reassign_mask_from_counts(lca_ref, lca_self, 0.4)
     lca_clean = lca_mask.copy()
@@ -174,6 +185,9 @@ def label_geometry(
     labels = reclassify_labels(labels, mesh.faces)
 
     results: Dict[str, Any] = {"mesh": mesh}
+    from .regions import set_device_verts
+
+    set_device_verts(results, dv)
     store_regions(
         results,
         {
@@ -263,7 +277,7 @@ def label_anomalous_region(
     """Partition a coronary region into proximal / anomalous / distal
     sub-regions using the aligned intravascular frames.
     Parity: labeling.py:357-463."""
-    from .regions import get_idx
+    from .regions import device_verts, get_idx
 
     mesh: Mesh = results["mesh"]
     verts = mesh.vertices
@@ -273,7 +287,8 @@ def label_anomalous_region(
     region_idx = get_idx(results, results_key, lookup)
 
     prox_m, dist_m, anom_m = cl_region_split_masks(
-        centerline, frames, verts[region_idx]
+        centerline, frames, verts[region_idx],
+        dv=device_verts(results), pts_idx=region_idx,
     )
     prox_idx = largest_component_idx(mesh, region_idx[prox_m])
     dist_idx = largest_component_idx(mesh, region_idx[dist_m])

@@ -238,10 +238,35 @@ def store_regions(
     return results
 
 
+_DV_KEY = "_mmtpu_device_verts"  # (mesh, DeviceVerts) residency side channel
+
+
+def set_device_verts(results: dict, dv) -> None:
+    results[_DV_KEY] = (results["mesh"], dv)
+
+
+def device_verts(results: dict):
+    """Memoised device residency of ``results['mesh']``'s vertices
+    (kernels.DeviceVerts) — created on first use, invalidated together with
+    the index side channel whenever vertices mutate."""
+    from .kernels import DeviceVerts
+
+    mesh = results["mesh"]
+    cached = results.get(_DV_KEY)
+    if cached is not None:
+        c_mesh, dv = cached
+        if c_mesh is mesh and dv.n == len(mesh.vertices):
+            return dv
+    dv = DeviceVerts(np.ascontiguousarray(mesh.vertices, dtype=np.float64))
+    results[_DV_KEY] = (mesh, dv)
+    return dv
+
+
 def invalidate_idx(results: dict) -> None:
     results.pop(_IDX_KEY, None)
     results.pop(_IDX_MESH_KEY, None)
     results.pop(_IDX_OBJ_KEY, None)
+    results.pop(_DV_KEY, None)
 
 
 def mask_of(idx: np.ndarray, n: int) -> np.ndarray:

@@ -992,3 +992,129 @@ class TestMinSqdistTieParity:
         mins, args = _min_sqdist_host(a, b)
         np.testing.assert_array_equal(args, [0, 1])  # 0.5 ties 0-vs-1 -> 0
         np.testing.assert_allclose(mins, [0.25, 1.0])
+
+
+class TestResidentCounts:
+    """Device-resident vertex counting (DeviceVerts): index-gathered waves
+    must be count-exact vs the host semantics for every input, across the
+    banded and full-sweep plans and both b-side forms."""
+
+    def _cloud(self, seed=0, n=3000):
+        rng = np.random.default_rng(seed)
+        t = np.linspace(0, 6 * np.pi, n)
+        pts = np.stack([3 * np.cos(t), 3 * np.sin(t), t], -1)
+        return pts + 0.2 * rng.standard_normal(pts.shape)
+
+    def test_count_pairs_resident_matches_host(self, monkeypatch):
+        from multimodars_tpu.ccta.kernels import (
+            DeviceVerts, count_pairs_resident, count_within_radius,
+        )
+
+        monkeypatch.setenv("MMTPU_CCTA_RESIDENT", "1")
+        verts = self._cloud()
+        dv = DeviceVerts(verts)
+        rng = np.random.default_rng(3)
+        a_idx = np.sort(rng.choice(len(verts), 900, replace=False))
+        b_idx = np.sort(rng.choice(len(verts), 1100, replace=False))
+        explicit = self._cloud(seed=9, n=400)
+        got = count_pairs_resident(
+            dv, [(a_idx, b_idx), (a_idx, a_idx), (a_idx, explicit)], 1.5
+        )
+        exp = [
+            count_within_radius(verts[a_idx], verts[b_idx], 1.5),
+            count_within_radius(verts[a_idx], verts[a_idx], 1.5),
+            count_within_radius(verts[a_idx], explicit, 1.5),
+        ]
+        for g, e in zip(got, exp):
+            np.testing.assert_array_equal(g, e)
+
+    def test_banded_plan_resident_matches(self, monkeypatch):
+        from multimodars_tpu.ccta.kernels import (
+            DeviceVerts, count_pairs_resident, count_within_radius,
+        )
+
+        monkeypatch.setenv("MMTPU_CCTA_RESIDENT", "1")
+        monkeypatch.setenv("MMTPU_CCTA_AXIS_BAND_MIN_PAIRS", "0")
+        verts = self._cloud(n=6000)
+        dv = DeviceVerts(verts)
+        idx = np.arange(len(verts))
+        (got,) = count_pairs_resident(dv, [(idx, idx)], 1.0)
+        np.testing.assert_array_equal(
+            got, count_within_radius(verts, verts, 1.0)
+        )
+
+    def test_bounded_masks_resident_matches(self, monkeypatch):
+        from multimodars_tpu._converters import numpy_to_centerline
+        from multimodars_tpu.ccta.kernels import (
+            DeviceVerts, bounded_masks_resident, centerline_bounded_mask,
+        )
+
+        monkeypatch.setenv("MMTPU_CCTA_RESIDENT", "1")
+        verts = self._cloud()
+        dv = DeviceVerts(verts)
+        t = np.linspace(0, 6 * np.pi, 40)
+        cl1 = numpy_to_centerline(
+            np.stack([3 * np.cos(t), 3 * np.sin(t), t], -1)
+        )
+        cl2 = numpy_to_centerline(
+            np.stack([np.zeros(40), np.zeros(40), t], -1)
+        )
+        m1, m2 = bounded_masks_resident(dv, [cl1, cl2], 1.2)
+        np.testing.assert_array_equal(
+            m1, centerline_bounded_mask(cl1, verts, 1.2)
+        )
+        np.testing.assert_array_equal(
+            m2, centerline_bounded_mask(cl2, verts, 1.2)
+        )
+
+    def test_boundary_exact_radius(self, monkeypatch):
+        """Points exactly at the radius must count identically (the f32
+        near-band routes them to the exact host recount)."""
+        from multimodars_tpu.ccta.kernels import (
+            DeviceVerts, count_pairs_resident, count_within_radius,
+        )
+
+        monkeypatch.setenv("MMTPU_CCTA_RESIDENT", "1")
+        n = 2048
+        verts = np.stack(
+            [np.arange(n, dtype=float) * 2.0, np.zeros(n), np.zeros(n)], -1
+        )
+        dv = DeviceVerts(verts)
+        idx = np.arange(n)
+        (got,) = count_pairs_resident(dv, [(idx, idx)], 2.0)
+        np.testing.assert_array_equal(
+            got, count_within_radius(verts, verts, 2.0)
+        )
+        assert (got[1:-1] == 3).all()
+
+    def test_outlier_reassign_resident_matches(self, monkeypatch):
+        from multimodars_tpu.ccta.kernels import (
+            DeviceVerts, outlier_reassign_mask, outlier_reassign_mask_resident,
+        )
+
+        monkeypatch.setenv("MMTPU_CCTA_RESIDENT", "1")
+        verts = self._cloud(seed=5)
+        dv = DeviceVerts(verts)
+        rng = np.random.default_rng(7)
+        cleanup = np.sort(rng.choice(len(verts), 500, replace=False))
+        ref = np.sort(
+            rng.choice(np.setdiff1d(np.arange(len(verts)), cleanup), 800,
+                       replace=False)
+        )
+        got = outlier_reassign_mask_resident(dv, cleanup, ref, 1.0, 0.6)
+        exp = outlier_reassign_mask(verts[cleanup], verts[ref], 1.0, 0.6)
+        np.testing.assert_array_equal(got, exp)
+
+    def test_device_verts_cache_invalidation(self):
+        from multimodars_tpu.ccta.mesh import Mesh
+        from multimodars_tpu.ccta.regions import (
+            device_verts, invalidate_idx, set_device_verts,
+        )
+
+        verts = self._cloud(n=50)
+        faces = np.array([[0, 1, 2], [2, 3, 4]])
+        results = {"mesh": Mesh(verts, faces)}
+        dv1 = device_verts(results)
+        assert device_verts(results) is dv1  # memoised
+        invalidate_idx(results)
+        assert device_verts(results) is not dv1  # dropped with the side channel
