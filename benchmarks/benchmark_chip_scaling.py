@@ -100,6 +100,33 @@ def main() -> None:
     payload["reference_cpu_seconds"] = REFERENCE_CPU_SECONDS
     print(f"single-chip e2e: {e2e:.3f}s  ({RUST_BASELINE_S / e2e:.1f}x vs Rust 16-core)")
 
+    # 1b. real-data companion anchor: the same protocol (step 0.01 deg,
+    # range +/-6 deg, optimized) on the reference's bundled real anonymized
+    # IVUS pullback (examples/data/ivus_rest, 20 frames x 501 points) —
+    # the synthetic OCT-280 above is shape-matched to the reference's
+    # benchmark pullback (docs/benchmark.rst:63-86), whose raw CSV is not
+    # distributed; this companion pins a number on real clinical contours.
+    real_dir = Path("/root/reference/examples/data/ivus_rest")
+    if real_dir.is_dir():
+        from multimodars import from_file_single
+
+        def run_real():
+            with contextlib.redirect_stdout(io.StringIO()):
+                from_file_single(
+                    str(real_dir), diastole=True,
+                    step_rotation_deg=0.01, range_rotation_deg=6.0,
+                    sample_size=500, write_obj=False, smooth=False,
+                )
+
+        real_s = _median_time(run_real)
+        payload["real_data_anchor"] = {
+            "data": "reference examples/data/ivus_rest (real anonymized IVUS)",
+            "frames": 20,
+            "protocol": "from_file_single, step 0.01 deg, range +/-6 deg",
+            "seconds_median": round(real_s, 4),
+        }
+        print(f"real-data anchor (ivus_rest, 20 frames): {real_s:.3f}s")
+
     # 2. cohort scaling: batched pair sweeps, N pullbacks at once.
     # Each pullback contributes 279 pairs of 500-pt contours; the cohort is
     # one [N*279, ...] batch through the identical search ladder.

@@ -50,7 +50,7 @@ def main() -> None:
     if not rest.is_dir() or not vtp.is_file():
         raise SystemExit(f"reference example data not found under {REF_DATA}")
 
-    def run_once() -> float:
+    def run_once():
         t0 = time.perf_counter()
         pair_ab, pair_cd, pair_ac, pair_bd, *_ = mm.from_file_full(
             input_path_ab=str(rest),
@@ -61,7 +61,9 @@ def main() -> None:
             smooth=False,
             postprocessing=False,
         )
+        t1 = time.perf_counter()
         centerline = mm.read_centerline_vtp(str(vtp))
+        t2 = time.perf_counter()
         geom = pair_ab.geom_a
         ref_pt = geom.frames[geom.ref_or_proximal_idx()].lumen.points[0]
         aligned, _cl = mm.align_three_point(
@@ -72,18 +74,21 @@ def main() -> None:
             (ref_pt.x, ref_pt.y + 1.0, ref_pt.z),
             write=False,
         )
-        dt = time.perf_counter() - t0
+        t3 = time.perf_counter()
         assert len(aligned.frames) == len(geom.frames)
-        return dt
+        return t3 - t0, (t1 - t0, t2 - t1, t3 - t2)
 
     for i in range(WARMUP):
         with contextlib.redirect_stdout(io.StringIO()):
             run_once()
 
     times = []
+    stages = []
     for _ in range(REPEATS):
         with contextlib.redirect_stdout(io.StringIO()):
-            times.append(run_once())
+            dt, st = run_once()
+            times.append(dt)
+            stages.append(st)
     median = statistics.median(times)
 
     import jax
@@ -100,7 +105,14 @@ def main() -> None:
         },
         "platform": "cpu (pinned)" if pinned_cpu else jax.default_backend(),
         "seconds_median": round(median, 4),
+        "seconds_max": round(max(times), 4),
         "seconds_all": [round(t, 4) for t in times],
+        "stage_medians": {
+            k: round(statistics.median(s[i] for s in stages), 4)
+            for i, k in enumerate(
+                ("from_file_full", "read_centerline_vtp", "align_three_point")
+            )
+        },
         "target_seconds": TARGET_SECONDS,
         "meets_target": median < TARGET_SECONDS,
     }
