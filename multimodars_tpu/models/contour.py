@@ -322,18 +322,24 @@ class PyContour:
         self._coords[:n] = xyz[:n]
 
     def copy(self) -> "PyContour":
-        return PyContour.from_arrays(
-            self.id,
-            self.original_frame,
-            self._coords.copy(),
-            self.centroid,
-            self._frame_idx.copy(),
-            self._point_idx.copy(),
-            self._aortic.copy(),
-            self.aortic_thickness,
-            self.pulmonary_thickness,
-            self.kind,
-        )
+        return self._copy_with_coords(self._coords.copy())
+
+    def _copy_with_coords(self, coords: np.ndarray) -> "PyContour":
+        """Copy whose coordinate array is the (already-copied) ``coords`` —
+        the block-copy path of PyGeometry.copy hands contours views into one
+        freshly copied [F, N, 3] block instead of F separate copies."""
+        c = PyContour.__new__(PyContour)
+        c.id = self.id
+        c.original_frame = self.original_frame
+        c._coords = coords
+        c._frame_idx = self._frame_idx.copy()
+        c._point_idx = self._point_idx.copy()
+        c._aortic = self._aortic.copy()
+        c.centroid = self.centroid
+        c.aortic_thickness = self.aortic_thickness
+        c.pulmonary_thickness = self.pulmonary_thickness
+        c.kind = self.kind
+        return c
 
     # -- API surface -------------------------------------------------------
     def __len__(self) -> int:

@@ -82,7 +82,33 @@ class PyGeometry:
         self.label = str(label)
 
     def copy(self) -> "PyGeometry":
-        return PyGeometry([f.copy() for f in self.frames], self.label)
+        blocks = shared_contour_blocks(self.frames)
+        if blocks is None:
+            return PyGeometry([f.copy() for f in self.frames], self.label)
+        # tensor-materialised geometries view one [F, N, 3] block per kind:
+        # copy each block in ONE numpy pass and hand the new contours views
+        # into it, preserving the shared-block structure on the copy so its
+        # own rigid transforms keep the block fast path
+        new_coords: Dict[int, np.ndarray] = {}
+        for base, rows, contours in blocks:
+            nb = base[rows]  # fancy index -> one owned copy, contour order
+            for i, c in enumerate(contours):
+                new_coords[id(c)] = nb[i]
+        frames = []
+        for f in self.frames:
+            nf = PyFrame.__new__(PyFrame)
+            nf.id = f.id
+            nf.centroid = f.centroid
+            nf.lumen = f.lumen._copy_with_coords(new_coords[id(f.lumen)])
+            nf.extras = {
+                k: v._copy_with_coords(new_coords[id(v)])
+                for k, v in f.extras.items()
+            }
+            nf.reference_point = (
+                None if f.reference_point is None else f.reference_point.copy()
+            )
+            frames.append(nf)
+        return PyGeometry(frames, self.label)
 
     def __len__(self) -> int:
         return len(self.frames)

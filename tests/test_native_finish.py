@@ -231,17 +231,39 @@ class TestSharedBlockTransforms:
         assert blocks is not None
         assert sum(len(cs) for _, _, cs in blocks) == len(geom.frames)
 
-    def test_blocks_none_on_plain_copies(self):
+    @staticmethod
+    def _deview(geom):
+        """Strip the shared-block view structure (plain owning arrays) so
+        the per-frame loop paths get exercised."""
+        for f in geom.frames:
+            for c in [f.lumen, *f.extras.values()]:
+                c._coords = np.array(c._coords)
+        return geom
+
+    def test_copy_preserves_block_structure(self):
+        """Geometry copies keep the shared [F, N, 3] block views (one numpy
+        pass instead of per-contour copies), stay independent of the
+        original, and keep the block fast path for their own transforms."""
         from multimodars_tpu.models.geometry import shared_contour_blocks
 
-        geom = self._tensor_geometry().copy()
+        geom = self._tensor_geometry()
+        cp = geom.copy()
+        assert shared_contour_blocks(cp.frames) is not None
+        before = geom.frames[0].lumen.xyz_view().copy()
+        cp.frames[0].lumen.xyz_view()[:] += 5.0
+        assert (geom.frames[0].lumen.xyz_view() == before).all()
+
+    def test_blocks_none_on_plain_arrays(self):
+        from multimodars_tpu.models.geometry import shared_contour_blocks
+
+        geom = self._deview(self._tensor_geometry().copy())
         assert shared_contour_blocks(geom.frames) is None
 
     def test_translate_block_matches_loop(self):
         import numpy as np
 
         fast = self._tensor_geometry()
-        slow = self._tensor_geometry().copy()  # copies -> per-frame loop
+        slow = self._deview(self._tensor_geometry().copy())  # per-frame loop
         t = (0.37, -1.21, 0.05)
         fast.translate_geometry(t)
         slow.translate_geometry(t)
@@ -257,7 +279,7 @@ class TestSharedBlockTransforms:
         )
 
         fast = self._tensor_geometry()
-        slow = self._tensor_geometry().copy()
+        slow = self._deview(self._tensor_geometry().copy())
         rotate_geometry_around_point(fast, 0.31, (4.0, 4.25, 0.0))
         rotate_geometry_around_point(slow, 0.31, (4.0, 4.25, 0.0))
         for ff, fs in zip(fast.frames, slow.frames):
