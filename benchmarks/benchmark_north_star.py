@@ -118,6 +118,23 @@ def main() -> None:
     }
     RESULTS_DIR.mkdir(parents=True, exist_ok=True)
     out = RESULTS_DIR / "north_star.json"
+    # accumulate session-separated (median, max) pairs so the worst case is
+    # evidenced across host phases, not one lucky draw
+    history = []
+    if out.is_file():
+        try:
+            prev = json.loads(out.read_text())
+            history = prev.get("runs_history", [])
+            if "seconds_median" in prev:
+                history.append(
+                    {
+                        "seconds_median": prev["seconds_median"],
+                        "seconds_max": prev.get("seconds_max"),
+                    }
+                )
+        except Exception:
+            pass
+    payload["runs_history"] = history[-9:]
     out.write_text(json.dumps(payload, indent=2))
     print(json.dumps(payload, indent=2))
 
