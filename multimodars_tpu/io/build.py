@@ -243,6 +243,65 @@ def _prefetch_sweep(
     return handle, key, cen
 
 
+def _prefetch_sweep_sorted(tg, prefetch):
+    """Dispatch the rotation-search sweep from a fully sorted spine
+    (post-CCW, post-proximal) when the sample set is a proper DOWNSAMPLE of
+    the lumen — the selection then depends on point order, so this runs
+    after the sort, unlike :func:`_prefetch_sweep`'s full-set fast path.
+    Packs the exact sample sets the align pipeline would
+    (:func:`align_within._pack_centered_sets_tensor`), so the device result
+    is bit-identical to the in-align dispatch.  Returns (handle, key) or
+    None when the align path would leave the spine (holes, fallbacks)."""
+    import math as _math
+
+    from ..pipelines.align_within import (
+        _TensorFallback,
+        _detect_holes_tensor,
+        _pack_centered_sets_tensor,
+    )
+
+    sample_size = int(prefetch["sample_size"])
+    if tg.n_frames < 2:
+        return None
+    n_lumen = tg.coords["Lumen"].shape[1]
+    if n_lumen == 0 or sample_size <= 0:
+        return None
+    if _detect_holes_tensor(tg):
+        return None  # hole filling mutates the frame list: object path
+    ssc = None
+    if "Catheter" in tg.coords and tg.present["Catheter"][0]:
+        ssc = int(
+            _math.ceil(tg.coords["Catheter"].shape[1] * sample_size / n_lumen)
+        )
+    try:
+        pts = _pack_centered_sets_tensor(tg, sample_size, ssc)
+    except _TensorFallback:
+        return None
+
+    from ..config import config
+    from ..ops.rotation_search import chain_rotation_search
+    from ..utils.device import to_device
+
+    handle = chain_rotation_search(
+        to_device(pts, config.compute_dtype),
+        None,
+        float(prefetch["step_deg"]),
+        float(prefetch["range_deg"]),
+        bool(prefetch["bruteforce"]),
+    )
+    try:
+        handle.copy_to_host_async()
+    except Exception:
+        pass
+    key = (
+        float(prefetch["step_deg"]),
+        float(prefetch["range_deg"]),
+        bool(prefetch["bruteforce"]),
+        sample_size,
+    )
+    return handle, key
+
+
 def build_tensor_from_inputdata(
     input_data: InputData,
     label: str = "",
@@ -455,6 +514,13 @@ def build_tensor_from_inputdata(
 
     tg.ccw_sort()
     _ensure_proximal_tensor(tg)
+    if pending_sweep is None and prefetch is not None:
+        # downsampled-sample path (sample_size < lumen width): the sample
+        # SELECTION depends on the CCW point order, so the dispatch happens
+        # right after the sort instead of before the build — still ahead of
+        # the integrity gate, the success banner, and the remaining
+        # geometries' builds, which all overlap the device sweep
+        pending_sweep = _prefetch_sweep_sorted(tg, prefetch)
     check_tensor_integrity(tg)
     if pending_sweep is not None:
         tg._pending_sweep = pending_sweep

@@ -481,3 +481,61 @@ class TestAorticWallBatch:
             sv = scalar.xyz_view()
             same = (batch[k] == sv) | (np.isnan(batch[k]) & np.isnan(sv))
             assert same.all()
+
+
+class TestSortedPrefetchParity:
+    """The post-CCW-sort sweep prefetch (downsampled sample sets) must be
+    bit-identical to the in-align dispatch it replaces."""
+
+    def _build(self, prefetch):
+        from multimodars_tpu.io.csv_io import process_directory
+        from multimodars_tpu.io.build import build_any_from_inputdata
+        import contextlib, io as _io
+
+        fix = "tests/data/fixtures/ivus_rest"
+        with contextlib.redirect_stdout(_io.StringIO()):
+            d = process_directory(fix, None, True, "x")
+            return build_any_from_inputdata(
+                d, label="x", diastole=True, prefetch=prefetch
+            )
+
+    def test_prefetch_engages_below_full_width(self):
+        g = self._build(dict(step_deg=1.0, range_deg=10.0, bruteforce=False,
+                             sample_size=100))
+        assert getattr(g, "_pending_sweep", None) is not None
+
+    def test_aligned_outputs_identical(self):
+        from multimodars_tpu.pipelines.align_within import (
+            align_frames_in_geometries,
+        )
+        import contextlib, io as _io
+
+        kw = dict(step_deg=1.0, range_deg=10.0, bruteforce=False,
+                  sample_size=100)
+        g_pre = self._build(kw)
+        g_plain = self._build(None)
+        with contextlib.redirect_stdout(_io.StringIO()):
+            (a, logs_a, anom_a), = align_frames_in_geometries(
+                [g_pre], 1.0, 10.0, False, False, 100, verbose=False
+            )
+            (b, logs_b, anom_b), = align_frames_in_geometries(
+                [g_plain], 1.0, 10.0, False, False, 100, verbose=False
+            )
+        assert anom_a == anom_b
+        assert [
+            (l.contour_id, l.matched_to, l.rot_deg, l.tx, l.ty, l.centroid)
+            for l in logs_a
+        ] == [
+            (l.contour_id, l.matched_to, l.rot_deg, l.tx, l.ty, l.centroid)
+            for l in logs_b
+        ]
+        for fa, fb in zip(a.frames, b.frames):
+            assert (fa.lumen.xyz_view() == fb.lumen.xyz_view()).all()
+            assert fa.centroid == fb.centroid
+
+    def test_key_mismatch_ignores_stale_prefetch(self):
+        from multimodars_tpu.pipelines.align_within import _take_pending_sweep
+
+        g = self._build(dict(step_deg=1.0, range_deg=10.0, bruteforce=False,
+                             sample_size=100))
+        assert _take_pending_sweep(g, 0.5, 10.0, False, 100) is None
