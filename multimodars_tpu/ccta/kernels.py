@@ -375,6 +375,7 @@ def count_pairs_resident(
             states.append(None)
             _, b64, _ = _resident_b_side(dv, b)
             fallbacks.append((dv.verts64[np.asarray(a_idx, np.int64)], b64))
+    _enqueue_wave_pull(states)
     device_counts = _collect_device_counts([st for st in states if st is not None])
     out = []
     di = 0
@@ -927,6 +928,28 @@ def _count_device_dispatch(a64, b64, radius, dtype):
     )
 
 
+def _enqueue_wave_pull(states) -> None:
+    """Enqueue the wave's device-side concat + d2h pull right behind the
+    dispatches: over the tunnel a pull requested after compute completes
+    pays a full round-trip, while one enqueued early streams back the
+    moment the kernels finish.  Call after ALL of a wave's dispatches."""
+    real = [st for st in states if st is not None]
+    all_handles = [h for st in real for (_, _, _, h) in st["handles"]]
+    if not all_handles:
+        return
+    stacked = (
+        jnp.concatenate(all_handles, axis=1)
+        if len(all_handles) > 1
+        else all_handles[0]
+    )
+    try:
+        stacked.copy_to_host_async()
+    except Exception:
+        pass
+    for st in real:
+        st["_wave_stack"] = (stacked, len(all_handles))
+
+
 def _collect_device_counts(states) -> List[np.ndarray]:
     """Collect phase for one or more dispatch states: all chunk outputs are
     concatenated on the device and pulled in a single transfer (each pull
@@ -935,11 +958,16 @@ def _collect_device_counts(states) -> List[np.ndarray]:
     all_handles = [h for st in states for (_, _, _, h) in st["handles"]]
     if not all_handles:
         return [np.zeros(0, dtype=np.int64) for _ in states]
-    stacked = (
-        jnp.concatenate(all_handles, axis=1)
-        if len(all_handles) > 1
-        else all_handles[0]
-    )
+    pre = states[0].get("_wave_stack") if states else None
+    if pre is not None and pre[1] == len(all_handles) and all(
+        st.get("_wave_stack") is not None and st["_wave_stack"][0] is pre[0]
+        for st in states
+    ):
+        stacked = pre[0]  # enqueued (with its pull) at dispatch time
+    elif len(all_handles) > 1:
+        stacked = jnp.concatenate(all_handles, axis=1)
+    else:
+        stacked = all_handles[0]
     flat = np.asarray(stacked)  # [2, sum of chunk pad widths]
     out: List[np.ndarray] = []
     col = 0
@@ -1000,7 +1028,9 @@ def _count_within_radius_device(
     """
     if dtype is None:
         dtype = config.compute_dtype
-    return _count_device_collect(_count_device_dispatch(a64, b64, radius, dtype))
+    state = _count_device_dispatch(a64, b64, radius, dtype)
+    _enqueue_wave_pull([state])
+    return _count_device_collect(state)
 
 
 def _count_device_eligible(a, b, radius) -> bool:
@@ -1045,6 +1075,7 @@ def count_within_radius_pairs(
             states.append(_count_device_dispatch(a64, b64, float(radius), dtype))
         else:
             states.append(None)
+    _enqueue_wave_pull(states)
     device_counts = _collect_device_counts([st for st in states if st is not None])
     out: List[np.ndarray] = []
     di = 0
