@@ -1281,9 +1281,13 @@ def occlusion_remove_mask(
     pts: np.ndarray,
     tri: np.ndarray,
     step_size_mm: float,
+    dv: "DeviceVerts" = None,
+    pts_idx: np.ndarray = None,
 ) -> np.ndarray:
     """bool[N] mask core of the occlusion removal: True = intramural point
-    to relabel.  pts: [N, 3]; tri: [F, 3, 3] face vertex coordinates."""
+    to relabel.  pts: [N, 3]; tri: [F, 3, 3] face vertex coordinates.
+    ``dv``/``pts_idx``: optional residency of the full vertex cloud + the
+    indices of ``pts`` in it (the membership count then ships indices)."""
     if len(pts) == 0 or len(tri) == 0:
         return np.zeros(len(pts), dtype=bool)
     cl_cor = _check_centerline_sorted(centerline_coronary)
@@ -1345,10 +1349,18 @@ def occlusion_remove_mask(
         excluded_vertices = tri[sorted(faces_to_exclude)].reshape(-1, 3)
         # membership query, not a nearest-neighbour one: the exact grid
         # counter answers "any excluded vertex within sqrt(0.5) mm" directly
-        remove_mask = (
-            count_within_radius(pts, excluded_vertices, math.sqrt(DISTANCE_THRESHOLD))
-            > 0
-        )
+        radius_t = math.sqrt(DISTANCE_THRESHOLD)
+        if (
+            dv is not None
+            and pts_idx is not None
+            and _resident_eligible(dv, len(pts_idx), len(excluded_vertices), radius_t)
+        ):
+            (cnt,) = count_pairs_resident(
+                dv, [(pts_idx, excluded_vertices)], radius_t
+            )
+            remove_mask = cnt > 0
+        else:
+            remove_mask = count_within_radius(pts, excluded_vertices, radius_t) > 0
     else:
         remove_mask = np.zeros(len(pts), dtype=bool)
 

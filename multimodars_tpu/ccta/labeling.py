@@ -76,6 +76,7 @@ def _occlusion_pass(
     verts: np.ndarray,
     n_points_intramural: int,
     step_size_mm: float,
+    dv: DeviceVerts = None,
 ) -> np.ndarray:
     """bool[N] of region vertices relabelled as intramural course.
 
@@ -91,7 +92,7 @@ def _occlusion_pass(
     region_idx = np.nonzero(region_mask)[0]
     remove = occlusion_remove_mask(
         cl_coronary, cl_aorta, n_points_intramural, verts[region_idx], tri,
-        step_size_mm,
+        step_size_mm, dv=dv, pts_idx=region_idx,
     )
     removed_mask = np.zeros(len(verts), dtype=bool)
     removed_mask[region_idx[remove]] = True
@@ -143,13 +144,13 @@ def label_geometry(
     if anomalous_rca:
         rca_removed = _occlusion_pass(
             "RCA", cl_rca, cl_aorta, rca_mask, mesh, verts,
-            n_points_intramural, step_size_mm,
+            n_points_intramural, step_size_mm, dv=dv,
         )
         rca_mask &= ~rca_removed
     if anomalous_lca:
         lca_removed = _occlusion_pass(
             "LCA", cl_lca, cl_aorta, lca_mask, mesh, verts,
-            n_points_intramural, step_size_mm,
+            n_points_intramural, step_size_mm, dv=dv,
         )
         lca_mask &= ~lca_removed
 
