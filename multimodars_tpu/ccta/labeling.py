@@ -141,6 +141,31 @@ def label_geometry(
 
     rca_removed = np.zeros(n, dtype=bool)
     lca_removed = np.zeros(n, dtype=bool)
+
+    # density-based island absorption (below): LCA vs the aorta complement.
+    # When only the RCA runs an occlusion pass, the aorta complement
+    # decomposes into an occlusion-INDEPENDENT part (vertices outside both
+    # bounded regions) plus the removed vertices the pass will peel off —
+    # counts are additive over disjoint target sets, so the big wave
+    # dispatches HERE and computes while the occlusion pass runs on the
+    # host; the small removed-set correction is counted exactly afterwards.
+    island_states = None
+    lca_idx = np.nonzero(lca_mask)[0]
+    if anomalous_rca and not anomalous_lca and len(lca_idx):
+        from .kernels import (
+            _collect_device_counts,
+            _count_device_dispatch_resident,
+            _enqueue_wave_pull,
+        )
+
+        base_idx = np.nonzero(~rca_mask & ~lca_mask)[0]
+        if _resident_eligible(dv, len(lca_idx), max(len(base_idx), 1), 2.0):
+            island_states = [
+                _count_device_dispatch_resident(dv, lca_idx, base_idx, 2.0),
+                _count_device_dispatch_resident(dv, lca_idx, lca_idx, 2.0),
+            ]
+            _enqueue_wave_pull(island_states)
+
     if anomalous_rca:
         rca_removed = _occlusion_pass(
             "RCA", cl_rca, cl_aorta, rca_mask, mesh, verts,
@@ -163,11 +188,23 @@ def label_geometry(
     # compute and is dropped here; the label array below matches the
     # reference's observable output exactly.
     aorta_mask = ~(rca_mask | lca_mask)
-    lca_idx = np.nonzero(lca_mask)[0]
     aorta_idx = np.nonzero(aorta_mask)[0]
-    lca_ref, lca_self = count_pairs_resident(
-        dv, [(lca_idx, aorta_idx), (lca_idx, lca_idx)], 2.0
-    )
+    if island_states is not None:
+        from .kernels import _collect_device_counts, count_within_radius
+
+        lca_ref, lca_self = _collect_device_counts(island_states)
+        # exact correction: removed vertices joined the aorta complement
+        # (aorta = (¬Rb∧¬L) ∪ (X∖L), disjoint union; counts are additive)
+        corr_idx = np.nonzero(rca_removed & ~lca_mask)[0]
+        if len(corr_idx):
+            lca_ref = lca_ref + count_within_radius(
+                verts[lca_idx], verts[corr_idx], 2.0
+            )
+    else:
+        lca_idx = np.nonzero(lca_mask)[0]  # post-occlusion when anomalous_lca
+        lca_ref, lca_self = count_pairs_resident(
+            dv, [(lca_idx, aorta_idx), (lca_idx, lca_idx)], 2.0
+        )
     move = reassign_mask_from_counts(lca_ref, lca_self, 0.4)
     lca_clean = lca_mask.copy()
     lca_clean[lca_idx[move]] = False

@@ -175,3 +175,38 @@ class TestFullFusionE2E:
         ccta.export_section_stl(results, type="rca", output_dir=tmp_path)
         assert (tmp_path / "all.stl").exists()
         assert (tmp_path / "rca.stl").exists()
+
+
+class TestOverlappedIslandWave:
+    """The occlusion-overlapped island dispatch (base complement + removed
+    correction) must produce regions identical to the all-host path —
+    counts are additive over the disjoint aorta decomposition."""
+
+    def test_resident_overlap_matches_host(self, monkeypatch):
+        mesh, cl_ao, cl_rca, cl_lca, geom = TestFullFusionE2E._build_case(
+            TestFullFusionE2E
+        )
+
+        def run():
+            import contextlib, io as _io
+
+            with contextlib.redirect_stdout(_io.StringIO()):
+                results, _ = ccta.label(
+                    Mesh(mesh.vertices.copy(), mesh.faces.copy()),
+                    cl_ao, cl_rca, cl_lca,
+                    aligned_frames=geom.frames,
+                    anomalous_rca=True,
+                    control_plot=False,
+                )
+            return results
+
+        monkeypatch.setenv("MMTPU_CCTA_RESIDENT", "1")
+        res_dev = run()
+        monkeypatch.setenv("MMTPU_CCTA_RESIDENT", "0")
+        res_host = run()
+        for key in ("aorta_points", "rca_points", "lca_points",
+                    "rca_removed_points", "anomalous_points",
+                    "proximal_points", "distal_points"):
+            assert sorted(map(tuple, res_dev[key])) == sorted(
+                map(tuple, res_host[key])
+            ), key
