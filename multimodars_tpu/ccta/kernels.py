@@ -430,6 +430,185 @@ def bounded_masks_resident(
     return out
 
 
+@partial(jax.jit, static_argnames=("ch",))
+def _fused_absorb_impl(
+    buf, prox_rows, dist_rows, btw_rows, n_prox, min_ratio, r2lo, r2hi, ch
+):
+    """Both outlier-absorption passes of the region split in ONE device
+    program (scale_coronary.rs:341-404 semantics, chained like the host
+    sequence): pass 1 counts prox vs (between, prox); its move decision —
+    the exact f64 ratio test on the certain counts — extends the reference
+    set for pass 2 ON DEVICE, so the second tunnel round-trip disappears.
+    Rows with any near-band pair are re-decided exactly on the host
+    afterwards (and the chain re-validated there).
+
+    ``*_rows``: int32 gather indices into the resident ``buf`` (pad slots
+    index the _FAR sentinel); ``n_prox``/``n_btw`` the real counts (the
+    _FAR pads never land in the rounding band, but the move mask must not
+    mark pad slots as reference members).  Returns
+    ``[certain, near] x {p_btw, p_self, d_ref2, d_self}`` stacked [8, n]
+    plus the device move mask.
+    """
+    prox = buf[prox_rows]
+    dist = buf[dist_rows]
+    btw = buf[btw_rows]
+
+    def counts(block, b_arr):
+        bc = b_arr.reshape(-1, ch, 3)
+
+        def step(carry, bi):
+            d2 = ((block[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
+            c, nr = carry
+            return (
+                c + (d2 <= r2lo).sum(axis=1, dtype=jnp.int32),
+                nr + ((d2 > r2lo) & (d2 <= r2hi)).sum(axis=1, dtype=jnp.int32),
+            ), None
+
+        z = jnp.zeros(block.shape[0], jnp.int32)
+        (certain, near), _ = lax.scan(step, (z, z), bc)
+        return certain, near
+
+    p_btw, p_btw_near = counts(prox, btw)
+    p_self, p_self_near = counts(prox, prox)
+
+    # the exact host decision replica (reassign_mask_from_counts) on the
+    # certain counts, in f64 like numpy
+    ref = p_btw.astype(jnp.float64)
+    self_c = jnp.maximum(p_self.astype(jnp.float64) - 1.0, 0.0)
+    total = ref + self_c
+    move = (total > 0) & (ref / jnp.maximum(total, 1.0) >= min_ratio)
+    move = move & (jnp.arange(prox.shape[0]) < n_prox)
+
+    # pass 2's reference set = between ∪ moved prox: masked prox rows park
+    # at the sentinel so they count nothing
+    far = jnp.asarray(_FAR, buf.dtype)
+    prox_ref = jnp.where(move[:, None], prox, far)
+    d_btw, d_btw_near = counts(dist, btw)
+    d_moved, d_moved_near = counts(dist, prox_ref)
+    d_self, d_self_near = counts(dist, dist)
+
+    stacked = jnp.stack(
+        [
+            p_btw, p_btw_near, p_self, p_self_near,
+            d_btw + d_moved, d_btw_near | d_moved_near,
+            d_self, d_self_near,
+        ]
+    )
+    return stacked, move
+
+
+def fused_absorb_resident(
+    dv: DeviceVerts,
+    prox_idx: np.ndarray,
+    dist_idx: np.ndarray,
+    btw_idx: np.ndarray,
+    radius: float,
+    min_ratio: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(move_prox, move_dist) of the two chained absorption passes, exact.
+
+    Device counts carry the usual certification band; any row whose
+    decision could be touched by a near-band pair — or any prox decision
+    the device chain got wrong — is re-decided exactly on the host against
+    the true reference sets.
+    """
+    prox_idx = np.asarray(prox_idx, dtype=np.int64)
+    dist_idx = np.asarray(dist_idx, dtype=np.int64)
+    btw_idx = np.asarray(btw_idx, dtype=np.int64)
+    r2 = radius * radius
+    _, r2lo_f, r2hi_f = dv._band(radius, dv.maxc)
+
+    def pad_rows(idx, floor=1024):
+        n_pad = _pow2_at_least(max(len(idx), 1), floor)
+        rows = np.full(n_pad, dv.n, dtype=np.int32)
+        rows[: len(idx)] = idx
+        return rows
+
+    ch = _COUNT_B_SLICE
+    # prox and dist share one padded width: the output counts stack [8, n]
+    ab_pad = _pow2_at_least(max(len(prox_idx), len(dist_idx), 1), 1024)
+    p_rows = pad_rows(prox_idx, ab_pad)
+    d_rows = pad_rows(dist_idx, ab_pad)
+    b_rows = pad_rows(btw_idx)
+    ch_eff = min(ch, len(b_rows), len(p_rows), len(d_rows))
+    stacked, move_dev = _fused_absorb_impl(
+        dv.dev,
+        to_device(p_rows, np.int32),
+        to_device(d_rows, np.int32),
+        to_device(b_rows, np.int32),
+        jnp.asarray(len(prox_idx)),
+        jnp.asarray(float(min_ratio), jnp.float64),
+        jnp.asarray(r2lo_f, dv.dtype),
+        jnp.asarray(r2hi_f, dv.dtype),
+        ch_eff,
+    )
+    try:
+        stacked.copy_to_host_async()
+        move_dev.copy_to_host_async()
+    except Exception:
+        pass
+    flat = np.asarray(stacked)
+    move_dev = np.asarray(move_dev)[: len(prox_idx)]
+
+    np_ = len(prox_idx)
+    nd = len(dist_idx)
+    p_btw = flat[0, :np_].astype(np.int64)
+    p_btw_near = flat[1, :np_] > 0
+    p_self = flat[2, :np_].astype(np.int64)
+    p_self_near = flat[3, :np_] > 0
+    d_ref2 = flat[4, :nd].astype(np.int64)
+    d_ref2_near = flat[5, :nd] > 0
+    d_self = flat[6, :nd].astype(np.int64)
+    d_self_near = flat[7, :nd] > 0
+
+    prox64 = dv.verts64[prox_idx]
+    btw64 = dv.verts64[btw_idx]
+    near_p = p_btw_near | p_self_near
+    if near_p.any():
+        sub = np.ascontiguousarray(prox64[near_p])
+        p_btw[near_p] = _count_rows_exact_host(sub, btw64, r2)
+        p_self[near_p] = _count_rows_exact_host(sub, prox64, r2)
+    move_prox = reassign_mask_from_counts(p_btw, p_self, min_ratio)
+
+    dist64 = dv.verts64[dist_idx]
+    wrong = move_prox != move_dev
+    if wrong.any():
+        if int(wrong.sum()) * max(nd, 1) > 20_000_000:
+            # too many flipped columns for the dense fix: recount pass 2
+            # outright against the true reference set
+            ref2_full = np.concatenate([btw64, prox64[move_prox]])
+            d_ref2 = (
+                _count_rows_exact_host(dist64, ref2_full, r2)
+                if len(ref2_full) and nd
+                else np.zeros(nd, dtype=np.int64)
+            )
+        else:
+            # the device chain's pass-2 reference set differed on these
+            # prox rows: adjust by the exact per-column contribution
+            fix = dv.verts64[prox_idx[wrong]]
+            delta = _count_columns_within_host(dist64, fix, r2)
+            sign = np.where(move_prox[wrong], 1, -1)
+            d_ref2 = d_ref2 + (delta * sign[None, :]).sum(axis=1)
+    near_d = d_ref2_near | d_self_near
+    if near_d.any():
+        sub = np.ascontiguousarray(dist64[near_d])
+        ref2 = np.concatenate([btw64, prox64[move_prox]])
+        d_ref2[near_d] = (
+            _count_rows_exact_host(sub, ref2, r2) if len(ref2) else 0
+        )
+        d_self[near_d] = _count_rows_exact_host(sub, dist64, r2)
+    move_dist = reassign_mask_from_counts(d_ref2, d_self, min_ratio)
+    return move_prox, move_dist
+
+
+def _count_columns_within_host(a64: np.ndarray, cols64: np.ndarray, r2: float):
+    """[N, K] exact bool: a-row within radius of each of the K columns."""
+    if len(a64) == 0 or len(cols64) == 0:
+        return np.zeros((len(a64), len(cols64)), dtype=np.int64)
+    d2 = ((a64[:, None, :] - cols64[None, :, :]) ** 2).sum(-1)
+    return (d2 <= r2).astype(np.int64)
+
+
 def outlier_reassign_mask_resident(
     dv: DeviceVerts,
     cleanup_idx: np.ndarray,
@@ -1656,6 +1835,23 @@ def cl_region_split_masks(
     distal = ~between & ~above
 
     resident = dv is not None and pts_idx is not None
+    if resident and _resident_eligible(
+        dv, max(len(pts), 1), max(int(between.sum()), 1), 1.0
+    ):
+        # both chained passes in one device round-trip; exact by the same
+        # certification + host-re-decision construction
+        move_p, move_d = fused_absorb_resident(
+            dv, pts_idx[proximal], pts_idx[distal], pts_idx[between], 1.0, 0.6
+        )
+        if move_p.any():
+            moved = np.nonzero(proximal)[0][move_p]
+            proximal[moved] = False
+            between[moved] = True
+        if move_d.any():
+            moved = np.nonzero(distal)[0][move_d]
+            distal[moved] = False
+            between[moved] = True
+        return proximal, distal, between
 
     def _absorb(cleanup_m, ref_m):
         if resident:

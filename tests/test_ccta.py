@@ -1118,3 +1118,62 @@ class TestResidentCounts:
         assert device_verts(results) is dv1  # memoised
         invalidate_idx(results)
         assert device_verts(results) is not dv1  # dropped with the side channel
+
+
+class TestFusedAbsorb:
+    """fused_absorb_resident must reproduce the two sequential host
+    absorption passes exactly (pass 2's reference set includes pass 1's
+    moved points)."""
+
+    def _split(self, seed=0, n=4000):
+        rng = np.random.default_rng(seed)
+        t = np.linspace(0, 6 * np.pi, n)
+        verts = np.stack([3 * np.cos(t), 3 * np.sin(t), t], -1)
+        verts += 0.25 * rng.standard_normal(verts.shape)
+        idx = rng.permutation(n)
+        # deliberately UNEQUAL prox/dist sizes (straddling a pow2 boundary)
+        prox = np.sort(idx[: n // 5])
+        dist = np.sort(idx[n // 5 : n // 2 + 100])
+        btw = np.sort(idx[n // 2 + 100 :])
+        return verts, prox, dist, btw
+
+    @pytest.mark.parametrize("seed", [0, 3, 9])
+    def test_matches_sequential_host(self, seed, monkeypatch):
+        from multimodars_tpu.ccta.kernels import (
+            DeviceVerts, fused_absorb_resident, outlier_reassign_mask,
+        )
+
+        monkeypatch.setenv("MMTPU_CCTA_RESIDENT", "1")
+        verts, prox, dist, btw = self._split(seed)
+        dv = DeviceVerts(verts)
+        move_p, move_d = fused_absorb_resident(dv, prox, dist, btw, 1.0, 0.6)
+
+        exp_p = outlier_reassign_mask(verts[prox], verts[btw], 1.0, 0.6)
+        ref2 = np.concatenate([verts[btw], verts[prox][exp_p]])
+        exp_d = outlier_reassign_mask(verts[dist], ref2, 1.0, 0.6)
+        np.testing.assert_array_equal(move_p, exp_p)
+        np.testing.assert_array_equal(move_d, exp_d)
+
+    def test_boundary_radius_chain(self, monkeypatch):
+        """Exact-radius pairs in both passes route through the near-band
+        recount and the chain correction without diverging."""
+        from multimodars_tpu.ccta.kernels import (
+            DeviceVerts, fused_absorb_resident, outlier_reassign_mask,
+        )
+
+        monkeypatch.setenv("MMTPU_CCTA_RESIDENT", "1")
+        n = 512
+        verts = np.stack(
+            [np.arange(3 * n, dtype=float), np.zeros(3 * n), np.zeros(3 * n)],
+            -1,
+        )
+        prox = np.arange(n)
+        dist = np.arange(n, 2 * n)
+        btw = np.arange(2 * n, 3 * n)
+        move_p, move_d = fused_absorb_resident(dv := DeviceVerts(verts),
+                                               prox, dist, btw, 1.0, 0.6)
+        exp_p = outlier_reassign_mask(verts[prox], verts[btw], 1.0, 0.6)
+        ref2 = np.concatenate([verts[btw], verts[prox][exp_p]])
+        exp_d = outlier_reassign_mask(verts[dist], ref2, 1.0, 0.6)
+        np.testing.assert_array_equal(move_p, exp_p)
+        np.testing.assert_array_equal(move_d, exp_d)
