@@ -54,6 +54,10 @@ def manual_hole_fill(mesh: Mesh) -> Mesh:
         verts = mesh.vertices.copy()
         faces = np.array(mesh.faces, dtype=np.int64)
     result = Mesh(verts, faces)
+    if not add_vertices:
+        # nothing added: consistency certified on the input carries over,
+        # so fix_normals skips the full winding BFS (inversion still runs)
+        result._oriented = getattr(mesh, "_oriented", False)
     result.fix_normals()
     return result
 

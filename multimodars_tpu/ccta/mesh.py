@@ -30,6 +30,20 @@ class Mesh:
             self.merge_vertices()
             self.remove_degenerate_faces()
 
+    # -- winding bookkeeping --------------------------------------------
+    # _oriented = the faces are KNOWN consistently wound (the BFS would
+    # flip nothing).  Any faces assignment clears it; the operations that
+    # provably preserve consistency (whole-mesh flips, face subsets,
+    # vertex reindexing) restore it explicitly.
+    @property
+    def faces(self) -> np.ndarray:
+        return self._faces
+
+    @faces.setter
+    def faces(self, value) -> None:
+        self._faces = value
+        self._oriented = False
+
     # -- derived quantities -------------------------------------------------
     def _invalidate(self) -> None:
         self._cache.clear()
@@ -315,11 +329,15 @@ class Mesh:
         remap = np.full(len(self.vertices), -1, dtype=np.int64)
         remap[used] = np.arange(len(used))
         self.vertices = self.vertices[used]
+        was = getattr(self, "_oriented", False)
         self.faces = remap[self.faces]
+        self._oriented = was  # vertex reindexing preserves winding
         self._invalidate()
 
     def update_faces(self, mask) -> None:
+        was = getattr(self, "_oriented", False)
         self.faces = self.faces[np.asarray(mask)]
+        self._oriented = was  # a face SUBSET stays consistently wound
         self._invalidate()
 
     def unique_faces(self) -> np.ndarray:
@@ -357,7 +375,9 @@ class Mesh:
         """Flip all faces if the signed volume is negative
         (trimesh.repair.fix_inversion analog, multibody=False)."""
         if len(self.faces) and self.volume < 0.0:
+            was = getattr(self, "_oriented", False)
             self.faces = self.faces[:, ::-1]
+            self._oriented = was  # a whole-mesh flip preserves consistency
             self._invalidate()
 
     # -- repair -------------------------------------------------------------
@@ -366,7 +386,10 @@ class Mesh:
         trimesh.repair.fix_winding / the reference's fix_mesh_winding,
         ccta_py.rs:718-759).  Applies the native BFS's flip vector with one
         vectorised reversal instead of round-tripping 100k faces through
-        Python lists."""
+        Python lists.  On a mesh already certified consistent
+        (``_oriented``) the BFS would flip nothing, so it is skipped."""
+        if getattr(self, "_oriented", False):
+            return
         from ..io.native import fix_winding_native
 
         flipped = fix_winding_native(self.faces)
@@ -377,9 +400,11 @@ class Mesh:
                 f[flipped] = f[flipped][:, ::-1]
                 self.faces = f
             self._invalidate()
+            self._oriented = True
             return
         self.faces = np.array(fix_faces_winding(self.faces.tolist()), dtype=np.int64)
         self._invalidate()
+        self._oriented = True
 
     def fix_normals(self) -> None:
         """Make winding consistent and orient outward (positive signed

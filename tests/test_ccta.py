@@ -1177,3 +1177,74 @@ class TestFusedAbsorb:
         exp_d = outlier_reassign_mask(verts[dist], ref2, 1.0, 0.6)
         np.testing.assert_array_equal(move_p, exp_p)
         np.testing.assert_array_equal(move_d, exp_d)
+
+
+class TestOrientedFlag:
+    """The winding-certified flag must short-circuit only when a full BFS
+    would provably flip nothing, and clear on any faces assignment."""
+
+    def _mesh(self):
+        from multimodars_tpu.ccta.mesh import Mesh
+
+        verts = np.array(
+            [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0], [0.5, 0.5, 1]],
+            dtype=float,
+        )
+        faces = np.array(
+            [[0, 1, 4], [1, 2, 4], [2, 3, 4], [3, 0, 4], [0, 2, 1], [0, 3, 2]]
+        )
+        return Mesh(verts, faces)
+
+    def test_fix_winding_sets_and_respects_flag(self):
+        m = self._mesh()
+        m.faces[1] = m.faces[1][::-1]  # break consistency in place
+        m.fix_winding()
+        fixed = m.faces.copy()
+        assert m._oriented
+        m.fix_winding()  # short-circuited
+        np.testing.assert_array_equal(m.faces, fixed)
+        # a full BFS on the fixed mesh agrees it is consistent
+        m._oriented = False
+        m.fix_winding()
+        np.testing.assert_array_equal(m.faces, fixed)
+
+    def test_faces_assignment_clears_flag(self):
+        m = self._mesh()
+        m.fix_winding()
+        assert m._oriented
+        m.faces = m.faces.copy()
+        assert not m._oriented
+
+    def test_subset_and_reindex_preserve_flag(self):
+        m = self._mesh()
+        m.fix_normals()
+        m.update_faces(np.array([True] * 5 + [False]))
+        assert m._oriented
+        m.remove_unreferenced_vertices()
+        assert m._oriented
+
+    def test_manual_hole_fill_noop_carries_flag(self):
+        from multimodars_tpu.ccta import fixing_functions
+
+        m = self._mesh()
+        m.fix_normals()
+        out = fixing_functions.manual_hole_fill(m)  # watertight: no loops
+        assert len(out.faces) == len(m.faces)
+        np.testing.assert_array_equal(out.faces, m.faces)
+
+    def test_manual_hole_fill_additions_refix(self):
+        from multimodars_tpu.ccta import fixing_functions
+        from multimodars_tpu.ccta.mesh import Mesh
+
+        m = self._mesh()
+        m.update_faces(np.array([True] * 5 + [False]))  # open a hole
+        m.fix_normals()
+        out = fixing_functions.manual_hole_fill(m)
+        assert len(out.faces) > 5
+        assert not out.boundary_loops()
+        # full-BFS reference on the same input
+        ref = fixing_functions.manual_hole_fill.__wrapped__(m) if hasattr(
+            fixing_functions.manual_hole_fill, "__wrapped__") else None
+        check = Mesh(out.vertices.copy(), out.faces.copy())
+        check.fix_normals()
+        np.testing.assert_array_equal(out.faces, check.faces)
