@@ -76,40 +76,42 @@ def scale(results: dict, cl_vessel, cl_aorta, aligned_frames) -> dict:
 
     # regions go in as vertex-index arrays (the results side channel) so
     # the morph never rebuilds a coordinate lookup over 100k+ vertices
+    distal_idx = regions.get_idx(results, "distal_points")
     scaled_distal = manipulating.scale_region_centerline_morphing(
         mesh=results["mesh"],
-        region_points=regions.get_idx(results, "distal_points"),
+        region_points=distal_idx,
         centerline=cl_vessel,
         diameter_adjustment_mm=distal_scaling,
     )
     results = manipulating.sync_results_to_mesh(
-        results, results["mesh"], scaled_distal, changed_keys=("distal_points",)
+        results, results["mesh"], scaled_distal, moved_idx=distal_idx
     )
 
+    aortic_idx = np.concatenate(
+        [
+            regions.get_idx(results, "aorta_points"),
+            regions.get_idx(results, "rca_removed_points"),
+        ]
+    )
     scaled_aortic = manipulating.scale_region_centerline_morphing(
         mesh=results["mesh"],
-        region_points=np.concatenate(
-            [
-                regions.get_idx(results, "aorta_points"),
-                regions.get_idx(results, "rca_removed_points"),
-            ]
-        ),
+        region_points=aortic_idx,
         centerline=cl_aorta,
         diameter_adjustment_mm=aortic_scaling,
     )
     results = manipulating.sync_results_to_mesh(
-        results, results["mesh"], scaled_aortic,
-        changed_keys=("aorta_points", "rca_removed_points", "lca_removed_points"),
+        results, results["mesh"], scaled_aortic, moved_idx=aortic_idx
     )
 
+    proximal_idx = regions.get_idx(results, "proximal_points")
     scaled_proximal = manipulating.scale_region_centerline_morphing(
         mesh=results["mesh"],
-        region_points=regions.get_idx(results, "proximal_points"),
+        region_points=proximal_idx,
         centerline=cl_vessel,
         diameter_adjustment_mm=prox_scaling,
     )
     results = manipulating.sync_results_to_mesh(
-        results, results["mesh"], scaled_proximal, changed_keys=("proximal_points",)
+        results, results["mesh"], scaled_proximal, moved_idx=proximal_idx
     )
     return results
 

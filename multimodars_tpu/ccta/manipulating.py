@@ -296,15 +296,19 @@ def keep_labeled_points_from_mesh(results: dict, region_key) -> dict:
 
 
 def sync_results_to_mesh(
-    results: dict, old_mesh: Mesh, new_mesh: Mesh, changed_keys=None
+    results: dict, old_mesh: Mesh, new_mesh: Mesh, moved_idx=None
 ) -> dict:
     """Refresh coordinate lists after vertex positions moved (same
     topology).  With index-carried regions this is a re-materialisation,
-    not a search.  Parity: manipulating.py:676-724.
+    not a search.  Parity: manipulating.py:676-724 — the reference remaps
+    EVERY list through the old->new vertex mapping, so every region whose
+    index set intersects the moved vertices must rebuild its public list
+    (regions overlap: rca_points is the union of its prox/dist/anomalous
+    sub-regions).
 
-    ``changed_keys``: optional iterable naming the regions whose vertices
-    actually moved; the other regions keep their (bit-identical) public
-    tuple lists instead of rebuilding them."""
+    ``moved_idx``: optional int64 array of the vertex indices that
+    actually moved; regions disjoint from it keep their (bit-identical)
+    public tuple lists instead of rebuilding them."""
     updated = dict(results)
     regions = {}
     for key in (*_RESULT_POINT_KEYS, "anomalous_points", "boundary_points"):
@@ -313,13 +317,17 @@ def sync_results_to_mesh(
         # no eager lookup: get_idx reads the index side channel when it is
         # valid and only builds the (memoised) per-mesh lookup on a miss
         regions[key] = get_idx(results, key)
+    materialize = None
+    if moved_idx is not None:
+        moved_mask = np.zeros(len(new_mesh.vertices), dtype=bool)
+        moved_mask[np.asarray(moved_idx, dtype=np.int64)] = True
+        materialize = {
+            key for key, idx in regions.items()
+            if len(idx) and moved_mask[idx].any()
+        }
     updated["mesh"] = new_mesh
     invalidate_idx(updated)
-    store_regions(
-        updated,
-        regions,
-        materialize=None if changed_keys is None else set(changed_keys),
-    )
+    store_regions(updated, regions, materialize=materialize)
     return updated
 
 

@@ -210,3 +210,42 @@ class TestOverlappedIslandWave:
             assert sorted(map(tuple, res_dev[key])) == sorted(
                 map(tuple, res_host[key])
             ), key
+
+
+class TestSyncRemapsOverlappingRegions:
+    """Reference parity (manipulating.py:676-724): sync_results_to_mesh
+    remaps EVERY coordinate list, so a region overlapping the morphed
+    vertices (rca_points ⊇ distal/proximal sub-regions) must carry the
+    moved coordinates instead of going stale or silently shrinking."""
+
+    def test_scale_keeps_overlapping_regions_consistent(self):
+        import contextlib, io as _io
+
+        mesh, cl_ao, cl_rca, cl_lca, geom = TestFullFusionE2E._build_case(
+            TestFullFusionE2E
+        )
+        with contextlib.redirect_stdout(_io.StringIO()):
+            results, (rca_cl, _, ao_cl) = ccta.label(
+                mesh, cl_ao, cl_rca, cl_lca,
+                aligned_frames=geom.frames, anomalous_rca=True,
+                control_plot=False,
+            )
+            if not results["rca_removed_points"]:
+                ao = np.asarray(results["aorta_points"])
+                near = np.linalg.norm(ao - np.array([30.0, 0.0, 14.0]), axis=1) < 5.0
+                results["rca_removed_points"] = [tuple(p) for p in ao[near][:50]]
+            n_rca_before = len(results["rca_points"])
+            scaled = ccta.scale(results, rca_cl, ao_cl, geom.frames)
+
+        assert len(scaled["rca_points"]) == n_rca_before
+        final_verts = {tuple(v) for v in scaled["mesh"].vertices}
+        for key in ("rca_points", "proximal_points", "distal_points",
+                    "anomalous_points", "aorta_points"):
+            pts = scaled[key]
+            assert pts, key
+            missing = [p for p in pts if tuple(p) not in final_verts]
+            assert not missing, f"{key}: {len(missing)} stale coordinates"
+        # rca region == union of its sub-regions, coordinate-exact
+        sub = {tuple(p) for k in ("proximal_points", "distal_points",
+                                  "anomalous_points") for p in scaled[k]}
+        assert sub == {tuple(p) for p in scaled["rca_points"]}
