@@ -30,6 +30,7 @@ from .kernels import (
 )
 from .mesh import Mesh, concatenate
 from .regions import (
+    resolve_indices,
     VertexLookup,
     mesh_lookup,
     get_idx,
@@ -465,7 +466,7 @@ def order_points_list(mesh: Mesh, points: list, coord_to_idx: dict = None) -> li
             [coord_to_idx.get(tuple(p), -1) for p in points], dtype=np.int64
         )
     else:
-        all_idx = mesh_lookup(mesh).find(points)
+        all_idx = resolve_indices(mesh, points)
     pairs = [(int(i), p) for i, p in zip(all_idx, points) if i >= 0]
     if not pairs:
         return list(points)
@@ -672,8 +673,7 @@ def _prepare_prox_dist_boundary_pts(
                 )
 
         # write the reshaped ring back into the mesh
-        lookup = mesh_lookup(mesh)
-        old_idx = lookup.find(prox_ring)
+        old_idx = resolve_indices(mesh, prox_ring)
         new_vertices = mesh.vertices.copy()
         touched = []
         for i, new_pt in zip(old_idx.tolist(), relaxed):

@@ -157,6 +157,56 @@ def mesh_lookup(mesh) -> VertexLookup:
     return lk
 
 
+def find_indices_small(vertices: np.ndarray, points) -> np.ndarray:
+    """:meth:`VertexLookup.find` semantics for a SMALL query set without
+    building the full lookup: the n-vertex argsort (~20-60 ms at clinical
+    sizes) is replaced by one vectorised hash pass + a searchsorted into
+    the sorted QUERY hashes.  Exact (full bit-triple compare per candidate)
+    and duplicate coordinates resolve to the highest vertex index, like the
+    reference's coordinate dicts."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    out = np.full(len(pts), -1, dtype=np.int64)
+    if pts.size == 0 or len(vertices) == 0:
+        return out
+    vwords = (
+        np.ascontiguousarray(vertices, dtype=np.float64)
+        .view(np.uint64)
+        .reshape(-1, 3)
+    )
+    qwords = np.ascontiguousarray(pts).view(np.uint64).reshape(-1, 3)
+    vh = _hash_words(vwords)
+    qh = _hash_words(qwords)
+    qorder = np.argsort(qh, kind="stable")
+    qs = qh[qorder]
+    pos = np.searchsorted(qs, vh, side="left")
+    cand = np.nonzero(qs[np.minimum(pos, len(qs) - 1)] == vh)[0]
+    for i in cand.tolist():  # ~|queries| candidates, not |vertices|
+        p = int(pos[i])
+        hi = vh[i]
+        wi = vwords[i]
+        while p < len(qs) and qs[p] == hi:
+            j = int(qorder[p])
+            if (qwords[j] == wi).all():
+                out[j] = i  # ascending i: the highest twin index wins
+            p += 1
+    return out
+
+
+def resolve_indices(mesh, points) -> np.ndarray:
+    """Coordinate→index resolution choosing the cheapest exact path: a
+    memoised full lookup when one already exists for this mesh, the
+    small-query probe for ring-sized sets, else the full lookup (which
+    then stays memoised for the mesh's other queries)."""
+    cache = getattr(mesh, "_cache", None)
+    if cache is not None:
+        hit = cache.get("vertex_lookup")
+        if isinstance(hit, tuple) and hit[0] is mesh.vertices:
+            return hit[1].find(points)
+    if len(points) <= 4096:
+        return find_indices_small(mesh.vertices, points)
+    return mesh_lookup(mesh).find(points)
+
+
 def as_points(vertices: np.ndarray, idx: np.ndarray) -> list:
     """Materialise index array -> reference-compatible list of tuples.
 

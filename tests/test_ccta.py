@@ -1248,3 +1248,32 @@ class TestOrientedFlag:
         check = Mesh(out.vertices.copy(), out.faces.copy())
         check.fix_normals()
         np.testing.assert_array_equal(out.faces, check.faces)
+
+
+class TestFindIndicesSmall:
+    """find_indices_small must match VertexLookup.find exactly, including
+    duplicate-coordinate (highest index wins) and absent-point semantics."""
+
+    def test_matches_full_lookup(self):
+        from multimodars_tpu.ccta.regions import (
+            VertexLookup, find_indices_small,
+        )
+
+        rng = np.random.default_rng(4)
+        verts = rng.uniform(-5, 5, (5000, 3))
+        verts[100] = verts[4000]  # duplicate pair: 4000 must win
+        verts[2500] = verts[77]
+        queries = np.concatenate(
+            [verts[[0, 100, 77, 4999, 2500]], rng.uniform(10, 12, (4, 3))]
+        )
+        full = VertexLookup(verts).find(queries)
+        small = find_indices_small(verts, queries)
+        np.testing.assert_array_equal(small, full)
+        assert small[1] == 4000 and small[2] == 2500
+        assert (small[-4:] == -1).all()
+
+    def test_empty(self):
+        from multimodars_tpu.ccta.regions import find_indices_small
+
+        assert find_indices_small(np.zeros((0, 3)), np.ones((2, 3))).tolist() == [-1, -1]
+        assert len(find_indices_small(np.ones((5, 3)), np.zeros((0, 3)))) == 0
