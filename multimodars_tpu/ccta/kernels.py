@@ -254,7 +254,8 @@ def _count_device_dispatch_resident(dv: DeviceVerts, a_idx, b, radius: float):
     band = r2hi_f - r2
     maxc = max(dv.maxc, maxb)
 
-    b_is_idx = np.asarray(b).ndim == 1
+    b_arr = np.asarray(b)
+    b_is_idx = b_arr.ndim == 1 and np.issubdtype(b_arr.dtype, np.integer)
     handles = []
     a_ord = None
     plan = None
@@ -602,11 +603,17 @@ def fused_absorb_resident(
 
 
 def _count_columns_within_host(a64: np.ndarray, cols64: np.ndarray, r2: float):
-    """[N, K] exact bool: a-row within radius of each of the K columns."""
+    """[N, K] exact bool: a-row within radius of each of the K columns,
+    chunked over rows so the broadcast temporary stays tens of MB."""
+    out = np.zeros((len(a64), len(cols64)), dtype=np.int64)
     if len(a64) == 0 or len(cols64) == 0:
-        return np.zeros((len(a64), len(cols64)), dtype=np.int64)
-    d2 = ((a64[:, None, :] - cols64[None, :, :]) ** 2).sum(-1)
-    return (d2 <= r2).astype(np.int64)
+        return out
+    chunk = max(1, 2_000_000 // max(len(cols64), 1))
+    for s_ in range(0, len(a64), chunk):
+        blk = a64[s_ : s_ + chunk]
+        d2 = ((blk[:, None, :] - cols64[None, :, :]) ** 2).sum(-1)
+        out[s_ : s_ + chunk] = d2 <= r2
+    return out
 
 
 def outlier_reassign_mask_resident(

@@ -153,7 +153,6 @@ def label_geometry(
     lca_idx = np.nonzero(lca_mask)[0]
     if anomalous_rca and not anomalous_lca and len(lca_idx):
         from .kernels import (
-            _collect_device_counts,
             _count_device_dispatch_resident,
             _enqueue_wave_pull,
         )

@@ -297,7 +297,8 @@ def keep_labeled_points_from_mesh(results: dict, region_key) -> dict:
 
 
 def sync_results_to_mesh(
-    results: dict, old_mesh: Mesh, new_mesh: Mesh, moved_idx=None
+    results: dict, old_mesh: Mesh, new_mesh: Mesh, moved_idx=None,
+    changed_keys=None,
 ) -> dict:
     """Refresh coordinate lists after vertex positions moved (same
     topology).  With index-carried regions this is a re-materialisation,
@@ -309,7 +310,11 @@ def sync_results_to_mesh(
 
     ``moved_idx``: optional int64 array of the vertex indices that
     actually moved; regions disjoint from it keep their (bit-identical)
-    public tuple lists instead of rebuilding them."""
+    public tuple lists instead of rebuilding them.  ``changed_keys`` (the
+    pre-round-4 hint) is accepted for compatibility but ignored: a bare
+    key subset cannot express region overlap safely, so without
+    ``moved_idx`` every list rebuilds (the reference's behavior)."""
+    del changed_keys
     updated = dict(results)
     regions = {}
     for key in (*_RESULT_POINT_KEYS, "anomalous_points", "boundary_points"):

@@ -288,27 +288,30 @@ def store_regions(
     return results
 
 
-_DV_KEY = "_mmtpu_device_verts"  # (mesh, DeviceVerts) residency side channel
+_DV_KEY = "_mmtpu_device_verts"  # (mesh, verts, DeviceVerts) residency side channel
 
 
 def set_device_verts(results: dict, dv) -> None:
-    results[_DV_KEY] = (results["mesh"], dv)
+    results[_DV_KEY] = (results["mesh"], results["mesh"].vertices, dv)
 
 
 def device_verts(results: dict):
     """Memoised device residency of ``results['mesh']``'s vertices
     (kernels.DeviceVerts) — created on first use, invalidated together with
-    the index side channel whenever vertices mutate."""
+    the index side channel whenever vertices mutate.  Validity requires the
+    very vertex ARRAY object the residency was built from (Mesh mutators
+    reassign ``.vertices`` in place on the same object, like mesh_lookup's
+    memo key)."""
     from .kernels import DeviceVerts
 
     mesh = results["mesh"]
     cached = results.get(_DV_KEY)
     if cached is not None:
-        c_mesh, dv = cached
-        if c_mesh is mesh and dv.n == len(mesh.vertices):
+        c_mesh, c_verts, dv = cached
+        if c_mesh is mesh and c_verts is mesh.vertices:
             return dv
     dv = DeviceVerts(np.ascontiguousarray(mesh.vertices, dtype=np.float64))
-    results[_DV_KEY] = (mesh, dv)
+    results[_DV_KEY] = (mesh, mesh.vertices, dv)
     return dv
 
 

@@ -250,8 +250,9 @@ def full_processing(
     # winners about a's/c's reference centroids), so the chain composes on
     # device and the whole between phase costs a single tunnel round-trip.
     # The object materialisation / geometry mutation / pair copies run
-    # inside that round-trip — same operations, same bits, reordered onto
-    # the tunnel latency.
+    # inside that round-trip.  Results match the sequential orchestration
+    # except when two grid angles' costs tie within the composition's
+    # sub-ulp (f32-cast-level) noise — see _fused_full_between_impl.
     from .align_between import (
         apply_between_epilogue,
         build_pair,

@@ -130,7 +130,7 @@ def aortic_walls_batch(
     xyz: np.ndarray, pidx: np.ndarray, thickness: np.ndarray
 ) -> Optional[np.ndarray]:
     """Vectorised :func:`create_aortic_wall` coordinates over a rectangular
-    ``[K, P, 3]`` stack of thickness-bearing contours (even ``P``).
+    ``[K, P, 3]`` stack of thickness-bearing contours (even or odd ``P``).
 
     Each frame's composite is assembled with the exact per-frame
     expression tree of the scalar function (wall.rs:109-213): offset lumen
