@@ -179,6 +179,57 @@ def _gather_rows(buf, idx):
     return buf[idx]
 
 
+@partial(jax.jit, static_argnames=("ch", "row_blk"))
+def _count_resident_slot(buf, a_rows, b_rows, r2lo, r2hi, ch, row_blk):
+    """One full-sweep count slot in a SINGLE dispatch: both sides gather
+    from the resident buffer, rows sweep in ``row_blk`` blocks under an
+    outer scan (bounding the live [row_blk, ch] tile) and columns in
+    ``ch`` slices under the inner scan.  Replaces the per-chunk dispatch
+    loop — over the tunnel every extra dispatch/upload costs ~5-15 ms of
+    latency, which dominated the wave at clinical sizes."""
+    a = buf[a_rows].reshape(-1, row_blk, 3)
+    bc = buf[b_rows].reshape(-1, ch, 3)
+
+    def row_step(_, blk):
+        def col_step(carry, bi):
+            d2 = ((blk[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
+            c, nr = carry
+            return (
+                c + (d2 <= r2lo).sum(axis=1, dtype=jnp.int32),
+                nr + ((d2 > r2lo) & (d2 <= r2hi)).sum(axis=1, dtype=jnp.int32),
+            ), None
+
+        z = jnp.zeros(blk.shape[0], jnp.int32)
+        (certain, near), _ = lax.scan(col_step, (z, z), bc)
+        return None, jnp.stack([certain, near])
+
+    _, out = lax.scan(row_step, None, a)  # [n_blocks, 2, row_blk]
+    return out.transpose(1, 0, 2).reshape(2, -1)
+
+
+@partial(jax.jit, static_argnames=("ch", "row_blk"))
+def _count_resident_slot_explicit_b(buf, a_rows, b_pad, r2lo, r2hi, ch, row_blk):
+    """:func:`_count_resident_slot` with an explicit (small) b-side cloud."""
+    a = buf[a_rows].reshape(-1, row_blk, 3)
+    bc = b_pad.reshape(-1, ch, 3)
+
+    def row_step(_, blk):
+        def col_step(carry, bi):
+            d2 = ((blk[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
+            c, nr = carry
+            return (
+                c + (d2 <= r2lo).sum(axis=1, dtype=jnp.int32),
+                nr + ((d2 > r2lo) & (d2 <= r2hi)).sum(axis=1, dtype=jnp.int32),
+            ), None
+
+        z = jnp.zeros(blk.shape[0], jnp.int32)
+        (certain, near), _ = lax.scan(col_step, (z, z), bc)
+        return None, jnp.stack([certain, near])
+
+    _, out = lax.scan(row_step, None, a)
+    return out.transpose(1, 0, 2).reshape(2, -1)
+
+
 class DeviceVerts:
     """Globally-centered compute-dtype device residency of a vertex cloud.
 
@@ -316,28 +367,27 @@ def _count_device_dispatch_resident(dv: DeviceVerts, a_idx, b, radius: float):
             handles=handles, a_ord=a_ord,
         )
 
+    # full sweep: ONE dispatch per slot — rows block-scan inside the jit
     m_pad = _pow2_at_least(len(bc), 1024)
     ch = min(_COUNT_B_SLICE, m_pad)
+    row_blk = min(_COUNT_A_CHUNK, _pow2_at_least(len(ac), 2048))
+    n_pad = -(-len(ac) // row_blk) * row_blk
+    rows = np.full(n_pad, dv.n, dtype=np.int32)
+    rows[: len(ac)] = a_idx
+    rows_d = to_device(rows, np.int32)
     if b_is_idx:
         perm = np.full(m_pad, dv.n, dtype=np.int32)
         perm[: len(bc)] = np.asarray(b, dtype=np.int64)
-        b_d = _gather_rows(dv.dev, to_device(perm, np.int32))
+        h = _count_resident_slot(
+            dv.dev, rows_d, to_device(perm, np.int32), r2lo, r2hi, ch, row_blk
+        )
     else:
         b_pad = np.full((m_pad, 3), _FAR)
         b_pad[: len(bc)] = bc
-        b_d = to_device(b_pad, dtype)
-    for start in range(0, len(ac), _COUNT_A_CHUNK):
-        n_blk = min(_COUNT_A_CHUNK, len(ac) - start)
-        n_pad = _pow2_at_least(n_blk, 2048)
-        rows = np.full(n_pad, dv.n, dtype=np.int32)
-        rows[:n_blk] = a_idx[start : start + n_blk]
-        handles.append(
-            (start, n_blk, n_pad,
-             _count_band_window_block_idx(
-                 dv.dev, to_device(rows, np.int32), b_d, jnp.asarray(0),
-                 r2lo, r2hi, ch, m_pad,
-             ))
+        h = _count_resident_slot_explicit_b(
+            dv.dev, rows_d, to_device(b_pad, dtype), r2lo, r2hi, ch, row_blk
         )
+    handles.append((0, len(ac), n_pad, h))
     return dict(
         a64=dv.verts64[a_idx], b64=b64, radius=radius, r2=r2,
         handles=handles, a_ord=None,
