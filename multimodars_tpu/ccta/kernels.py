@@ -367,10 +367,12 @@ def _count_device_dispatch_resident(dv: DeviceVerts, a_idx, b, radius: float):
             handles=handles, a_ord=a_ord,
         )
 
-    # full sweep: ONE dispatch per slot — rows block-scan inside the jit
-    m_pad = _pow2_at_least(len(bc), 1024)
-    ch = min(_COUNT_B_SLICE, m_pad)
-    row_blk = min(_COUNT_A_CHUNK, _pow2_at_least(len(ac), 2048))
+    # full sweep: ONE dispatch per slot — rows block-scan inside the jit.
+    # 8192x8192 tiles measured ~20% faster than 32768x16384 at clinical
+    # sizes (and multiple-of-block padding wastes less than pow2)
+    ch = min(8192, _pow2_at_least(len(bc), 1024))
+    m_pad = max(ch, -(-len(bc) // ch) * ch)
+    row_blk = min(8192, _pow2_at_least(len(ac), 2048))
     n_pad = -(-len(ac) // row_blk) * row_blk
     rows = np.full(n_pad, dv.n, dtype=np.int32)
     rows[: len(ac)] = a_idx
