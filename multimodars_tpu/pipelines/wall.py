@@ -6,7 +6,7 @@ Parity: ``src/intravascular/processing/wall.rs`` of the reference.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -257,6 +257,36 @@ def create_wall_frames(
     if plain:
         for i, wall in zip(plain, _offset_contours_batched([sources[i] for i in plain], 1.0)):
             walls[i] = wall
+    # aortic composites: same-width groups go through the vectorised batch
+    # (bitwise-identical to the scalar function); odd shapes fall back
+    aortic_groups: Dict[int, List[int]] = {}
+    for i, c in enumerate(sources):
+        if c.aortic_thickness is not None:
+            aortic_groups.setdefault(c.n_points, []).append(i)
+    for n, idxs in aortic_groups.items():
+        if len(idxs) < 2:
+            continue
+        batch = aortic_walls_batch(
+            np.stack([sources[i].xyz_view() for i in idxs]),
+            np.stack([sources[i].point_indices for i in idxs]),
+            np.array([sources[i].aortic_thickness for i in idxs]),
+        )
+        if batch is None:
+            continue
+        for j, i in enumerate(idxs):
+            src = sources[i]
+            walls[i] = PyContour.from_arrays(
+                src.id,
+                src.original_frame,
+                batch[j],
+                src.centroid,
+                src.frame_indices.copy(),
+                src.point_indices.copy(),
+                src.aortic_flags.copy(),
+                src.aortic_thickness,
+                src.pulmonary_thickness,
+                "Wall",
+            )
     out: List[PyFrame] = []
     for i, frame in enumerate(frames):
         wall = walls[i] if walls[i] is not None else create_aortic_wall(sources[i])

@@ -539,3 +539,46 @@ class TestSortedPrefetchParity:
         g = self._build(dict(step_deg=1.0, range_deg=10.0, bruteforce=False,
                              sample_size=100))
         assert _take_pending_sweep(g, 0.5, 10.0, False, 100) is None
+
+
+class TestCreateWallFramesBatchParity:
+    """create_wall_frames' batched aortic path must equal the scalar
+    per-frame composites exactly (the default postprocessing path)."""
+
+    def test_object_path_matches_scalar(self):
+        from multimodars_tpu.models import PyContour, PyFrame
+        from multimodars_tpu.pipelines import wall
+
+        rng = np.random.default_rng(21)
+        P = 60
+        frames = []
+        for f in range(5):
+            th = np.linspace(0, 2 * np.pi, P, endpoint=False)
+            pts = np.stack(
+                [4.5 + 2 * np.cos(th), 4.5 + 1.5 * np.sin(th), np.full(P, f * 0.4)],
+                axis=-1,
+            ) + 0.05 * rng.standard_normal((P, 3)) * [1, 1, 0]
+            lum = PyContour.from_arrays(
+                f, f, pts, tuple(pts.mean(axis=0)),
+                np.full(P, f, dtype=np.int64), np.arange(P, dtype=np.int64),
+                np.zeros(P, dtype=bool), 0.5 + 0.2 * f, None, "Lumen",
+            )
+            fr = PyFrame.__new__(PyFrame)
+            fr.id = f
+            fr.centroid = tuple(pts.mean(axis=0))
+            fr.lumen = lum
+            fr.extras = {}
+            fr.reference_point = None
+            frames.append(fr)
+
+        out = wall.create_wall_frames(frames, anomalous=True)
+        for fr, src in zip(out, frames):
+            scalar = wall.create_aortic_wall(src.lumen)
+            got = fr.extras["Wall"]
+            sv, gv = scalar.xyz_view(), got.xyz_view()
+            same = (gv == sv) | (np.isnan(gv) & np.isnan(sv))
+            assert same.all()
+            assert (got.frame_indices == scalar.frame_indices).all()
+            assert (got.point_indices == scalar.point_indices).all()
+            assert got.centroid == scalar.centroid
+            assert got.kind == "Wall"
