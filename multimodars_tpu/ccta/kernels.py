@@ -171,7 +171,10 @@ def _bounded_flags_all(buf, b_buf, r2lo, r2hi, ch, n_pad):
 
     z = jnp.zeros(block.shape[0], bool)
     (certain, near), _ = lax.scan(step, (z, z), bc)
-    return jnp.stack([certain, near]).astype(jnp.uint8)
+    # slice the pad off on device: the tunnel moves ~15-30 MB/s, so the
+    # pull pays per byte
+    n = buf.shape[0] - 1
+    return jnp.stack([certain[:n], near[:n]]).astype(jnp.uint8)
 
 
 @jax.jit
