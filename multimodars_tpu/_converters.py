@@ -524,22 +524,22 @@ def geometry_to_trimesh(geometry: PyGeometry, contour_type=None):
         raise ValueError("Need at least two contours to build a mesh.")
 
     n = len(contours[0].points)
-    vertices = np.array(
-        [pt for c in contours for pt in c.points_as_tuples()], dtype=np.float64
+    vertices = np.concatenate(
+        [np.asarray(c.xyz_view(), dtype=np.float64) for c in contours], axis=0
     )
-    faces = []
-    for i in range(len(contours) - 1):
-        base_i = i * n
-        base_j = (i + 1) * n
-        for j in range(n):
-            j1 = (j + 1) % n
-            a = base_i + j
-            b = base_i + j1
-            c = base_j + j1
-            d = base_j + j
-            faces.append([a, b, d])
-            faces.append([b, c, d])
-    mesh = Mesh(vertices, np.array(faces, dtype=np.int64))
+    # quad strip between consecutive rings, same (i, j, [abd, bcd]) order as
+    # the scalar loop
+    i_ = np.arange(len(contours) - 1, dtype=np.int64)[:, None]
+    j_ = np.arange(n, dtype=np.int64)[None, :]
+    j1 = (j_ + 1) % n
+    a = i_ * n + j_
+    b = i_ * n + j1
+    c = (i_ + 1) * n + j1
+    d = (i_ + 1) * n + j_
+    faces = np.stack(
+        [np.stack([a, b, d], axis=-1), np.stack([b, c, d], axis=-1)], axis=2
+    ).reshape(-1, 3)
+    mesh = Mesh(vertices, faces)
 
     first_centroid = np.asarray(contours[0].centroid, dtype=np.float64)
     first_face_center = mesh.triangles_center[0]
