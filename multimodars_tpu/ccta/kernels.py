@@ -781,6 +781,15 @@ def _min_sqdist_host(a64: np.ndarray, b64: np.ndarray) -> Tuple[np.ndarray, np.n
     """Exact f64 nearest neighbours (column sweep for small b, gram matmul
     with near-tie exact refinement otherwise)."""
     if len(b64) <= 128:
+        if len(a64) * len(b64) >= 100_000:
+            from ..io.native import min_sqdist_cols_native
+
+            if (
+                a64.flags["C_CONTIGUOUS"]
+                and b64.flags["C_CONTIGUOUS"]
+                and (res := min_sqdist_cols_native(a64, b64)) is not None
+            ):
+                return res
         # column sweep: temporaries stay [N]-sized (cache-resident),
         # strict < keeps the first j like argmin; all work lands in two
         # preallocated buffers so no iteration faults fresh pages

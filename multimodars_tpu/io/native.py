@@ -127,6 +127,13 @@ def get_library() -> Optional[ctypes.CDLL]:
                 lib.mm_farthest_pair.restype = None
             except AttributeError:
                 pass
+            try:  # absent in a pre-round-4 libmmio.so
+                lib.mm_min_sqdist_cols.argtypes = [
+                    _dp, ctypes.c_int64, _dp, ctypes.c_int64, _dp, _ip,
+                ]
+                lib.mm_min_sqdist_cols.restype = None
+            except AttributeError:
+                pass
             _lib = lib
         except OSError:
             _load_failed = True
@@ -296,6 +303,24 @@ def wall_offset_native(src: np.ndarray):
     centroids = np.empty((F, 3), dtype=np.float64)
     lib.mm_wall_offset(_dptr(src), _dptr(out), _dptr(centroids), F, N)
     return out, centroids
+
+
+def min_sqdist_cols_native(a64: np.ndarray, b64: np.ndarray):
+    """Per-row exact nearest neighbour against a small column set — the
+    native form of ``ccta.kernels._min_sqdist_host``'s column sweep (first
+    j wins ties, identical f64 summation order; -ffp-contract=off build).
+    Returns ``(mins, args)`` or ``None`` when unavailable.  Both inputs
+    must be C-contiguous float64 [n, 3] / [m, 3]."""
+    lib = get_library()
+    if lib is None or not hasattr(lib, "mm_min_sqdist_cols"):
+        return None
+    mins = np.empty(len(a64), dtype=np.float64)
+    args = np.empty(len(a64), dtype=np.int64)
+    lib.mm_min_sqdist_cols(
+        _dptr(a64), a64.shape[0], _dptr(b64), b64.shape[0],
+        _dptr(mins), args.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return mins, args
 
 
 def farthest_pair_native(xyz: np.ndarray):

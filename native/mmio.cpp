@@ -20,6 +20,7 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <limits>
 #include <utility>
 #include <vector>
 #include <string>
@@ -699,3 +700,27 @@ void mm_wall_offset(const double* src, double* out, double* centroids,
 }
 
 }  // extern "C"
+
+// Exact f64 per-row nearest neighbour against a small column set — the
+// native form of kernels._min_sqdist_host's column sweep: the first j
+// strictly below the running best wins (numpy's `d < best` update), and
+// the squared distance uses the identical ((dx*dx)+(dy*dy))+(dz*dz)
+// summation order (the build disables FP contraction).
+extern "C" void mm_min_sqdist_cols(const double* a, int64_t n,
+                                   const double* b, int64_t m,
+                                   double* out_d2, int64_t* out_j) {
+  for (int64_t i = 0; i < n; ++i) {
+    const double ax = a[3 * i], ay = a[3 * i + 1], az = a[3 * i + 2];
+    double best = std::numeric_limits<double>::infinity();
+    int64_t bj = 0;
+    for (int64_t j = 0; j < m; ++j) {
+      const double dx = ax - b[3 * j];
+      const double dy = ay - b[3 * j + 1];
+      const double dz = az - b[3 * j + 2];
+      const double d2 = ((dx * dx) + (dy * dy)) + (dz * dz);
+      if (d2 < best) { best = d2; bj = j; }
+    }
+    out_d2[i] = best;
+    out_j[i] = bj;
+  }
+}

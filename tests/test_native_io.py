@@ -158,3 +158,42 @@ class TestCsvFrameFieldParity:
         if native is None:
             pytest.skip("native library unavailable")
         assert bool(native[0][4]) is True
+
+
+class TestMinSqdistColsNative:
+    """mm_min_sqdist_cols must be bit-identical to the numpy column sweep
+    (first-j-wins ties, ((dx2+dy2)+dz2) summation order)."""
+
+    def test_matches_numpy_sweep(self):
+        from multimodars_tpu.io.native import min_sqdist_cols_native
+
+        rng = np.random.default_rng(8)
+        a = np.ascontiguousarray(rng.uniform(-10, 10, (5000, 3)))
+        b = np.ascontiguousarray(rng.uniform(-10, 10, (60, 3)))
+        res = min_sqdist_cols_native(a, b)
+        if res is None:
+            pytest.skip("native library without mm_min_sqdist_cols")
+        mins, args = res
+        # hand-run the exact numpy sweep
+        best = np.full(len(a), np.inf)
+        bj = np.zeros(len(a), dtype=np.int64)
+        for j in range(len(b)):
+            d = (a[:, 0] - b[j, 0]) ** 2
+            d = d + (a[:, 1] - b[j, 1]) ** 2
+            d = d + (a[:, 2] - b[j, 2]) ** 2
+            upd = d < best
+            bj[upd] = j
+            best[upd] = d[upd]
+        assert (args == bj).all()
+        assert (mins == best).all()
+
+    def test_exact_tie_first_wins(self):
+        from multimodars_tpu.io.native import min_sqdist_cols_native
+
+        a = np.ascontiguousarray([[0.0, 0.0, 0.0]])
+        b = np.ascontiguousarray([[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]])
+        res = min_sqdist_cols_native(a, b)
+        if res is None:
+            pytest.skip("native library without mm_min_sqdist_cols")
+        mins, args = res
+        assert args[0] == 0 and mins[0] == 1.0
