@@ -115,9 +115,16 @@ def _count_band_window_block(block, b_full, lo, r2lo, r2hi, ch, w):
     which is harmless for the same reason."""
     win = lax.dynamic_slice(b_full, (lo, 0), (w, 3))
     bc = win.reshape(-1, ch, 3)
+    # component (SoA) form: each [N, ch] term keeps the ch axis in lanes —
+    # the [N, ch, 3] broadcast of the vector form left 125/128 lanes idle in
+    # the subtract/square stage and measured ~2.5x slower
+    ax, ay, az = block[:, 0:1], block[:, 1:2], block[:, 2:3]
 
     def step(carry, bi):
-        d2 = ((block[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
+        dx = ax - bi[None, :, 0]
+        dy = ay - bi[None, :, 1]
+        dz = az - bi[None, :, 2]
+        d2 = (dx * dx + dy * dy) + dz * dz
         c, nr = carry
         return (
             c + (d2 <= r2lo).sum(axis=1, dtype=jnp.int32),
@@ -137,9 +144,13 @@ def _count_band_window_block_idx(buf, a_rows, b_buf, lo, r2lo, r2hi, ch, w):
     block = buf[a_rows]
     win = lax.dynamic_slice(b_buf, (lo, 0), (w, 3))
     bc = win.reshape(-1, ch, 3)
+    ax, ay, az = block[:, 0:1], block[:, 1:2], block[:, 2:3]  # SoA form
 
     def step(carry, bi):
-        d2 = ((block[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
+        dx = ax - bi[None, :, 0]
+        dy = ay - bi[None, :, 1]
+        dz = az - bi[None, :, 2]
+        d2 = (dx * dx + dy * dy) + dz * dz
         c, nr = carry
         return (
             c + (d2 <= r2lo).sum(axis=1, dtype=jnp.int32),
@@ -164,8 +175,13 @@ def _bounded_flags_all(buf, b_buf, r2lo, r2hi, ch, n_pad):
     )
     bc = b_buf.reshape(-1, ch, 3)
 
+    ax, ay, az = block[:, 0:1], block[:, 1:2], block[:, 2:3]  # SoA form
+
     def step(carry, bi):
-        d2 = ((block[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
+        dx = ax - bi[None, :, 0]
+        dy = ay - bi[None, :, 1]
+        dz = az - bi[None, :, 2]
+        d2 = (dx * dx + dy * dy) + dz * dz
         c, nr = carry
         return (c | (d2 <= r2lo).any(axis=1), nr | (d2 <= r2hi).any(axis=1)), None
 
@@ -194,8 +210,13 @@ def _count_resident_slot(buf, a_rows, b_rows, r2lo, r2hi, ch, row_blk):
     bc = buf[b_rows].reshape(-1, ch, 3)
 
     def row_step(_, blk):
+        ax, ay, az = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]  # SoA: ch in lanes
+
         def col_step(carry, bi):
-            d2 = ((blk[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
+            dx = ax - bi[None, :, 0]
+            dy = ay - bi[None, :, 1]
+            dz = az - bi[None, :, 2]
+            d2 = (dx * dx + dy * dy) + dz * dz
             c, nr = carry
             return (
                 c + (d2 <= r2lo).sum(axis=1, dtype=jnp.int32),
@@ -217,8 +238,13 @@ def _count_resident_slot_explicit_b(buf, a_rows, b_pad, r2lo, r2hi, ch, row_blk)
     bc = b_pad.reshape(-1, ch, 3)
 
     def row_step(_, blk):
+        ax, ay, az = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]  # SoA: ch in lanes
+
         def col_step(carry, bi):
-            d2 = ((blk[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
+            dx = ax - bi[None, :, 0]
+            dy = ay - bi[None, :, 1]
+            dz = az - bi[None, :, 2]
+            d2 = (dx * dx + dy * dy) + dz * dz
             c, nr = carry
             return (
                 c + (d2 <= r2lo).sum(axis=1, dtype=jnp.int32),
@@ -511,9 +537,13 @@ def _fused_absorb_impl(
 
     def counts(block, b_arr):
         bc = b_arr.reshape(-1, ch, 3)
+        ax, ay, az = block[:, 0:1], block[:, 1:2], block[:, 2:3]  # SoA form
 
         def step(carry, bi):
-            d2 = ((block[:, None, :] - bi[None, :, :]) ** 2).sum(-1)
+            dx = ax - bi[None, :, 0]
+            dy = ay - bi[None, :, 1]
+            dz = az - bi[None, :, 2]
+            d2 = (dx * dx + dy * dy) + dz * dz
             c, nr = carry
             return (
                 c + (d2 <= r2lo).sum(axis=1, dtype=jnp.int32),
