@@ -89,12 +89,21 @@ def _count_within_block(block, b_arr, r2):
     return (d2 <= r2).sum(axis=1)
 
 
+def _pack_count_near(certain, near):
+    """Pack (certain count, any-near flag) into ONE int32 per row: the sign
+    bit carries the flag (counts are < 2^31), so every wave pull moves half
+    the bytes over the ~15-30 MB/s tunnel.  Decode: near = packed < 0,
+    count = packed & 0x7fffffff."""
+    return jnp.where(near > 0, certain | jnp.int32(-(2**31)), certain)
+
+
 @partial(jax.jit, static_argnames=("ch", "w"))
 def _count_band_window_block(block, b_full, lo, r2lo, r2hi, ch, w):
     """Banded neighbour count over a ``w``-column window of ``b_full``
     starting at ``lo``: pairs certainly inside (d2 <= r2lo) and pairs in
     the uncertainty band (r2lo, r2hi] whose rows need an exact f64 recount
-    on the host, stacked so each chunk costs a single device->host pull.
+    on the host, sign-bit-packed (:func:`_pack_count_near`) so each chunk
+    costs a single minimal device->host pull.
     The full sweep is the lo=0, w=len(b) case.
 
     TPU mapping: the window is swept in ``ch``-column slices under
@@ -133,7 +142,7 @@ def _count_band_window_block(block, b_full, lo, r2lo, r2hi, ch, w):
 
     z = jnp.zeros(block.shape[0], jnp.int32)
     (certain, near), _ = lax.scan(step, (z, z), bc)
-    return jnp.stack([certain, near])
+    return _pack_count_near(certain, near)
 
 
 @partial(jax.jit, static_argnames=("ch", "w"))
@@ -159,7 +168,7 @@ def _count_band_window_block_idx(buf, a_rows, b_buf, lo, r2lo, r2hi, ch, w):
 
     z = jnp.zeros(block.shape[0], jnp.int32)
     (certain, near), _ = lax.scan(step, (z, z), bc)
-    return jnp.stack([certain, near])
+    return _pack_count_near(certain, near)
 
 
 @partial(jax.jit, static_argnames=("ch", "n_pad"))
@@ -187,10 +196,11 @@ def _bounded_flags_all(buf, b_buf, r2lo, r2hi, ch, n_pad):
 
     z = jnp.zeros(block.shape[0], bool)
     (certain, near), _ = lax.scan(step, (z, z), bc)
-    # slice the pad off on device: the tunnel moves ~15-30 MB/s, so the
-    # pull pays per byte
+    # slice the pad off on device AND pack both flags into one byte (bit 0
+    # certain, bit 1 near): the tunnel moves ~15-30 MB/s, so the pull pays
+    # per byte
     n = buf.shape[0] - 1
-    return jnp.stack([certain[:n], near[:n]]).astype(jnp.uint8)
+    return certain[:n].astype(jnp.uint8) | (near[:n].astype(jnp.uint8) << 1)
 
 
 @jax.jit
@@ -225,10 +235,10 @@ def _count_resident_slot(buf, a_rows, b_rows, r2lo, r2hi, ch, row_blk):
 
         z = jnp.zeros(blk.shape[0], jnp.int32)
         (certain, near), _ = lax.scan(col_step, (z, z), bc)
-        return None, jnp.stack([certain, near])
+        return None, _pack_count_near(certain, near)
 
-    _, out = lax.scan(row_step, None, a)  # [n_blocks, 2, row_blk]
-    return out.transpose(1, 0, 2).reshape(2, -1)
+    _, out = lax.scan(row_step, None, a)  # [n_blocks, row_blk]
+    return out.reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("ch", "row_blk"))
@@ -253,10 +263,10 @@ def _count_resident_slot_explicit_b(buf, a_rows, b_pad, r2lo, r2hi, ch, row_blk)
 
         z = jnp.zeros(blk.shape[0], jnp.int32)
         (certain, near), _ = lax.scan(col_step, (z, z), bc)
-        return None, jnp.stack([certain, near])
+        return None, _pack_count_near(certain, near)
 
     _, out = lax.scan(row_step, None, a)
-    return out.transpose(1, 0, 2).reshape(2, -1)
+    return out.reshape(-1)
 
 
 class DeviceVerts:
@@ -501,9 +511,9 @@ def bounded_masks_resident(
         pass
     out = []
     for h, b64, r2 in states:
-        flags = np.asarray(h)
-        certain = flags[0, : dv.n].astype(bool)
-        near = flags[1, : dv.n].astype(bool) & ~certain
+        flags = np.asarray(h)  # packed uint8: bit 0 certain, bit 1 near
+        certain = (flags[: dv.n] & 1).astype(bool)
+        near = (flags[: dv.n] & 2).astype(bool) & ~certain
         if near.any():
             sub = np.ascontiguousarray(dv.verts64[near])
             d2 = ((sub[:, None, :] - b64[None, :, :]) ** 2).sum(-1).min(axis=1)
@@ -527,9 +537,9 @@ def _fused_absorb_impl(
     ``*_rows``: int32 gather indices into the resident ``buf`` (pad slots
     index the _FAR sentinel); ``n_prox``/``n_btw`` the real counts (the
     _FAR pads never land in the rounding band, but the move mask must not
-    mark pad slots as reference members).  Returns
-    ``[certain, near] x {p_btw, p_self, d_ref2, d_self}`` stacked [8, n]
-    plus the device move mask.
+    mark pad slots as reference members).  Returns the four count streams
+    {p_btw, p_self, d_ref2, d_self} sign-bit-packed with their near flags
+    (:func:`_pack_count_near`), stacked [4, n], plus the device move mask.
     """
     prox = buf[prox_rows]
     dist = buf[dist_rows]
@@ -573,11 +583,13 @@ def _fused_absorb_impl(
     d_moved, d_moved_near = counts(dist, prox_ref)
     d_self, d_self_near = counts(dist, dist)
 
+    # sign-bit-pack each (count, near) pair: halves the pull bytes
     stacked = jnp.stack(
         [
-            p_btw, p_btw_near, p_self, p_self_near,
-            d_btw + d_moved, d_btw_near | d_moved_near,
-            d_self, d_self_near,
+            _pack_count_near(p_btw, p_btw_near),
+            _pack_count_near(p_self, p_self_near),
+            _pack_count_near(d_btw + d_moved, d_btw_near + d_moved_near),
+            _pack_count_near(d_self, d_self_near),
         ]
     )
     return stacked, move
@@ -638,14 +650,15 @@ def fused_absorb_resident(
 
     np_ = len(prox_idx)
     nd = len(dist_idx)
-    p_btw = flat[0, :np_].astype(np.int64)
-    p_btw_near = flat[1, :np_] > 0
-    p_self = flat[2, :np_].astype(np.int64)
-    p_self_near = flat[3, :np_] > 0
-    d_ref2 = flat[4, :nd].astype(np.int64)
-    d_ref2_near = flat[5, :nd] > 0
-    d_self = flat[6, :nd].astype(np.int64)
-    d_self_near = flat[7, :nd] > 0
+    # decode the sign-bit packing: near = sign, count = low 31 bits
+    p_btw = flat[0, :np_].astype(np.int64) & 0x7FFFFFFF
+    p_btw_near = flat[0, :np_] < 0
+    p_self = flat[1, :np_].astype(np.int64) & 0x7FFFFFFF
+    p_self_near = flat[1, :np_] < 0
+    d_ref2 = flat[2, :nd].astype(np.int64) & 0x7FFFFFFF
+    d_ref2_near = flat[2, :nd] < 0
+    d_self = flat[3, :nd].astype(np.int64) & 0x7FFFFFFF
+    d_self_near = flat[3, :nd] < 0
 
     prox64 = dv.verts64[prox_idx]
     btw64 = dv.verts64[btw_idx]
@@ -1218,7 +1231,7 @@ def _enqueue_wave_pull(states) -> None:
     if not all_handles:
         return
     stacked = (
-        jnp.concatenate(all_handles, axis=1)
+        jnp.concatenate(all_handles, axis=0)
         if len(all_handles) > 1
         else all_handles[0]
     )
@@ -1245,10 +1258,10 @@ def _collect_device_counts(states) -> List[np.ndarray]:
     ):
         stacked = pre[0]  # enqueued (with its pull) at dispatch time
     elif len(all_handles) > 1:
-        stacked = jnp.concatenate(all_handles, axis=1)
+        stacked = jnp.concatenate(all_handles, axis=0)
     else:
         stacked = all_handles[0]
-    flat = np.asarray(stacked)  # [2, sum of chunk pad widths]
+    flat = np.asarray(stacked)  # packed int32 [sum of chunk pad widths]
     out: List[np.ndarray] = []
     col = 0
     for st in states:
@@ -1257,8 +1270,11 @@ def _collect_device_counts(states) -> List[np.ndarray]:
         counts = np.empty(len(a64), dtype=np.int64)
         near_rows = np.zeros(len(a64), dtype=bool)
         for start, n, n_pad, _h in st["handles"]:
-            counts[start : start + n] = flat[0, col : col + n].astype(np.int64)
-            near_rows[start : start + n] = flat[1, col : col + n] > 0
+            packed = flat[col : col + n]
+            counts[start : start + n] = (
+                packed.astype(np.int64) & 0x7FFFFFFF
+            )
+            near_rows[start : start + n] = packed < 0
             col += n_pad
         a_ord = st.get("a_ord")
         if a_ord is not None:
@@ -1271,14 +1287,21 @@ def _collect_device_counts(states) -> List[np.ndarray]:
             unsorted_near[a_ord] = near_rows
             near_rows = unsorted_near
         if near_rows.any():
-            # exact recount of flagged rows.  Small subsets go through one
-            # direct gram matmul (`_count_rows_exact_host`): the grid's
-            # per-(cell, offset) loop pays Python overhead per occupied
-            # cell, which loses badly when the subset is a few hundred rows
-            # against a dense cloud.  Large subsets keep the grid (R-tree
-            # analog), which touches only neighbourhood candidates.
+            # exact recount of flagged rows.  Tiny subsets go through one
+            # direct gram matmul (`_count_rows_exact_host`); beyond a few
+            # dozen flagged rows a cKDTree over b wins on this single-core
+            # host (the windowed gram pays ~2 ms of Python per 32-row
+            # chunk) — component-form f64 d^2 <= r^2, the same decision
+            # the gram path's boundary recheck resolves to.  The tree is
+            # kept on the state for callers with follow-up queries against
+            # the same b side.
             sub = np.ascontiguousarray(a64[near_rows])
-            if len(sub) * len(b64) <= 64_000_000:
+            if len(sub) * len(b64) > 2_000_000 and len(sub) > 64:
+                tree = _b_side_tree(st)
+                counts[near_rows] = tree.query_ball_point(
+                    sub, st["radius"], return_length=True
+                )
+            elif len(sub) * len(b64) <= 64_000_000:
                 counts[near_rows] = _count_rows_exact_host(sub, b64, st["r2"])
             else:
                 grid = _count_within_radius_grid(sub, b64, st["radius"])
@@ -1289,6 +1312,17 @@ def _collect_device_counts(states) -> List[np.ndarray]:
                 )
         out.append(counts)
     return out
+
+
+def _b_side_tree(st):
+    """Memoised cKDTree over a collect state's b-side cloud."""
+    tree = st.get("b_tree")
+    if tree is None:
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(st["b64"])
+        st["b_tree"] = tree
+    return tree
 
 
 def _count_device_collect(state) -> np.ndarray:
@@ -1627,11 +1661,16 @@ def occlusion_remove_mask(
 
     if faces_to_exclude:
         excluded_vertices = tri[sorted(faces_to_exclude)].reshape(-1, 3)
-        # membership query, not a nearest-neighbour one: the exact grid
-        # counter answers "any excluded vertex within sqrt(0.5) mm" directly
+        # membership query, not a nearest-neighbour one.  A host cKDTree
+        # over the region points queried BY the few excluded vertices wins
+        # at clinical sizes — and it keeps the device queue free for the
+        # island wave that overlaps this pass (count_pairs_resident here
+        # serialized behind that wave's compute).  Same exact f64
+        # d <= sqrt(0.5) decision as the counting paths.
         radius_t = math.sqrt(DISTANCE_THRESHOLD)
         if (
-            dv is not None
+            len(pts) > 400_000
+            and dv is not None
             and pts_idx is not None
             and _resident_eligible(dv, len(pts_idx), len(excluded_vertices), radius_t)
         ):
@@ -1640,7 +1679,15 @@ def occlusion_remove_mask(
             )
             remove_mask = cnt > 0
         else:
-            remove_mask = count_within_radius(pts, excluded_vertices, radius_t) > 0
+            from scipy.spatial import cKDTree
+
+            hits = cKDTree(pts).query_ball_point(excluded_vertices, radius_t)
+            remove_mask = np.zeros(len(pts), dtype=bool)
+            if len(hits):
+                flat_hits = np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in hits]
+                )
+                remove_mask[flat_hits] = True
     else:
         remove_mask = np.zeros(len(pts), dtype=bool)
 

@@ -189,16 +189,27 @@ def label_geometry(
     aorta_mask = ~(rca_mask | lca_mask)
     aorta_idx = np.nonzero(aorta_mask)[0]
     if island_states is not None:
-        from .kernels import _collect_device_counts, count_within_radius
+        from .kernels import _b_side_tree, _collect_device_counts
 
         lca_ref, lca_self = _collect_device_counts(island_states)
         # exact correction: removed vertices joined the aorta complement
-        # (aorta = (¬Rb∧¬L) ∪ (X∖L), disjoint union; counts are additive)
+        # (aorta = (¬Rb∧¬L) ∪ (X∖L), disjoint union; counts are additive).
+        # The self-count state's b side IS the LCA cloud, so its (memoised)
+        # cKDTree answers the correction from the other direction: ball
+        # queries from the few removed vertices + a bincount over their LCA
+        # hits — ~3x cheaper on this single-core host than counting every
+        # LCA row against the removed set.
         corr_idx = np.nonzero(rca_removed & ~lca_mask)[0]
         if len(corr_idx):
-            lca_ref = lca_ref + count_within_radius(
-                verts[lca_idx], verts[corr_idx], 2.0
+            hits = _b_side_tree(island_states[1]).query_ball_point(
+                verts[corr_idx], 2.0
             )
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hits]
+            ) if len(hits) else np.zeros(0, dtype=np.int64)
+            lca_ref = lca_ref + np.bincount(
+                flat.astype(np.int64), minlength=len(lca_idx)
+            )[: len(lca_idx)]
     else:
         lca_idx = np.nonzero(lca_mask)[0]  # post-occlusion when anomalous_lca
         lca_ref, lca_self = count_pairs_resident(
@@ -290,6 +301,59 @@ def largest_component_idx(mesh: Mesh, idx: np.ndarray) -> np.ndarray:
     return keep
 
 
+def largest_component_split(mesh: Mesh, idx_list) -> list:
+    """Largest mesh-connected component of EACH disjoint index set, from a
+    single edge-extraction + connected-components pass.
+
+    Equivalent to ``[largest_component_idx(mesh, idx) for idx in idx_list]``
+    for pairwise-disjoint sets: edges are kept only where both endpoints
+    share a class, so the union graph is the disjoint union of the per-class
+    induced subgraphs and one scipy csgraph call labels them all.  On this
+    single-core host the reference-shaped per-region calls each re-extracted
+    all ~2M mesh edges (~50 ms apiece at clinical sizes)."""
+    idx_list = [np.asarray(idx, dtype=np.int64) for idx in idx_list]
+    live = [i for i, idx in enumerate(idx_list) if len(idx) >= 2]
+    if not live:
+        return idx_list
+    n = len(mesh.vertices)
+    cls = np.full(n, -1, dtype=np.int32)
+    for i in live:
+        cls[idx_list[i]] = i
+    f = mesh.faces
+    e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    e = e[(cls[e[:, 0]] >= 0) & (cls[e[:, 0]] == cls[e[:, 1]])]
+    order = np.sort(np.concatenate([idx_list[i] for i in live]))
+    local = np.full(n, -1, dtype=np.int64)
+    local[order] = np.arange(len(order))
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components as _cc
+
+    if len(e):
+        graph = coo_matrix(
+            (np.ones(len(e), dtype=np.int8), (local[e[:, 0]], local[e[:, 1]])),
+            shape=(len(order), len(order)),
+        )
+        n_comp, comp = _cc(graph, directed=False)
+    else:
+        n_comp, comp = len(order), np.arange(len(order))
+    sizes = np.bincount(comp, minlength=n_comp)
+    out = list(idx_list)
+    comp_cls = cls[order]
+    for i in live:
+        in_cls = comp_cls == i
+        comps_here = np.unique(comp[in_cls])
+        best = comps_here[np.argmax(sizes[comps_here])]
+        keep = order[comp == best]
+        out[i] = keep
+        n_comp_cls = len(comps_here)
+        if n_comp_cls > 1:
+            print(
+                f"  largest component kept {len(keep)}/{len(idx_list[i])} "
+                f"vertices ({n_comp_cls - 1} island component(s) dropped)"
+            )
+    return out
+
+
 def _keep_largest_connected_component(mesh: Mesh, points):
     """Tuple-list wrapper over :func:`largest_component_idx` (kept for the
     reference-mirroring test surface)."""
@@ -327,9 +391,11 @@ def label_anomalous_region(
         centerline, frames, verts[region_idx],
         dv=device_verts(results), pts_idx=region_idx,
     )
-    prox_idx = largest_component_idx(mesh, region_idx[prox_m])
-    dist_idx = largest_component_idx(mesh, region_idx[dist_m])
-    anom_idx = largest_component_idx(mesh, region_idx[anom_m])
+    # the three class masks are disjoint, so one edge pass + one csgraph
+    # call replaces three full-mesh edge extractions
+    prox_idx, dist_idx, anom_idx = largest_component_split(
+        mesh, [region_idx[prox_m], region_idx[dist_m], region_idx[anom_m]]
+    )
 
     # island vertices dropped by the component filters leave the coronary
     # region entirely (they will land in the aorta complement below)

@@ -97,9 +97,9 @@ def sharded_count_within_radius(
     ch = min(_COUNT_B_SLICE, m_pad)
     out = np.asarray(
         _count_band_window_block(a_d, b_d, jnp.asarray(0), r2lo, r2hi, ch, m_pad)
-    )
-    counts = out[0, : len(a64)].astype(np.int64)
-    near = out[1, : len(a64)] > 0
+    )  # sign-bit-packed int32: near = sign, count = low 31 bits
+    counts = (out[: len(a64)].astype(np.int64)) & 0x7FFFFFFF
+    near = out[: len(a64)] < 0
     if near.any():
         counts[near] = _count_rows_exact_host(
             np.ascontiguousarray(a64[near]), b64, r2
