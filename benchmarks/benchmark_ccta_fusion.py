@@ -54,6 +54,10 @@ def build_case(scale: int = 1):
     rca = _tube_mesh(_line(RCA_P0, RCA_P1, 60 * scale), 1.4, 32 * scale)
     lca = _tube_mesh(_line((42, 0, 14), (50, 2, -8), 60 * scale), 1.4, 32 * scale)
     mesh = concatenate([aorta, rca, lca])
+    # mirror the real input path: read_geometrical.read_mesh runs
+    # fix_normals on every loaded mesh, certifying its winding before the
+    # pipeline sees it (untimed setup, like the reference's mesh load)
+    mesh.fix_normals()
 
     cl_ao = _line((36, 0, 20), (36, 0, 0), 50)
     cl_rca = _line(RCA_P0, RCA_P1, 60)

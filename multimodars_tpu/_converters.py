@@ -547,4 +547,10 @@ def geometry_to_trimesh(geometry: PyGeometry, contour_type=None):
     if np.dot(first_normal, first_face_center - first_centroid) < 0:
         mesh.faces = mesh.faces[:, ::-1]
         mesh._invalidate()
+    # the uniform quad-strip pattern is consistently wound by construction
+    # (every shared edge is traversed once in each direction: b-d within a
+    # quad, ring-neighbour and row-neighbour edges across quads), and the
+    # whole-mesh flip above preserves that — certify it so the stitch's
+    # fix_normals skips the full winding BFS on the tube
+    mesh._oriented = True
     return mesh

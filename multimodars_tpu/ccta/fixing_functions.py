@@ -25,9 +25,12 @@ def manual_hole_fill(mesh: Mesh) -> Mesh:
 
     ``Mesh.boundary_loops`` already yields each hole as an *ordered* vertex
     cycle (it walks the directed boundary edges), so the reference's
-    re-ordering pass is a no-op here — fan faces pair consecutive loop
-    vertices directly, and the final ``fix_normals`` establishes a
-    consistent orientation exactly as it would for any cyclic order."""
+    re-ordering pass is a no-op here.  Because loops follow face winding
+    order, a consistent fan must traverse each boundary edge in the
+    OPPOSITE direction — the fans are emitted pre-flipped, which is
+    bit-identical to what ``fix_normals``'s winding BFS produces (it seeds
+    on an existing face and row-reverses exactly these fans), so a
+    certified-consistent input stays certified and the BFS is skipped."""
     add_vertices = []
     add_faces = []
     next_idx = len(mesh.vertices)
@@ -39,7 +42,7 @@ def manual_hole_fill(mesh: Mesh) -> Mesh:
         loop_arr = np.asarray(loop, dtype=np.int64)
         add_faces.append(
             np.stack(
-                [loop_arr, np.roll(loop_arr, -1), np.full(n, next_idx, np.int64)],
+                [np.full(n, next_idx, np.int64), np.roll(loop_arr, -1), loop_arr],
                 axis=1,
             )
         )
@@ -54,10 +57,10 @@ def manual_hole_fill(mesh: Mesh) -> Mesh:
         verts = mesh.vertices.copy()
         faces = np.array(mesh.faces, dtype=np.int64)
     result = Mesh(verts, faces)
-    if not add_vertices:
-        # nothing added: consistency certified on the input carries over,
-        # so fix_normals skips the full winding BFS (inversion still runs)
-        result._oriented = getattr(mesh, "_oriented", False)
+    # consistency certified on the input carries over (pre-flipped fans are
+    # consistent with the faces whose boundary edges they close), so
+    # fix_normals skips the full winding BFS (inversion still runs)
+    result._oriented = getattr(mesh, "_oriented", False)
     result.fix_normals()
     return result
 

@@ -210,7 +210,11 @@ def _rebuild_submesh(mesh: Mesh, keep_mask: np.ndarray) -> Tuple[Mesh, np.ndarra
     remap = np.full(len(mesh.vertices), -1, dtype=np.int64)
     remap[keep_mask] = np.arange(int(keep_mask.sum()), dtype=np.int64)
     faces = mesh.faces[keep_mask[mesh.faces].all(axis=1)]
-    return Mesh(mesh.vertices[keep_mask], remap[faces]), remap
+    sub = Mesh(mesh.vertices[keep_mask], remap[faces])
+    # a face subset + vertex reindex of a consistently wound mesh stays
+    # consistent — carry the certification so the stitch can skip its BFS
+    sub._oriented = getattr(mesh, "_oriented", False)
+    return sub, remap
 
 
 def _remap_region_indices(results: dict, old_mesh: Mesh, new_mesh: Mesh, remap: np.ndarray, cleared, boundary_idx_new):
@@ -603,6 +607,11 @@ def _stitch_boundary_ring(
         if ok.any() and float(normals[ok].mean(axis=0) @ outward_direction) < 0:
             patch.faces = patch.faces[:, ::-1]
             patch._invalidate()
+    # the segment fans and bridges traverse every shared edge once in each
+    # direction (fan-fan via iv->owner edges, fan-bridge via owner/mid
+    # edges), so the patch is consistently wound by construction; the
+    # whole-mesh flip above preserves that
+    patch._oriented = True
     return patch
 
 
@@ -634,7 +643,9 @@ def _enforce_layer_gap_from_plane(
         ok = norm >= 1e-10
         scale = np.where(ok, depth * layer_step_mm / np.where(ok, norm, 1.0), 0.0)
         moved[idx] = p + radial * scale[:, None]
-    return Mesh(moved, mesh.faces)
+    out = Mesh(moved, mesh.faces)
+    out._oriented = getattr(mesh, "_oriented", False)  # vertex moves only
+    return out
 
 
 def _prepare_prox_dist_boundary_pts(
@@ -685,7 +696,9 @@ def _prepare_prox_dist_boundary_pts(
             if i >= 0:
                 new_vertices[i] = new_pt
                 touched.append(i)
+        was_oriented = getattr(mesh, "_oriented", False)
         mesh = Mesh(new_vertices, mesh.faces)
+        mesh._oriented = was_oriented  # vertex moves only
         if clamp_normal is not None and touched:
             mesh = _enforce_layer_gap_from_plane(
                 mesh, touched, clamp_origin, clamp_normal
@@ -756,8 +769,15 @@ def stitch_ccta_to_intravascular(
     iv_surface.update_faces(iv_surface.nondegenerate_faces())
     _fast_fix_normals(iv_surface)
 
-    fused = concatenate([mesh, prox_patch, dist_patch, iv_surface])
+    parts = [mesh, prox_patch, dist_patch, iv_surface]
+    fused = concatenate(parts)
     fused.merge_vertices(digits=3)  # trimesh.tol.merge = 0.001 analog
+    if all(getattr(p, "_oriented", False) for p in parts):
+        # every part is certified internally consistent, so the final
+        # winding BFS reduces to whole-part flips — resolve them now (off
+        # the cached edge sort is_watertight pays for anyway); on success
+        # _fast_fix_normals(fused) below skips its full-mesh BFS
+        fused.orient_concatenated_parts([len(p.faces) for p in parts])
     if not fused.is_watertight:
         fused.fill_holes()
     fused.update_faces(fused.unique_faces())

@@ -145,7 +145,9 @@ class Mesh:
         return bool((a[1:] != a[:-1]).all())
 
     def copy(self) -> "Mesh":
-        return Mesh(self.vertices.copy(), self.faces.copy())
+        out = Mesh(self.vertices.copy(), self.faces.copy())
+        out._oriented = getattr(self, "_oriented", False)  # same faces
+        return out
 
     def __repr__(self) -> str:
         return f"Mesh(vertices={len(self.vertices)}, faces={len(self.faces)})"
@@ -390,9 +392,19 @@ class Mesh:
         (``_oriented``) the BFS would flip nothing, so it is skipped."""
         if getattr(self, "_oriented", False):
             return
-        from ..io.native import fix_winding_native
+        from ..io.native import fix_winding_native, fix_winding_ordered_native
 
-        flipped = fix_winding_native(self.faces)
+        # feed the BFS the undirected-edge argsort this mesh has usually
+        # already computed (is_watertight/boundary paths share the cache):
+        # the native stable_sort it replaces is most of the BFS's cost
+        flipped = None
+        if len(self.faces):
+            self._edge_keys_sorted()
+            flipped = fix_winding_ordered_native(
+                self.faces, self._cache["edge_key_order"]
+            )
+        if flipped is None:
+            flipped = fix_winding_native(self.faces)
         if flipped is not None:
             flipped = np.asarray(flipped, dtype=bool)
             if flipped.any():
@@ -412,8 +424,135 @@ class Mesh:
         self.fix_winding()
         self.fix_inversion()
 
+    def orient_concatenated_parts(self, part_face_counts) -> bool:
+        """Certify winding consistency of a concatenation of internally
+        consistent parts by flipping whole parts — the winding BFS
+        collapsed to part granularity.
+
+        ``part_face_counts``: face counts of the concatenated parts, in
+        face order.  Preconditions the caller must guarantee: every part
+        was individually certified consistent (``_oriented``) before
+        concatenation, and each non-anchor part is edge-connected within
+        itself.  The manifold-edge constraint system (flip XOR = shared
+        edge traversed in the same direction, exactly the BFS's flip rule)
+        is then solved over parts: parts union-find with parity, anchored
+        at the smallest part index of each group — the same anchor the BFS
+        takes, since concatenation order makes the lowest face index of any
+        face component belong to the smallest part present.  Intra-part
+        constraint violations (merge_vertices can pinch a part against
+        itself) or conflicting inter-part votes return ``False`` with the
+        mesh untouched — the caller falls back to the full BFS.  On
+        ``True`` the flips are applied and ``_oriented`` is set; a
+        subsequent full BFS would flip nothing."""
+        counts = np.asarray(part_face_counts, dtype=np.int64)
+        n_faces = len(self.faces)
+        if counts.sum() != n_faces:
+            return False
+        n_parts = len(counts)
+        if n_parts == 0:
+            self._oriented = True
+            return True
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+
+        ks, _ = self._edge_keys_sorted()
+        order = self._cache["edge_key_order"]
+        if len(ks) == 0:
+            self._oriented = True
+            return True
+        new_run = np.r_[True, ks[1:] != ks[:-1]]
+        starts = np.nonzero(new_run)[0]
+        run_len = np.diff(np.append(starts, len(ks)))
+        s2 = starts[run_len == 2]  # manifold edges only, like the BFS
+        if len(s2) == 0:
+            self._oriented = True
+            return True
+        f = self.faces
+
+        def votes(idx):
+            """(part_a, part_b, flip_needed) for the manifold pairs at run
+            starts ``idx``.  Directed first-vertex of edge slot e (block
+            layout) is f[e % F, e // F]; equal undirected keys + equal
+            first vertex <=> same direction (the BFS's flip rule)."""
+            ea, eb = order[idx], order[idx + 1]
+            fa, fb = ea % n_faces, eb % n_faces
+            flip = f[fa, ea // n_faces] == f[fb, eb // n_faces]
+            pa = np.searchsorted(offsets, fa, side="right") - 1
+            pb = np.searchsorted(offsets, fb, side="right") - 1
+            return pa, pb, flip
+
+        def solve(pa, pb, flip):
+            """Per-part flip parities satisfying the votes, or None on any
+            conflict (intra-part violation or inconsistent cycle)."""
+            same = pa == pb
+            if flip[same].any():
+                return None  # a part disagrees with itself: BFS territory
+            parent = list(range(n_parts))
+            parity = [0] * n_parts  # parity to root
+
+            def find2(x):
+                path = []
+                par = 0
+                while parent[x] != x:
+                    path.append(x)
+                    par ^= parity[x]
+                    x = parent[x]
+                acc = par
+                for node in path:  # compress
+                    old = parity[node]
+                    parent[node] = x
+                    parity[node] = acc
+                    acc ^= old
+                return x, par
+
+            packed = (pa[~same] * n_parts + pb[~same]) * 2 + flip[~same]
+            for v in np.unique(packed).tolist():
+                r = v & 1
+                k = v >> 1
+                a, b = k // n_parts, k % n_parts
+                ra, qa = find2(int(a))
+                rb, qb = find2(int(b))
+                if ra == rb:
+                    if (qa ^ qb) != r:
+                        return None  # conflicting votes: BFS territory
+                else:
+                    # anchor at the smaller root, matching the BFS's
+                    # lowest-face-index seeding under concatenation order
+                    if rb < ra:
+                        ra, rb = rb, ra
+                        qa, qb = qb, qa
+                    parent[rb] = ra
+                    parity[rb] = qa ^ qb ^ r
+            return np.array([find2(p)[1] for p in range(n_parts)], dtype=bool)
+
+        # sampled pre-check: a conflicted construction (a genuine winding
+        # seam, which the flagship stitch geometry produces) betrays itself
+        # in a few thousand votes — bail before paying the full pass
+        if len(s2) > 8192:
+            stride = len(s2) // 4096
+            if solve(*votes(s2[::stride])) is None:
+                return False
+        flips = solve(*votes(s2))
+        if flips is None:
+            return False
+        if flips.any():
+            newf = self.faces.copy()
+            for p in np.nonzero(flips)[0]:
+                lo, hi = offsets[p], offsets[p + 1]
+                newf[lo:hi] = newf[lo:hi][:, ::-1]
+            self.faces = newf
+            self._invalidate()
+        self._oriented = True
+        return True
+
     def fill_holes(self) -> bool:
-        """Fan-fill every boundary loop; returns True if watertight after."""
+        """Fan-fill every boundary loop; returns True if watertight after.
+
+        Boundary loops are traced in face winding order, so a consistent fan
+        must traverse each boundary edge in the OPPOSITE direction — the fans
+        are emitted pre-flipped, which is bit-identical to what the winding
+        BFS would produce (it seeds on an existing face and row-reverses
+        exactly these fans), and it lets a certified ``_oriented`` mesh stay
+        certified through the fill."""
         loops = self.boundary_loops()
         new_faces = []
         for loop in loops:
@@ -422,12 +561,14 @@ class Mesh:
             la = np.asarray(loop, dtype=np.int64)
             new_faces.append(
                 np.stack(
-                    [np.full(len(la) - 2, la[0], np.int64), la[1:-1], la[2:]],
+                    [la[2:], la[1:-1], np.full(len(la) - 2, la[0], np.int64)],
                     axis=1,
                 )
             )
         if new_faces:
+            was = getattr(self, "_oriented", False)
             self.faces = np.concatenate([self.faces, *new_faces], axis=0)
+            self._oriented = was  # pre-flipped fans preserve consistency
             self._invalidate()
         return self.is_watertight
 

@@ -108,6 +108,16 @@ def get_library() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_uint8),
             ]
             lib.mm_fix_winding.restype = None
+            try:  # absent in a pre-round-4 libmmio.so: callers fall back
+                lib.mm_fix_winding_ordered.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_uint8),
+                ]
+                lib.mm_fix_winding_ordered.restype = None
+            except AttributeError:
+                pass
             _dp = ctypes.POINTER(ctypes.c_double)
             _ip = ctypes.POINTER(ctypes.c_int64)
             try:  # absent in a pre-round-3 libmmio.so: callers fall back
@@ -237,6 +247,27 @@ def fix_winding_native(faces: np.ndarray):
     lib.mm_fix_winding(
         faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(faces),
+        flipped.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return flipped.astype(bool)
+
+
+def fix_winding_ordered_native(faces: np.ndarray, order: np.ndarray):
+    """Sort-free winding BFS: ``order`` is the argsort of the undirected
+    edge keys in block slot layout (``Mesh._edge_keys_sorted``'s cached
+    order).  Bit-identical flips to :func:`fix_winding_native` — the BFS
+    tail is shared and pair order is key order either way.  None when the
+    library lacks the symbol (pre-round-4 build)."""
+    lib = get_library()
+    if lib is None or not hasattr(lib, "mm_fix_winding_ordered"):
+        return None
+    faces = np.ascontiguousarray(faces, dtype=np.int64)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    flipped = np.zeros(len(faces), dtype=np.uint8)
+    lib.mm_fix_winding_ordered(
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(faces),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         flipped.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return flipped.astype(bool)

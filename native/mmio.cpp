@@ -494,32 +494,19 @@ void mm_ray_occlusion_grid(const double* origins, const double* directions,
 // BFS from each unvisited face flips neighbours traversing a shared edge in
 // the same direction.  Adjacency insertion order = undirected-edge-key sort
 // order, so flip decisions match the Python BFS bit for bit.
-void mm_fix_winding(const int64_t* faces, int64_t n_faces, uint8_t* out_flipped) {
-  if (n_faces == 0) return;
-  const int64_t n_edges = n_faces * 3;
-  struct Edge { int64_t key; int64_t fi; int64_t u; int64_t v; };
-  std::vector<Edge> edges(n_edges);
-  int64_t n_verts = 0;
-  for (int64_t i = 0; i < n_edges; i++) {
-    int64_t m = faces[i];
-    if (m + 1 > n_verts) n_verts = m + 1;
-  }
-  for (int64_t f = 0; f < n_faces; f++) {
-    const int64_t a = faces[f * 3], b = faces[f * 3 + 1], c = faces[f * 3 + 2];
-    const int64_t uv[3][2] = {{a, b}, {b, c}, {c, a}};
-    for (int k = 0; k < 3; k++) {
-      int64_t u = uv[k][0], v = uv[k][1];
-      int64_t lo = u < v ? u : v, hi = u < v ? v : u;
-      edges[f * 3 + k] = {lo * n_verts + hi, f, u, v};
-    }
-  }
-  std::stable_sort(edges.begin(), edges.end(),
-                   [](const Edge& x, const Edge& y) { return x.key < y.key; });
+struct WindEdge { int64_t key; int64_t fi; int64_t u; int64_t v; };
 
-  // manifold pairs in sorted order -> CSR adjacency preserving insertion order
+// Shared pair/adjacency/BFS tail over edges already sorted by undirected
+// key.  Pair-internal order is irrelevant (both adjacency entries of a
+// pair are written symmetrically to per-face slots), and the pair sequence
+// follows the key order, so any sort that groups equal keys contiguously
+// in ascending order yields identical flips.
+static void winding_bfs_sorted(const std::vector<WindEdge>& edges,
+                               int64_t n_faces, uint8_t* out_flipped) {
+  const int64_t n_edges = (int64_t)edges.size();
   struct Nb { int64_t fb; int64_t ua, va, ub, vb; };
   std::vector<int64_t> deg(n_faces + 1, 0);
-  std::vector<std::pair<Edge, Edge>> pairs;
+  std::vector<std::pair<WindEdge, WindEdge>> pairs;
   pairs.reserve(n_edges / 2);
   for (int64_t i = 0; i < n_edges;) {
     int64_t j = i + 1;
@@ -535,8 +522,8 @@ void mm_fix_winding(const int64_t* faces, int64_t n_faces, uint8_t* out_flipped)
   std::vector<Nb> adj(pairs.size() * 2);
   std::vector<int64_t> cur(deg.begin(), deg.end() - 1);
   for (const auto& pr : pairs) {
-    const Edge& ea = pr.first;
-    const Edge& eb = pr.second;
+    const WindEdge& ea = pr.first;
+    const WindEdge& eb = pr.second;
     adj[cur[ea.fi]++] = {eb.fi, ea.u, ea.v, eb.u, eb.v};
     adj[cur[eb.fi]++] = {ea.fi, eb.u, eb.v, ea.u, ea.v};
   }
@@ -561,6 +548,56 @@ void mm_fix_winding(const int64_t* faces, int64_t n_faces, uint8_t* out_flipped)
       }
     }
   }
+}
+
+void mm_fix_winding(const int64_t* faces, int64_t n_faces, uint8_t* out_flipped) {
+  if (n_faces == 0) return;
+  const int64_t n_edges = n_faces * 3;
+  std::vector<WindEdge> edges(n_edges);
+  int64_t n_verts = 0;
+  for (int64_t i = 0; i < n_edges; i++) {
+    int64_t m = faces[i];
+    if (m + 1 > n_verts) n_verts = m + 1;
+  }
+  for (int64_t f = 0; f < n_faces; f++) {
+    const int64_t a = faces[f * 3], b = faces[f * 3 + 1], c = faces[f * 3 + 2];
+    const int64_t uv[3][2] = {{a, b}, {b, c}, {c, a}};
+    for (int k = 0; k < 3; k++) {
+      int64_t u = uv[k][0], v = uv[k][1];
+      int64_t lo = u < v ? u : v, hi = u < v ? v : u;
+      edges[f * 3 + k] = {lo * n_verts + hi, f, u, v};
+    }
+  }
+  std::stable_sort(edges.begin(), edges.end(),
+                   [](const WindEdge& x, const WindEdge& y) { return x.key < y.key; });
+  winding_bfs_sorted(edges, n_faces, out_flipped);
+}
+
+// Sort-free variant: ``order`` is the caller's argsort of the undirected
+// edge keys in BLOCK slot layout (slot = k * n_faces + f for edge k of
+// face f, the layout of Mesh.edges / _edge_keys_sorted) — the sort the
+// Python side has usually already paid for (and caches).  Recomputing the
+// key per slot is O(n); equal keys are contiguous in ``order`` for any
+// injective packing, so the BFS tail sees the identical pair sequence.
+void mm_fix_winding_ordered(const int64_t* faces, int64_t n_faces,
+                            const int64_t* order, uint8_t* out_flipped) {
+  if (n_faces == 0) return;
+  const int64_t n_edges = n_faces * 3;
+  int64_t n_verts = 0;
+  for (int64_t i = 0; i < n_edges; i++) {
+    int64_t m = faces[i];
+    if (m + 1 > n_verts) n_verts = m + 1;
+  }
+  std::vector<WindEdge> edges(n_edges);
+  for (int64_t i = 0; i < n_edges; i++) {
+    const int64_t s = order[i];
+    const int64_t k = s / n_faces, f = s % n_faces;
+    const int64_t u = faces[f * 3 + k];
+    const int64_t v = faces[f * 3 + (k + 1) % 3];
+    const int64_t lo = u < v ? u : v, hi = u < v ? v : u;
+    edges[i] = {lo * n_verts + hi, f, u, v};
+  }
+  winding_bfs_sorted(edges, n_faces, out_flipped);
 }
 
 // ---------------------------------------------------------------------------

@@ -1249,6 +1249,136 @@ class TestOrientedFlag:
         check.fix_normals()
         np.testing.assert_array_equal(out.faces, check.faces)
 
+    def test_manual_hole_fill_fans_preserve_certification(self):
+        """Pre-flipped fans are consistent with the mesh they close: the
+        flag carries through a non-trivial fill and a forced BFS agrees."""
+        from multimodars_tpu.ccta import fixing_functions
+        from multimodars_tpu.ccta.mesh import Mesh
+
+        m = self._mesh()
+        m.update_faces(np.array([True] * 5 + [False]))  # open a hole
+        m.fix_normals()
+        assert m._oriented
+        out = fixing_functions.manual_hole_fill(m)
+        assert out._oriented  # certification survived the fill
+        check = Mesh(out.vertices.copy(), out.faces.copy())
+        check.fix_winding()  # fresh mesh: flag unset, full BFS runs
+        np.testing.assert_array_equal(out.faces, check.faces)
+
+    def test_fill_holes_fans_preserve_certification(self):
+        from multimodars_tpu.ccta.mesh import Mesh
+
+        m = self._mesh()
+        m.update_faces(np.array([True] * 5 + [False]))  # open a hole
+        m.fix_normals()
+        assert m._oriented
+        assert m.fill_holes()
+        assert m._oriented
+        check = Mesh(m.vertices.copy(), m.faces.copy())
+        check.fix_winding()
+        np.testing.assert_array_equal(m.faces, check.faces)
+
+    def test_ordered_native_bfs_matches_unordered(self):
+        """The sort-free native BFS fed the numpy edge argsort must return
+        the same flips as the self-sorting one, including on meshes with a
+        genuine winding conflict (seam) where traversal order matters."""
+        from multimodars_tpu.ccta.mesh import Mesh
+        from multimodars_tpu.io.native import (
+            fix_winding_native, fix_winding_ordered_native,
+        )
+
+        rng = np.random.default_rng(7)
+        cases = []
+        # random flip patterns on a tube
+        import math as _math
+        from multimodars import numpy_to_geometry
+        from multimodars_tpu._converters import geometry_to_trimesh
+        rows = []
+        for f in range(5):
+            for i in range(10):
+                th = 2 * _math.pi * i / 10
+                rows.append([f, _math.cos(th), _math.sin(th), float(f)])
+        tube = geometry_to_trimesh(numpy_to_geometry(np.array(rows)))
+        for _ in range(3):
+            faces = tube.faces.copy()
+            sel = rng.random(len(faces)) < 0.3
+            faces[sel] = faces[sel][:, ::-1]
+            cases.append((tube.vertices, faces))
+        # conflicted (unsatisfiable) construction: two fans sharing an
+        # edge traversed the same way
+        cases.append((
+            np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0], [0.5, 1, 0], [1.5, 1, 0]], float),
+            np.array([[0, 1, 3], [1, 3, 4], [1, 2, 4]]),
+        ))
+        for verts, faces in cases:
+            m = Mesh(verts, faces)
+            m._edge_keys_sorted()
+            ordered = fix_winding_ordered_native(
+                m.faces, m._cache["edge_key_order"]
+            )
+            plain = fix_winding_native(m.faces)
+            if ordered is None or plain is None:
+                pytest.skip("native library unavailable")
+            np.testing.assert_array_equal(ordered, plain)
+
+    def test_orient_concatenated_parts_matches_bfs(self):
+        """Part-granularity orientation must equal the full winding BFS on
+        a concatenation of internally consistent parts sharing edges."""
+        from multimodars_tpu.ccta.mesh import Mesh, concatenate
+
+        # two fans over a shared square edge row; part B built inverted
+        verts = np.array(
+            [[0, 0, 0], [1, 0, 0], [2, 0, 0], [0.5, 1, 0], [1.5, 1, 0]],
+            dtype=float,
+        )
+        part_a = Mesh(verts, np.array([[0, 1, 3], [1, 4, 3]]))
+        part_b = Mesh(verts, np.array([[1, 2, 4]])[:, ::-1])  # inverted
+        fused = concatenate([part_a, part_b])
+        fused.merge_vertices(digits=3)
+
+        ref = Mesh(fused.vertices.copy(), fused.faces.copy())
+        ref.fix_winding()
+
+        assert fused.orient_concatenated_parts([2, 1])
+        assert fused._oriented
+        np.testing.assert_array_equal(fused.faces, ref.faces)
+        # a fresh full BFS agrees nothing is left to flip
+        check = Mesh(fused.vertices.copy(), fused.faces.copy())
+        check.fix_winding()
+        np.testing.assert_array_equal(fused.faces, check.faces)
+
+    def test_orient_concatenated_parts_conflict_falls_back(self):
+        """An intra-part inconsistency must refuse certification."""
+        from multimodars_tpu.ccta.mesh import Mesh
+
+        verts = np.array(
+            [[0, 0, 0], [1, 0, 0], [2, 0, 0], [0.5, 1, 0], [1.5, 1, 0]],
+            dtype=float,
+        )
+        faces = np.array([[0, 1, 3], [1, 3, 4]])  # both traverse 1->3
+        m = Mesh(verts, faces)
+        before = m.faces.copy()
+        assert not m.orient_concatenated_parts([2])
+        assert not m._oriented
+        np.testing.assert_array_equal(m.faces, before)
+
+    def test_geometry_to_trimesh_certified(self):
+        import math as _math
+        from multimodars import numpy_to_geometry
+        from multimodars_tpu._converters import geometry_to_trimesh
+        from multimodars_tpu.ccta.mesh import Mesh
+
+        rows = []
+        for f in range(4):
+            for i in range(12):
+                th = 2 * _math.pi * i / 12
+                rows.append([f, _math.cos(th), _math.sin(th), float(f)])
+        mesh = geometry_to_trimesh(numpy_to_geometry(np.array(rows)))
+        assert mesh._oriented
+        check = Mesh(mesh.vertices.copy(), mesh.faces.copy())
+        check.fix_winding()  # full BFS on the quad strip flips nothing
+        np.testing.assert_array_equal(mesh.faces, check.faces)
+
 
 class TestFindIndicesSmall:
     """find_indices_small must match VertexLookup.find exactly, including

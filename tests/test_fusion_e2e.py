@@ -85,6 +85,8 @@ class TestFullFusionE2E:
         rca = _tube_mesh(_line(self.RCA_P0, self.RCA_P1, 25), 1.4, self.N_RING)
         lca = _tube_mesh(_line((42, 0, 14), (50, 2, -8), 25), 1.4, self.N_RING)
         mesh = concatenate([aorta, rca, lca])
+        # mirror the real input path (read_mesh runs fix_normals on load)
+        mesh.fix_normals()
 
         cl_ao = _line((36, 0, 20), (36, 0, 0), 50)
         cl_rca = _line(self.RCA_P0, self.RCA_P1, 60)
@@ -175,6 +177,55 @@ class TestFullFusionE2E:
         ccta.export_section_stl(results, type="rca", output_dir=tmp_path)
         assert (tmp_path / "all.stl").exists()
         assert (tmp_path / "rca.stl").exists()
+
+
+class TestCertifiedWindingBitIdentity:
+    """The construction-certified winding paths (quad-strip ``_oriented``,
+    pre-flipped fan fills) must produce a stitched mesh bit-identical to
+    forcing the full winding BFS at every ``fix_winding`` gate — the
+    certification is a skip of provable no-ops, never a semantic change."""
+
+    def _stitch_once(self):
+        import contextlib, io as _io
+
+        mesh, cl_ao, cl_rca, cl_lca, geom = TestFullFusionE2E._build_case(
+            TestFullFusionE2E
+        )
+        with contextlib.redirect_stdout(_io.StringIO()):
+            results, (rca_cl, _, ao_cl) = ccta.label(
+                mesh, cl_ao, cl_rca, cl_lca,
+                aligned_frames=geom.frames,
+                anomalous_rca=True, control_plot=False,
+            )
+            results = dict(results)
+            if not results["rca_removed_points"]:
+                ostium = np.asarray(TestFullFusionE2E.RCA_P0)
+                ao = np.asarray(results["aorta_points"])
+                near = np.linalg.norm(ao - ostium, axis=1) < 5.0
+                results["rca_removed_points"] = [tuple(p) for p in ao[near][:40]]
+            results = ccta.scale(results, rca_cl, ao_cl, geom.frames)
+            stitched = ccta.stitch(
+                results, geom,
+                region_remove=("anomalous_points",),
+                prox_start_mode="nearest_iv",
+                dist_start_mode="nearest_iv",
+            )
+        return stitched["mesh"]
+
+    def test_certified_matches_forced_bfs(self, monkeypatch):
+        certified = self._stitch_once()
+
+        orig = Mesh.fix_winding
+
+        def forced(self):
+            self._oriented = False  # drop every certification: full BFS
+            orig(self)
+
+        monkeypatch.setattr(Mesh, "fix_winding", forced)
+        full_bfs = self._stitch_once()
+
+        np.testing.assert_array_equal(certified.faces, full_bfs.faces)
+        np.testing.assert_array_equal(certified.vertices, full_bfs.vertices)
 
 
 class TestOverlappedIslandWave:
