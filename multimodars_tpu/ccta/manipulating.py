@@ -186,16 +186,21 @@ def _boundary_ring_indices(
     e = np.concatenate(
         [faces_arr[:, [0, 1]], faces_arr[:, [1, 2]], faces_arr[:, [2, 0]]]
     )
-    e = np.concatenate([e, e[:, ::-1]])  # both directions
-    # inside vertices with at least one outside neighbour
-    touches_out = e[outside[e[:, 1]], 0]
+    # inside vertices with at least one outside neighbour — check both
+    # endpoint roles instead of materialising the doubled (reversed) edge
+    # array (30 MB at clinical sizes)
+    touches_out = np.concatenate(
+        [e[outside[e[:, 1]], 0], e[outside[e[:, 0]], 1]]
+    )
     n = max(len(inside), int(e.max()) + 1)
     cand_mask = np.zeros(n, dtype=bool)
     cand_mask[touches_out] = True
     cand_mask &= inside[:n] if len(inside) >= n else np.pad(inside, (0, n - len(inside)))
     candidates = [int(i) for i in np.nonzero(cand_mask)[0]]
-    # ring subgraph: candidate->candidate edges only (deduplicated)
+    # ring subgraph: candidate->candidate edges only (deduplicated); the
+    # tiny subgraph is doubled here so the walk still sees both directions
     sub = e[cand_mask[e[:, 0]] & cand_mask[e[:, 1]]]
+    sub = np.concatenate([sub, sub[:, ::-1]])
     ring_adj: Dict[int, list] = {i: [] for i in candidates}
     if len(sub):
         keys = np.unique(sub[:, 0] * n + sub[:, 1])

@@ -50,7 +50,12 @@ class Mesh:
 
     @property
     def triangles(self) -> np.ndarray:
-        return self.vertices[self.faces]
+        # cached: the [F, 3, 3] gather is ~22 MB at clinical sizes and
+        # volume/face_normals interrogate it back to back; every vertex or
+        # face mutation already calls _invalidate
+        if "triangles" not in self._cache:
+            self._cache["triangles"] = self.vertices[self.faces]
+        return self._cache["triangles"]
 
     @property
     def triangles_center(self) -> np.ndarray:
