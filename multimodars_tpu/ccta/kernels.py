@@ -1619,9 +1619,6 @@ def occlusion_remove_mask(
     targets = np.tile(cor_targets, (len(cl_ao), 1))
     directions = targets - origins
 
-    v0 = jnp.asarray(tri[:, 0], dtype=dtype)
-    v1 = jnp.asarray(tri[:, 1], dtype=dtype)
-    v2 = jnp.asarray(tri[:, 2], dtype=dtype)
     faces_to_exclude = set()
     native = None
     if len(origins) * len(tri) <= _RAY_NATIVE_THRESHOLD:
@@ -1633,6 +1630,13 @@ def occlusion_remove_mask(
         faces_to_exclude.update(closest_face[n_hits >= 3].tolist())
     else:
         use_device = len(origins) * len(tri) > _RAY_NATIVE_THRESHOLD
+        if use_device:
+            # upload the triangle columns only on the device path — the
+            # native path above never reads them, and the transfer is paid
+            # over the ~15-30 MB/s tunnel
+            v0 = jnp.asarray(tri[:, 0], dtype=dtype)
+            v1 = jnp.asarray(tri[:, 1], dtype=dtype)
+            v2 = jnp.asarray(tri[:, 2], dtype=dtype)
         RAY_CHUNK = 4096 if use_device else max(1, 1_000_000 // max(len(tri), 1))
         for rs in range(0, len(origins), RAY_CHUNK):
             if use_device:
