@@ -781,14 +781,28 @@ def _min_sqdist_device(a: np.ndarray, b: np.ndarray):
             (start, len(blk), n_pad, _min_sqdist_block2(to_device(blk_padded, dtype), b_d))
         )
 
-    # one device-side concat per output stream -> one pull each instead of
-    # one round-trip per chunk
+    # one device-side concat across chunks, then ONE pull for both output
+    # streams: the argmin row rides along bitcast to the float dtype
+    # (exact — a bitcast preserves every bit; indices fit int32), so the
+    # tunnel pays a single round-trip instead of two serialized ones
     if len(handles) > 1:
-        ms_all = np.asarray(jnp.concatenate([h[3][0] for h in handles], axis=1))
-        g_all = np.asarray(jnp.concatenate([h[3][1] for h in handles]))
+        ms_cat = jnp.concatenate([h[3][0] for h in handles], axis=1)
+        g_cat = jnp.concatenate([h[3][1] for h in handles])
     else:
-        ms_all = np.asarray(handles[0][3][0])
-        g_all = np.asarray(handles[0][3][1])
+        ms_cat, g_cat = handles[0][3]
+    itemsize = jnp.dtype(ms_cat.dtype).itemsize
+    if itemsize >= 4:
+        idt = jnp.int32 if itemsize == 4 else jnp.int64
+        packed = jnp.concatenate(
+            [ms_cat, lax.bitcast_convert_type(g_cat.astype(idt), ms_cat.dtype)[None, :]],
+            axis=0,
+        )
+        flat = np.asarray(packed)
+        ms_all = flat[:2]
+        g_all = flat[2].view(np.int32 if itemsize == 4 else np.int64)
+    else:  # sub-4-byte compute dtype cannot carry indices: two pulls
+        ms_all = np.asarray(ms_cat)
+        g_all = np.asarray(g_cat)
 
     args = np.empty(len(a64), dtype=np.int64)
     ambiguous = np.zeros(len(a64), dtype=bool)

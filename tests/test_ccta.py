@@ -993,6 +993,27 @@ class TestMinSqdistTieParity:
         np.testing.assert_array_equal(args, [0, 1])  # 0.5 ties 0-vs-1 -> 0
         np.testing.assert_allclose(mins, [0.25, 1.0])
 
+    def test_device_path_matches_host(self):
+        """The chunked device pass (incl. the single packed pull carrying
+        the bitcast argmin row) must match the exact host scan bit for
+        bit, across multiple chunks and near-tie rows."""
+        from multimodars_tpu.ccta import kernels as K
+
+        rng = np.random.default_rng(11)
+        a = rng.normal(size=(5000, 3)) * 20.0
+        b = rng.normal(size=(1500, 3)) * 20.0
+        # inject exact ties and near-ties to stress the re-pick band
+        a[100] = b[7]
+        a[101] = (b[3] + b[9]) / 2.0
+        import unittest.mock as mock
+        with mock.patch.object(K, "_CHUNK", 2048):  # force 3 chunks
+            md, gd = K._min_sqdist_device(a, b)
+        mh, gh = K._min_sqdist_host(
+            np.ascontiguousarray(a), np.ascontiguousarray(b)
+        )
+        np.testing.assert_array_equal(gd, gh)
+        np.testing.assert_array_equal(md, mh)
+
 
 class TestResidentCounts:
     """Device-resident vertex counting (DeviceVerts): index-gathered waves
