@@ -1339,6 +1339,16 @@ def _b_side_tree(st):
     return tree
 
 
+def _ball_hits_flat(tree, queries: np.ndarray, radius: float) -> np.ndarray:
+    """Flat int64 array of all tree-point indices within ``radius`` of any
+    query (cKDTree.query_ball_point decode shared by the membership and
+    correction paths; closed-ball d <= r, the counting paths' decision)."""
+    hits = tree.query_ball_point(np.asarray(queries, dtype=np.float64), radius)
+    if len(hits) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate([np.asarray(h, dtype=np.int64) for h in hits])
+
+
 def _count_device_collect(state) -> np.ndarray:
     return _collect_device_counts([state])[0]
 
@@ -1686,8 +1696,11 @@ def occlusion_remove_mask(
         # serialized behind that wave's compute).  Same exact f64
         # d <= sqrt(0.5) decision as the counting paths.
         radius_t = math.sqrt(DISTANCE_THRESHOLD)
+        # the forced-resident test override bypasses the size gate so the
+        # membership branch stays exercisable on the CPU backend
+        forced = os.environ.get("MMTPU_CCTA_RESIDENT") == "1"
         if (
-            len(pts) > 400_000
+            (forced or len(pts) > 400_000)
             and dv is not None
             and pts_idx is not None
             and _resident_eligible(dv, len(pts_idx), len(excluded_vertices), radius_t)
@@ -1699,13 +1712,10 @@ def occlusion_remove_mask(
         else:
             from scipy.spatial import cKDTree
 
-            hits = cKDTree(pts).query_ball_point(excluded_vertices, radius_t)
             remove_mask = np.zeros(len(pts), dtype=bool)
-            if len(hits):
-                flat_hits = np.concatenate(
-                    [np.asarray(h, dtype=np.int64) for h in hits]
-                )
-                remove_mask[flat_hits] = True
+            remove_mask[
+                _ball_hits_flat(cKDTree(pts), excluded_vertices, radius_t)
+            ] = True
     else:
         remove_mask = np.zeros(len(pts), dtype=bool)
 

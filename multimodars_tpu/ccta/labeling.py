@@ -201,14 +201,13 @@ def label_geometry(
         # LCA row against the removed set.
         corr_idx = np.nonzero(rca_removed & ~lca_mask)[0]
         if len(corr_idx):
-            hits = _b_side_tree(island_states[1]).query_ball_point(
-                verts[corr_idx], 2.0
+            from .kernels import _ball_hits_flat
+
+            flat = _ball_hits_flat(
+                _b_side_tree(island_states[1]), verts[corr_idx], 2.0
             )
-            flat = np.concatenate(
-                [np.asarray(h, dtype=np.int64) for h in hits]
-            ) if len(hits) else np.zeros(0, dtype=np.int64)
             lca_ref = lca_ref + np.bincount(
-                flat.astype(np.int64), minlength=len(lca_idx)
+                flat, minlength=len(lca_idx)
             )[: len(lca_idx)]
     else:
         lca_idx = np.nonzero(lca_mask)[0]  # post-occlusion when anomalous_lca

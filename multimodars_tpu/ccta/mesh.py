@@ -43,6 +43,7 @@ class Mesh:
     def faces(self, value) -> None:
         self._faces = value
         self._oriented = False
+        self._edge_connected = False
 
     # -- derived quantities -------------------------------------------------
     def _invalidate(self) -> None:
@@ -125,9 +126,12 @@ class Mesh:
                 ])
             else:
                 keys = np.zeros(0, dtype=np.int64)
-            # introsort, not stable: the cached order is only ever consulted
-            # for multiplicity-1 keys (boundary_edges), whose original
-            # positions are unique — equal-key order is never observed
+            # introsort, not stable.  Consumers of the cached order must
+            # stay tie-order-independent: boundary_edges reads only
+            # multiplicity-1 keys (unique positions), and the winding BFS /
+            # orient_concatenated_parts treat the two edges of a manifold
+            # (multiplicity-2) pair symmetrically — nothing may start
+            # depending on the order WITHIN an equal-key run
             order = np.argsort(keys)
             self._cache["edge_key_order"] = order
             self._cache["edge_keys_sorted"] = (keys[order], keys)
@@ -152,6 +156,7 @@ class Mesh:
     def copy(self) -> "Mesh":
         out = Mesh(self.vertices.copy(), self.faces.copy())
         out._oriented = getattr(self, "_oriented", False)  # same faces
+        out._edge_connected = getattr(self, "_edge_connected", False)
         return out
 
     def __repr__(self) -> str:
@@ -337,14 +342,22 @@ class Mesh:
         remap[used] = np.arange(len(used))
         self.vertices = self.vertices[used]
         was = getattr(self, "_oriented", False)
+        was_conn = getattr(self, "_edge_connected", False)
         self.faces = remap[self.faces]
         self._oriented = was  # vertex reindexing preserves winding
+        self._edge_connected = was_conn
         self._invalidate()
 
     def update_faces(self, mask) -> None:
         was = getattr(self, "_oriented", False)
-        self.faces = self.faces[np.asarray(mask)]
+        was_conn = getattr(self, "_edge_connected", False)
+        mask = np.asarray(mask)
+        keeps_all = mask.dtype == bool and bool(mask.all())
+        self.faces = self.faces[mask]
         self._oriented = was  # a face SUBSET stays consistently wound
+        # connectivity survives only the identity subset (dropping faces
+        # can split a connected part)
+        self._edge_connected = was_conn and keeps_all
         self._invalidate()
 
     def unique_faces(self) -> np.ndarray:
@@ -383,8 +396,10 @@ class Mesh:
         (trimesh.repair.fix_inversion analog, multibody=False)."""
         if len(self.faces) and self.volume < 0.0:
             was = getattr(self, "_oriented", False)
+            was_conn = getattr(self, "_edge_connected", False)
             self.faces = self.faces[:, ::-1]
             self._oriented = was  # a whole-mesh flip preserves consistency
+            self._edge_connected = was_conn  # flips keep undirected topology
             self._invalidate()
 
     # -- repair -------------------------------------------------------------
@@ -437,17 +452,23 @@ class Mesh:
         ``part_face_counts``: face counts of the concatenated parts, in
         face order.  Preconditions the caller must guarantee: every part
         was individually certified consistent (``_oriented``) before
-        concatenation, and each non-anchor part is edge-connected within
-        itself.  The manifold-edge constraint system (flip XOR = shared
-        edge traversed in the same direction, exactly the BFS's flip rule)
-        is then solved over parts: parts union-find with parity, anchored
-        at the smallest part index of each group — the same anchor the BFS
-        takes, since concatenation order makes the lowest face index of any
-        face component belong to the smallest part present.  Intra-part
-        constraint violations (merge_vertices can pinch a part against
-        itself) or conflicting inter-part votes return ``False`` with the
-        mesh untouched — the caller falls back to the full BFS.  On
-        ``True`` the flips are applied and ``_oriented`` is set; a
+        concatenation, and every NON-ANCHOR part is edge-connected within
+        itself (``_edge_connected``) — an internally disconnected part
+        could have one sub-component bound to the anchor by votes and
+        another isolated, and the BFS would anchor the isolated piece
+        unflipped while a whole-part flip would invert it (caught by
+        review; the stitch caller gates on the carried flags).  The
+        manifold-edge constraint system (flip XOR = shared edge traversed
+        in the same direction, exactly the BFS's flip rule) is then solved
+        over parts: parts union-find with parity, anchored at the smallest
+        part index of each group — the same anchor the BFS takes, since
+        concatenation order makes the lowest face index of any face
+        component belong to the smallest part present (for edge-connected
+        non-anchor parts; anchor sub-components never flip either way).
+        Intra-part constraint violations (merge_vertices can pinch a part
+        against itself) or conflicting inter-part votes return ``False``
+        with the mesh untouched — the caller falls back to the full BFS.
+        On ``True`` the flips are applied and ``_oriented`` is set; a
         subsequent full BFS would flip nothing."""
         counts = np.asarray(part_face_counts, dtype=np.int64)
         n_faces = len(self.faces)
@@ -572,8 +593,10 @@ class Mesh:
             )
         if new_faces:
             was = getattr(self, "_oriented", False)
+            was_conn = getattr(self, "_edge_connected", False)
             self.faces = np.concatenate([self.faces, *new_faces], axis=0)
             self._oriented = was  # pre-flipped fans preserve consistency
+            self._edge_connected = was_conn  # adding faces never disconnects
             self._invalidate()
         return self.is_watertight
 

@@ -1368,6 +1368,32 @@ class TestOrientedFlag:
         check.fix_winding()
         np.testing.assert_array_equal(fused.faces, check.faces)
 
+    def test_disconnected_part_never_certifies_via_gate(self):
+        """Review repro: an internally edge-disconnected part can hide an
+        isolated sub-component the BFS would leave unflipped while a
+        whole-part flip inverts it — the connectivity flags must keep such
+        parts away from orient_concatenated_parts."""
+        from multimodars_tpu.ccta.manipulating import _faces_edge_connected
+
+        # two triangles sharing no edge: disconnected
+        assert not _faces_edge_connected(
+            np.array([[0, 1, 2], [3, 4, 5]])
+        )
+        # two triangles sharing edge 1-2: connected
+        assert _faces_edge_connected(np.array([[0, 1, 2], [2, 1, 3]]))
+        # single face: trivially connected
+        assert _faces_edge_connected(np.array([[0, 1, 2]]))
+
+    def test_update_faces_keeps_connectivity_only_for_identity(self):
+        from multimodars_tpu.ccta.mesh import Mesh
+
+        m = Mesh(np.eye(3), np.array([[0, 1, 2], [2, 1, 0]]))
+        m._edge_connected = True
+        m.update_faces(np.array([True, True]))
+        assert m._edge_connected  # identity subset: connectivity kept
+        m.update_faces(np.array([True, False]))
+        assert not m._edge_connected  # a real subset can split a part
+
     def test_orient_concatenated_parts_conflict_falls_back(self):
         """An intra-part inconsistency must refuse certification."""
         from multimodars_tpu.ccta.mesh import Mesh
