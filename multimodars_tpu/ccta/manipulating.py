@@ -224,7 +224,9 @@ def _rebuild_submesh(mesh: Mesh, keep_mask: np.ndarray) -> Tuple[Mesh, np.ndarra
 
 def _remap_region_indices(results: dict, old_mesh: Mesh, new_mesh: Mesh, remap: np.ndarray, cleared, boundary_idx_new):
     """Carry every region through a topology change via the index map."""
-    lookup = mesh_lookup(old_mesh)
+    # no eager lookup: get_idx serves valid index side channels directly
+    # and builds the (memoised) per-mesh lookup only on a miss
+    lookup = None
     updated = dict(results)
     updated["mesh"] = new_mesh
     invalidate_idx(updated)
