@@ -551,9 +551,6 @@ def geometry_to_trimesh(geometry: PyGeometry, contour_type=None):
     # (every shared edge is traversed once in each direction: b-d within a
     # quad, ring-neighbour and row-neighbour edges across quads), and the
     # whole-mesh flip above preserves that — certify it so the stitch's
-    # fix_normals skips the full winding BFS on the tube.  It is also
-    # edge-connected (quads chain along each ring and across rows), which
-    # the part-granularity orientation in the stitch requires.
+    # fix_normals skips the full winding BFS on the tube
     mesh._oriented = True
-    mesh._edge_connected = True
     return mesh

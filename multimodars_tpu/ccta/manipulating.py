@@ -566,40 +566,6 @@ def _fix_ring_direction_by_winding(boundary_pts: list, iv_pts) -> list:
     return boundary_pts
 
 
-def _faces_edge_connected(faces: np.ndarray) -> bool:
-    """True when the faces form one component of the manifold-edge face
-    graph (edges shared by exactly two faces — the winding BFS's
-    adjacency).  Used on tiny constructed patches only."""
-    n_faces = len(faces)
-    if n_faces <= 1:
-        return True
-    f = np.asarray(faces, dtype=np.int64)
-    nv = int(f.max()) + 1
-    keys = np.concatenate([
-        np.minimum(f[:, 0], f[:, 1]) * nv + np.maximum(f[:, 0], f[:, 1]),
-        np.minimum(f[:, 1], f[:, 2]) * nv + np.maximum(f[:, 1], f[:, 2]),
-        np.minimum(f[:, 2], f[:, 0]) * nv + np.maximum(f[:, 2], f[:, 0]),
-    ])
-    order = np.argsort(keys)
-    ks = keys[order]
-    new_run = np.r_[True, ks[1:] != ks[:-1]]
-    starts = np.nonzero(new_run)[0]
-    run_len = np.diff(np.append(starts, len(ks)))
-    s2 = starts[run_len == 2]
-    if len(s2) == 0:
-        return False
-    fa = order[s2] % n_faces
-    fb = order[s2 + 1] % n_faces
-    from scipy.sparse import coo_matrix
-    from scipy.sparse.csgraph import connected_components as _cc
-
-    graph = coo_matrix(
-        (np.ones(len(fa), dtype=np.int8), (fa, fb)), shape=(n_faces, n_faces)
-    )
-    n_comp, _ = _cc(graph, directed=False)
-    return n_comp == 1
-
-
 def _stitch_boundary_ring(
     boundary_pts: list,
     iv_pts,
@@ -651,12 +617,8 @@ def _stitch_boundary_ring(
     # the segment fans and bridges traverse every shared edge once in each
     # direction (fan-fan via iv->owner edges, fan-bridge via owner/mid
     # edges), so the patch is consistently wound by construction; the
-    # whole-mesh flip above preserves that.  Edge-connectivity is NOT
-    # guaranteed (consecutive segments can touch only at a vertex), so it
-    # is measured on the tiny patch — the part-granularity orientation in
-    # the caller requires it.
+    # whole-mesh flip above preserves that
     patch._oriented = True
-    patch._edge_connected = _faces_edge_connected(patch.faces)
     return patch
 
 
@@ -814,19 +776,15 @@ def stitch_ccta_to_intravascular(
     iv_surface.update_faces(iv_surface.nondegenerate_faces())
     _fast_fix_normals(iv_surface)
 
-    parts = [mesh, prox_patch, dist_patch, iv_surface]
-    fused = concatenate(parts)
+    # the fused winding BFS below is load-bearing and stays: the ring
+    # patches connect the mesh and tube with a construction-inherent
+    # parity seam (mesh->prox->tube vs mesh->dist->tube disagree, the
+    # same seam the reference's trimesh fix_normals resolves by BFS), and
+    # the patch segments touch only at vertices, so no whole-part flip
+    # scheme can replace the BFS here — it runs sort-free off the cached
+    # edge order instead (mm_fix_winding_ordered)
+    fused = concatenate([mesh, prox_patch, dist_patch, iv_surface])
     fused.merge_vertices(digits=3)  # trimesh.tol.merge = 0.001 analog
-    if all(getattr(p, "_oriented", False) for p in parts) and all(
-        getattr(p, "_edge_connected", False) for p in parts[1:]
-    ):
-        # every part is certified internally consistent AND every
-        # non-anchor part edge-connected (an internally split part could
-        # hide an isolated sub-component the BFS would leave unflipped),
-        # so the final winding BFS reduces to whole-part flips — resolve
-        # them now (off the cached edge sort is_watertight pays for
-        # anyway); on success _fast_fix_normals(fused) skips its BFS
-        fused.orient_concatenated_parts([len(p.faces) for p in parts])
     if not fused.is_watertight:
         fused.fill_holes()
     fused.update_faces(fused.unique_faces())

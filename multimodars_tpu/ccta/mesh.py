@@ -43,7 +43,6 @@ class Mesh:
     def faces(self, value) -> None:
         self._faces = value
         self._oriented = False
-        self._edge_connected = False
 
     # -- derived quantities -------------------------------------------------
     def _invalidate(self) -> None:
@@ -128,8 +127,8 @@ class Mesh:
                 keys = np.zeros(0, dtype=np.int64)
             # introsort, not stable.  Consumers of the cached order must
             # stay tie-order-independent: boundary_edges reads only
-            # multiplicity-1 keys (unique positions), and the winding BFS /
-            # orient_concatenated_parts treat the two edges of a manifold
+            # multiplicity-1 keys (unique positions), and the ordered
+            # winding BFS treats the two edges of a manifold
             # (multiplicity-2) pair symmetrically — nothing may start
             # depending on the order WITHIN an equal-key run
             order = np.argsort(keys)
@@ -156,7 +155,6 @@ class Mesh:
     def copy(self) -> "Mesh":
         out = Mesh(self.vertices.copy(), self.faces.copy())
         out._oriented = getattr(self, "_oriented", False)  # same faces
-        out._edge_connected = getattr(self, "_edge_connected", False)
         return out
 
     def __repr__(self) -> str:
@@ -358,22 +356,14 @@ class Mesh:
         remap[used] = np.arange(len(used))
         self.vertices = self.vertices[used]
         was = getattr(self, "_oriented", False)
-        was_conn = getattr(self, "_edge_connected", False)
         self.faces = remap[self.faces]
         self._oriented = was  # vertex reindexing preserves winding
-        self._edge_connected = was_conn
         self._invalidate()
 
     def update_faces(self, mask) -> None:
         was = getattr(self, "_oriented", False)
-        was_conn = getattr(self, "_edge_connected", False)
-        mask = np.asarray(mask)
-        keeps_all = mask.dtype == bool and bool(mask.all())
-        self.faces = self.faces[mask]
+        self.faces = self.faces[np.asarray(mask)]
         self._oriented = was  # a face SUBSET stays consistently wound
-        # connectivity survives only the identity subset (dropping faces
-        # can split a connected part)
-        self._edge_connected = was_conn and keeps_all
         self._invalidate()
 
     def unique_faces(self) -> np.ndarray:
@@ -412,10 +402,8 @@ class Mesh:
         (trimesh.repair.fix_inversion analog, multibody=False)."""
         if len(self.faces) and self.volume < 0.0:
             was = getattr(self, "_oriented", False)
-            was_conn = getattr(self, "_edge_connected", False)
             self.faces = self.faces[:, ::-1]
             self._oriented = was  # a whole-mesh flip preserves consistency
-            self._edge_connected = was_conn  # flips keep undirected topology
             self._invalidate()
 
     # -- repair -------------------------------------------------------------
@@ -460,132 +448,6 @@ class Mesh:
         self.fix_winding()
         self.fix_inversion()
 
-    def orient_concatenated_parts(self, part_face_counts) -> bool:
-        """Certify winding consistency of a concatenation of internally
-        consistent parts by flipping whole parts — the winding BFS
-        collapsed to part granularity.
-
-        ``part_face_counts``: face counts of the concatenated parts, in
-        face order.  Preconditions the caller must guarantee: every part
-        was individually certified consistent (``_oriented``) before
-        concatenation, and every NON-ANCHOR part is edge-connected within
-        itself (``_edge_connected``) — an internally disconnected part
-        could have one sub-component bound to the anchor by votes and
-        another isolated, and the BFS would anchor the isolated piece
-        unflipped while a whole-part flip would invert it (caught by
-        review; the stitch caller gates on the carried flags).  The
-        manifold-edge constraint system (flip XOR = shared edge traversed
-        in the same direction, exactly the BFS's flip rule) is then solved
-        over parts: parts union-find with parity, anchored at the smallest
-        part index of each group — the same anchor the BFS takes, since
-        concatenation order makes the lowest face index of any face
-        component belong to the smallest part present (for edge-connected
-        non-anchor parts; anchor sub-components never flip either way).
-        Intra-part constraint violations (merge_vertices can pinch a part
-        against itself) or conflicting inter-part votes return ``False``
-        with the mesh untouched — the caller falls back to the full BFS.
-        On ``True`` the flips are applied and ``_oriented`` is set; a
-        subsequent full BFS would flip nothing."""
-        counts = np.asarray(part_face_counts, dtype=np.int64)
-        n_faces = len(self.faces)
-        if counts.sum() != n_faces:
-            return False
-        n_parts = len(counts)
-        if n_parts == 0:
-            self._oriented = True
-            return True
-        offsets = np.concatenate([[0], np.cumsum(counts)])
-
-        ks, _ = self._edge_keys_sorted()
-        order = self._cache["edge_key_order"]
-        if len(ks) == 0:
-            self._oriented = True
-            return True
-        new_run = np.r_[True, ks[1:] != ks[:-1]]
-        starts = np.nonzero(new_run)[0]
-        run_len = np.diff(np.append(starts, len(ks)))
-        s2 = starts[run_len == 2]  # manifold edges only, like the BFS
-        if len(s2) == 0:
-            self._oriented = True
-            return True
-        f = self.faces
-
-        def votes(idx):
-            """(part_a, part_b, flip_needed) for the manifold pairs at run
-            starts ``idx``.  Directed first-vertex of edge slot e (block
-            layout) is f[e % F, e // F]; equal undirected keys + equal
-            first vertex <=> same direction (the BFS's flip rule)."""
-            ea, eb = order[idx], order[idx + 1]
-            fa, fb = ea % n_faces, eb % n_faces
-            flip = f[fa, ea // n_faces] == f[fb, eb // n_faces]
-            pa = np.searchsorted(offsets, fa, side="right") - 1
-            pb = np.searchsorted(offsets, fb, side="right") - 1
-            return pa, pb, flip
-
-        def solve(pa, pb, flip):
-            """Per-part flip parities satisfying the votes, or None on any
-            conflict (intra-part violation or inconsistent cycle)."""
-            same = pa == pb
-            if flip[same].any():
-                return None  # a part disagrees with itself: BFS territory
-            parent = list(range(n_parts))
-            parity = [0] * n_parts  # parity to root
-
-            def find2(x):
-                path = []
-                par = 0
-                while parent[x] != x:
-                    path.append(x)
-                    par ^= parity[x]
-                    x = parent[x]
-                acc = par
-                for node in path:  # compress
-                    old = parity[node]
-                    parent[node] = x
-                    parity[node] = acc
-                    acc ^= old
-                return x, par
-
-            packed = (pa[~same] * n_parts + pb[~same]) * 2 + flip[~same]
-            for v in np.unique(packed).tolist():
-                r = v & 1
-                k = v >> 1
-                a, b = k // n_parts, k % n_parts
-                ra, qa = find2(int(a))
-                rb, qb = find2(int(b))
-                if ra == rb:
-                    if (qa ^ qb) != r:
-                        return None  # conflicting votes: BFS territory
-                else:
-                    # anchor at the smaller root, matching the BFS's
-                    # lowest-face-index seeding under concatenation order
-                    if rb < ra:
-                        ra, rb = rb, ra
-                        qa, qb = qb, qa
-                    parent[rb] = ra
-                    parity[rb] = qa ^ qb ^ r
-            return np.array([find2(p)[1] for p in range(n_parts)], dtype=bool)
-
-        # sampled pre-check: a conflicted construction (a genuine winding
-        # seam, which the flagship stitch geometry produces) betrays itself
-        # in a few thousand votes — bail before paying the full pass
-        if len(s2) > 8192:
-            stride = len(s2) // 4096
-            if solve(*votes(s2[::stride])) is None:
-                return False
-        flips = solve(*votes(s2))
-        if flips is None:
-            return False
-        if flips.any():
-            newf = self.faces.copy()
-            for p in np.nonzero(flips)[0]:
-                lo, hi = offsets[p], offsets[p + 1]
-                newf[lo:hi] = newf[lo:hi][:, ::-1]
-            self.faces = newf
-            self._invalidate()
-        self._oriented = True
-        return True
-
     def fill_holes(self) -> bool:
         """Fan-fill every boundary loop; returns True if watertight after.
 
@@ -609,10 +471,8 @@ class Mesh:
             )
         if new_faces:
             was = getattr(self, "_oriented", False)
-            was_conn = getattr(self, "_edge_connected", False)
             self.faces = np.concatenate([self.faces, *new_faces], axis=0)
             self._oriented = was  # pre-flipped fans preserve consistency
-            self._edge_connected = was_conn  # adding faces never disconnects
             self._invalidate()
         return self.is_watertight
 

@@ -1342,73 +1342,6 @@ class TestOrientedFlag:
                 pytest.skip("native library unavailable")
             np.testing.assert_array_equal(ordered, plain)
 
-    def test_orient_concatenated_parts_matches_bfs(self):
-        """Part-granularity orientation must equal the full winding BFS on
-        a concatenation of internally consistent parts sharing edges."""
-        from multimodars_tpu.ccta.mesh import Mesh, concatenate
-
-        # two fans over a shared square edge row; part B built inverted
-        verts = np.array(
-            [[0, 0, 0], [1, 0, 0], [2, 0, 0], [0.5, 1, 0], [1.5, 1, 0]],
-            dtype=float,
-        )
-        part_a = Mesh(verts, np.array([[0, 1, 3], [1, 4, 3]]))
-        part_b = Mesh(verts, np.array([[1, 2, 4]])[:, ::-1])  # inverted
-        fused = concatenate([part_a, part_b])
-        fused.merge_vertices(digits=3)
-
-        ref = Mesh(fused.vertices.copy(), fused.faces.copy())
-        ref.fix_winding()
-
-        assert fused.orient_concatenated_parts([2, 1])
-        assert fused._oriented
-        np.testing.assert_array_equal(fused.faces, ref.faces)
-        # a fresh full BFS agrees nothing is left to flip
-        check = Mesh(fused.vertices.copy(), fused.faces.copy())
-        check.fix_winding()
-        np.testing.assert_array_equal(fused.faces, check.faces)
-
-    def test_disconnected_part_never_certifies_via_gate(self):
-        """Review repro: an internally edge-disconnected part can hide an
-        isolated sub-component the BFS would leave unflipped while a
-        whole-part flip inverts it — the connectivity flags must keep such
-        parts away from orient_concatenated_parts."""
-        from multimodars_tpu.ccta.manipulating import _faces_edge_connected
-
-        # two triangles sharing no edge: disconnected
-        assert not _faces_edge_connected(
-            np.array([[0, 1, 2], [3, 4, 5]])
-        )
-        # two triangles sharing edge 1-2: connected
-        assert _faces_edge_connected(np.array([[0, 1, 2], [2, 1, 3]]))
-        # single face: trivially connected
-        assert _faces_edge_connected(np.array([[0, 1, 2]]))
-
-    def test_update_faces_keeps_connectivity_only_for_identity(self):
-        from multimodars_tpu.ccta.mesh import Mesh
-
-        m = Mesh(np.eye(3), np.array([[0, 1, 2], [2, 1, 0]]))
-        m._edge_connected = True
-        m.update_faces(np.array([True, True]))
-        assert m._edge_connected  # identity subset: connectivity kept
-        m.update_faces(np.array([True, False]))
-        assert not m._edge_connected  # a real subset can split a part
-
-    def test_orient_concatenated_parts_conflict_falls_back(self):
-        """An intra-part inconsistency must refuse certification."""
-        from multimodars_tpu.ccta.mesh import Mesh
-
-        verts = np.array(
-            [[0, 0, 0], [1, 0, 0], [2, 0, 0], [0.5, 1, 0], [1.5, 1, 0]],
-            dtype=float,
-        )
-        faces = np.array([[0, 1, 3], [1, 3, 4]])  # both traverse 1->3
-        m = Mesh(verts, faces)
-        before = m.faces.copy()
-        assert not m.orient_concatenated_parts([2])
-        assert not m._oriented
-        np.testing.assert_array_equal(m.faces, before)
-
     def test_geometry_to_trimesh_certified(self):
         import math as _math
         from multimodars import numpy_to_geometry
