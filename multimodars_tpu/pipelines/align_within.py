@@ -966,6 +966,17 @@ def align_frames_in_geometries(
             pass
         delta_all = np.asarray(delta_all, dtype=np.float64)[:n_real]
 
+    # backstop: the prefetch dispatches already enqueue their
+    # device->host copies (io/build.py), but re-enqueue here so any
+    # future pending-producer that forgets still gets overlapped pulls
+    # instead of one blocking tunnel RTT per geometry
+    for pending in pendings:
+        if pending is not None:
+            try:
+                pending.copy_to_host_async()
+            except Exception:
+                pass
+
     results = []
     offset = 0
     for obj, tg, n_pairs, pending in zip(objects, tensors, pair_counts, pendings):
