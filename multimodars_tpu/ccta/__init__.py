@@ -67,12 +67,16 @@ def label(
 def scale(results: dict, cl_vessel, cl_aorta, aligned_frames) -> dict:
     """Scale the distal, aortic (+removed) and proximal regions by their
     optimal centerline-morphing factors.  Parity: ccta/__init__.py:134-225."""
+    # the aortic sweep is independent of the proximal/distal passes:
+    # dispatch it first (silently) so its device work and tunnel round-trip
+    # overlap the prox/dist NN + sweep launches; resolved in serial order
+    aortic_state = manipulating.find_aorta_scaling_start(
+        frames=aligned_frames, cl_aorta=cl_aorta, results=results
+    )
     prox_scaling, distal_scaling = manipulating.find_distal_and_proximal_scaling(
         frames=aligned_frames, centerline=cl_vessel, results=results
     )
-    aortic_scaling = manipulating.find_aorta_scaling(
-        frames=aligned_frames, cl_aorta=cl_aorta, results=results
-    )
+    aortic_scaling = manipulating.find_aorta_scaling_finish(aortic_state)
 
     # regions go in as vertex-index arrays (the results side channel) so
     # the morph never rebuilds a coordinate lookup over 100k+ vertices

@@ -746,13 +746,11 @@ _DEVICE_PAIR_THRESHOLD = int(os.environ.get("MMTPU_CCTA_DEVICE_PAIRS", 5_000_000
 _RAY_NATIVE_THRESHOLD = int(os.environ.get("MMTPU_CCTA_RAY_NATIVE_PAIRS", 1_000_000_000))
 
 
-def _min_sqdist_device(a: np.ndarray, b: np.ndarray):
-    """Device nearest-neighbour pass: N chunked, M padded to a 1024 bucket
-    with +inf sentinel rows.  Winning distances are recomputed exactly in
-    f64, and rows whose best and runner-up candidates fall within the f32
-    rounding band (a possible argmin flip vs the exact host scan) are
-    re-picked entirely on the host — results match the host path for every
-    input."""
+def _min_sqdist_device_start(a: np.ndarray, b: np.ndarray):
+    """Dispatch half of :func:`_min_sqdist_device`: enqueues the chunked
+    NN blocks and the packed pull WITHOUT blocking, so independent NN
+    passes can share one tunnel round-trip window.  Resolve with
+    :func:`_min_sqdist_device_finish`."""
     dtype = config.compute_dtype
     a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
     b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
@@ -797,12 +795,26 @@ def _min_sqdist_device(a: np.ndarray, b: np.ndarray):
             [ms_cat, lax.bitcast_convert_type(g_cat.astype(idt), ms_cat.dtype)[None, :]],
             axis=0,
         )
-        flat = np.asarray(packed)
+        pulls = (packed,)
+    else:  # sub-4-byte compute dtype cannot carry indices: two pulls
+        pulls = (ms_cat, g_cat)
+    for p in pulls:
+        p.copy_to_host_async()  # stream back as compute finishes
+    return (pulls, itemsize, handles, a64, b64, maxc, eps)
+
+
+def _min_sqdist_device_finish(state):
+    """Resolve half of :func:`_min_sqdist_device` — blocks on the packed
+    pull, certifies the low-precision argmin, and repairs ambiguous rows
+    exactly on the host."""
+    pulls, itemsize, handles, a64, b64, maxc, eps = state
+    if itemsize >= 4:
+        flat = np.asarray(pulls[0])
         ms_all = flat[:2]
         g_all = flat[2].view(np.int32 if itemsize == 4 else np.int64)
-    else:  # sub-4-byte compute dtype cannot carry indices: two pulls
-        ms_all = np.asarray(ms_cat)
-        g_all = np.asarray(g_cat)
+    else:
+        ms_all = np.asarray(pulls[0])
+        g_all = np.asarray(pulls[1])
 
     args = np.empty(len(a64), dtype=np.int64)
     ambiguous = np.zeros(len(a64), dtype=bool)
@@ -823,15 +835,38 @@ def _min_sqdist_device(a: np.ndarray, b: np.ndarray):
     return mins, args
 
 
+def _min_sqdist_device(a: np.ndarray, b: np.ndarray):
+    """Device nearest-neighbour pass: N chunked, M padded to a 1024 bucket
+    with +inf sentinel rows.  Winning distances are recomputed exactly in
+    f64, and rows whose best and runner-up candidates fall within the f32
+    rounding band (a possible argmin flip vs the exact host scan) are
+    re-picked entirely on the host — results match the host path for every
+    input."""
+    return _min_sqdist_device_finish(_min_sqdist_device_start(a, b))
+
+
 def min_sqdist(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Per-row min squared distance (and argmin) from a (N,3) to b (M,3)."""
+    return _min_sqdist_finish(_min_sqdist_start(a, b))
+
+
+def _min_sqdist_start(a: np.ndarray, b: np.ndarray):
+    """Dispatch half of :func:`min_sqdist`: device-sized inputs enqueue
+    without blocking; host-sized inputs compute eagerly (the host path has
+    no round-trip to overlap).  Resolve with :func:`_min_sqdist_finish`."""
     if len(a) == 0 or len(b) == 0:
-        return np.full(len(a), np.inf), np.zeros(len(a), dtype=np.int64)
+        return ("done", (np.full(len(a), np.inf), np.zeros(len(a), dtype=np.int64)))
     if len(a) * len(b) > _DEVICE_PAIR_THRESHOLD and len(b) > 128:
-        return _min_sqdist_device(a, b)
+        return ("device", _min_sqdist_device_start(a, b))
     a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
     b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
-    return _min_sqdist_host(a64, b64)
+    return ("done", _min_sqdist_host(a64, b64))
+
+
+def _min_sqdist_finish(state) -> Tuple[np.ndarray, np.ndarray]:
+    if state[0] == "device":
+        return _min_sqdist_device_finish(state[1])
+    return state[1]
 
 
 def _min_sqdist_host(a64: np.ndarray, b64: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -2143,18 +2178,19 @@ def _pad_rows(arr: np.ndarray, quantum: int):
     return out, mask
 
 
-def _grid_sweep_scaling(points: np.ndarray, reference: np.ndarray, cl_pos: np.ndarray) -> float:
-    """Sweep x in [-2, 2] step 0.1 of the morphing and keep the x minimising
-    the symmetric NN distance (strictly-less, first wins).
-    Parity: scale_coronary.rs:65-130 — the candidate axis and both NN
-    directions run as one batched device launch."""
+def _sweep_start(points: np.ndarray, reference: np.ndarray, cl_pos: np.ndarray):
+    """Dispatch half of :func:`_grid_sweep_scaling`: for device-sized
+    inputs the cost-table launch is enqueued here and NOT pulled, so
+    callers can overlap several sweeps' tunnel round-trips (the scale
+    stage runs three independent sweeps).  Returns an opaque state for
+    :func:`_sweep_finish`."""
     start, end, step = -2.0, 2.0, 0.1
     steps = int(round((end - start) / step))
     if len(points) == 0 or len(reference) == 0:
         # degenerate inputs: every candidate cost is inf — propagate the
         # sentinel like the host scan's never-firing strict < (the device
         # argmin would silently return xs[0] = -2.0)
-        return float("inf")
+        return ("inf",)
     # the nearest-centerline direction is scaling-invariant: precompute once
     _, nearest = min_sqdist(points, cl_pos)
     rel = points - cl_pos[nearest]
@@ -2178,7 +2214,20 @@ def _grid_sweep_scaling(points: np.ndarray, reference: np.ndarray, cl_pos: np.nd
                 ref_p.astype(np_dtype), rmask, xs.astype(np_dtype),
             )
         )
-        costs = np.asarray(_sweep_cost_table(*operands), dtype=np.float64)
+        handle = _sweep_cost_table(*operands)
+        handle.copy_to_host_async()  # stream back as compute finishes
+        return ("device", handle, xs, points, unit, reference)
+    return ("host", xs, points, unit, reference)
+
+
+def _sweep_finish(state) -> float:
+    """Resolve half of :func:`_grid_sweep_scaling` — pulls the device cost
+    table (or runs the host scan) and re-evaluates the winner exactly."""
+    if state[0] == "inf":
+        return float("inf")
+    if state[0] == "device":
+        _, handle, xs, points, unit, reference = state
+        costs = np.asarray(handle, dtype=np.float64)
         # certify the low-precision argmin: any candidate whose device cost
         # sits within the rounding band of the minimum is re-evaluated
         # exactly in f64; the true argmin is provably among them and the
@@ -2186,26 +2235,27 @@ def _grid_sweep_scaling(points: np.ndarray, reference: np.ndarray, cl_pos: np.nd
         cmin = float(costs.min())
         band = 2.0 * cmin * 1e-4 + 1e-12
         cand = np.nonzero(costs <= cmin + band)[0]
-        best_x = float("inf")
-        min_dist = float("inf")
-        for k in cand.tolist():
-            x = float(xs[k])
-            moved = points + unit * x
-            dist = _symmetric_nn_distance(reference, moved)
-            if dist < min_dist:
-                min_dist = dist
-                best_x = x
-        return best_x
-
+        iter_xs = [float(xs[k]) for k in cand.tolist()]
+    else:
+        _, xs, points, unit, reference = state
+        iter_xs = xs.tolist()
     best_x = float("inf")
     min_dist = float("inf")
-    for x in xs.tolist():
+    for x in iter_xs:
         moved = points + unit * x
         dist = _symmetric_nn_distance(reference, moved)
         if dist < min_dist:
             min_dist = dist
             best_x = x
     return best_x
+
+
+def _grid_sweep_scaling(points: np.ndarray, reference: np.ndarray, cl_pos: np.ndarray) -> float:
+    """Sweep x in [-2, 2] step 0.1 of the morphing and keep the x minimising
+    the symmetric NN distance (strictly-less, first wins).
+    Parity: scale_coronary.rs:65-130 — the candidate axis and both NN
+    directions run as one batched device launch."""
+    return _sweep_finish(_sweep_start(points, reference, cl_pos))
 
 
 def find_proximal_distal_scaling(
@@ -2224,13 +2274,46 @@ def find_proximal_distal_scaling(
     dist_ref = _as_array(distal_reference)
     cl_pos = centerline.positions()
 
-    prox_pts, remaining = _find_region_points(anomalous, prox_ref, n_proximal)
-    dist_pts, _ = _find_region_points(remaining, dist_ref, n_distal)
+    # the NN pass is row-independent, so the distal pick's distances are
+    # computed over the FULL anomalous set and restricted to the remaining
+    # rows after the pull — exact, and it lets both device launches (and
+    # later both sweep launches) share one tunnel round-trip window
+    # instead of serializing four round-trips
+    prox_live = len(anomalous) and len(prox_ref) and n_proximal
+    dist_live = len(anomalous) and len(dist_ref) and n_distal
+    h_prox = _min_sqdist_start(anomalous, prox_ref) if prox_live else None
+    h_dist = _min_sqdist_start(anomalous, dist_ref) if dist_live else None
 
-    return (
-        _grid_sweep_scaling(prox_pts, prox_ref, cl_pos),
-        _grid_sweep_scaling(dist_pts, dist_ref, cl_pos),
-    )
+    if prox_live:
+        d2_prox, _ = _min_sqdist_finish(h_prox)
+        prox_pts, keep = _region_pick_from_d2(anomalous, d2_prox, n_proximal)
+        remaining_rows = ~keep
+    else:
+        prox_pts = np.zeros((0, 3))
+        remaining_rows = np.ones(len(anomalous), dtype=bool)
+    if dist_live and remaining_rows.any():
+        d2_dist, _ = _min_sqdist_finish(h_dist)
+        dist_pts, _ = _region_pick_from_d2(
+            anomalous[remaining_rows], d2_dist[remaining_rows], n_distal
+        )
+    else:
+        dist_pts = np.zeros((0, 3))
+
+    s_prox = _sweep_start(prox_pts, prox_ref, cl_pos)
+    s_dist = _sweep_start(dist_pts, dist_ref, cl_pos)
+    return _sweep_finish(s_prox), _sweep_finish(s_dist)
+
+
+def _region_pick_from_d2(arr: np.ndarray, d2: np.ndarray, n_points: int):
+    """:func:`_find_region_points` selection from precomputed distances:
+    n closest rows (distance, then index — the reference's stable order),
+    plus the selected-row mask."""
+    order = np.lexsort((np.arange(len(d2)), d2))
+    take = min(n_points, len(arr))
+    selected = order[:take]
+    mask = np.zeros(len(arr), dtype=bool)
+    mask[selected] = True
+    return arr[selected], mask
 
 
 def _find_region_points(anomalous: np.ndarray, reference: np.ndarray, n_points: int):
@@ -2254,9 +2337,26 @@ def find_aortic_scaling(
 ) -> float:
     """Grid sweep of the aortic morphing.  Parity:
     centerline_based_aortic_diameter_optimization (scale_coronary.rs:65-88)."""
-    return _grid_sweep_scaling(
+    return _sweep_finish(find_aortic_scaling_start(
+        intramural_points, reference_points, centerline
+    ))
+
+
+def find_aortic_scaling_start(
+    intramural_points: Sequence[Coords3],
+    reference_points: Sequence[Coords3],
+    centerline: PyCenterline,
+):
+    """Dispatch half of :func:`find_aortic_scaling` (resolve with
+    :func:`find_aortic_scaling_finish`) — lets the scale stage overlap the
+    aortic sweep with the proximal/distal passes."""
+    return _sweep_start(
         _as_array(intramural_points), _as_array(reference_points), centerline.positions()
     )
+
+
+def find_aortic_scaling_finish(state) -> float:
+    return _sweep_finish(state)
 
 
 def find_aortic_wall_scaling(

@@ -418,13 +418,38 @@ def find_distal_and_proximal_scaling(
 def find_aorta_scaling(frames, cl_aorta, results: dict) -> float:
     """Optimal aortic radial scaling vs reconstructed wall points.
     Parity: manipulating.py:308-349."""
-    reference_points = _extract_wall_from_frames(frames)
-    if reference_points is None:
-        raise ValueError("No aortic wall points found in frames for scaling reference")
-    print("searching aortic radial scaling factor...")
-    scaling = _kernel_find_aortic_scaling(
-        results["rca_removed_points"], reference_points, cl_aorta
+    return find_aorta_scaling_finish(
+        find_aorta_scaling_start(frames, cl_aorta, results)
     )
+
+
+def find_aorta_scaling_start(frames, cl_aorta, results: dict):
+    """Dispatch half of :func:`find_aorta_scaling`: enqueues the device
+    sweep silently so the scale stage can overlap it with the
+    proximal/distal passes.  Any extraction error is re-raised at finish
+    time, keeping the sequential orchestration's error ordering."""
+    from .kernels import find_aortic_scaling_start as _start
+
+    try:
+        reference_points = _extract_wall_from_frames(frames)
+        if reference_points is None:
+            raise ValueError(
+                "No aortic wall points found in frames for scaling reference"
+            )
+        return ("ok", _start(
+            results["rca_removed_points"], reference_points, cl_aorta
+        ))
+    except Exception as exc:  # surfaced at finish, like the serial order
+        return ("err", exc)
+
+
+def find_aorta_scaling_finish(state) -> float:
+    from .kernels import find_aortic_scaling_finish as _finish
+
+    if state[0] == "err":
+        raise state[1]
+    print("searching aortic radial scaling factor...")
+    scaling = _finish(state[1])
     print(f"  aortic {np.round(scaling, 2)} mm")
     return scaling
 
