@@ -33,6 +33,13 @@ def label(
     vessels) partition the coronary region into proximal / anomalous /
     distal sub-regions using the aligned intravascular frames.
     Parity: ccta/__init__.py:20-133."""
+    # label_anomalous_region's store immediately overwrites the anomalous
+    # vessel's region and the aorta complement, so (when no control plot
+    # reads them in between) their public tuple lists need not materialise
+    # in label_geometry's store — the index side channel carries them
+    defer = ()
+    if (anomalous_rca or anomalous_lca) and not control_plot:
+        defer = ("aorta_points", "rca_points" if anomalous_rca else "lca_points")
     results, (rca_cl, lca_cl, ao_cl) = labeling.label_geometry(
         path_ccta_geometry,
         path_centerline_aorta,
@@ -45,6 +52,7 @@ def label(
         bounding_sphere_radius_mm,
         tolerance_float,
         control_plot,
+        _defer_keys=defer,
     )
 
     if anomalous_rca or anomalous_lca:

@@ -10,6 +10,8 @@ coordinate-tuple sets, so every set operation is a boolean-mask pass.
 
 from __future__ import annotations
 
+import os
+import threading
 from typing import Any, Dict, Tuple
 
 import numpy as np
@@ -112,6 +114,7 @@ def label_geometry(
     bounding_sphere_radius_mm: float = 3.0,
     tolerance_float: float = 1e-6,
     control_plot: bool = True,
+    _defer_keys: Tuple[str, ...] = (),
 ) -> Tuple[Dict[str, Any], Tuple[PyCenterline, PyCenterline, PyCenterline]]:
     """Label CCTA mesh vertices as aorta / RCA / LCA.
 
@@ -128,15 +131,33 @@ def label_geometry(
 
     # one vertex upload for the whole stage: the tunnel moves ~15-30 MB/s,
     # so every later count wave ships int32 indices instead of point subsets
-    dv = DeviceVerts(verts)
-    if _resident_eligible(dv, n, max(len(cl_rca.points), len(cl_lca.points)),
-                          bounding_sphere_radius_mm):
+    if os.environ.get("MMTPU_CCTA_RESIDENT") == "1":
+        # forced-resident (tests exercise the device orchestration on CPU)
+        dv = DeviceVerts(verts)
         rca_mask, lca_mask = bounded_masks_resident(
             dv, [cl_rca, cl_lca], bounding_sphere_radius_mm
         )
     else:
+        # The bounded masks' centerline sides are tiny (~10^2 points), so the
+        # exact-f64 host sweep finishes inside the time the vertex upload —
+        # the stage's largest single transfer — takes to stream; run the
+        # upload in a background thread and keep the critical path on host.
+        dv_box: Dict[str, Any] = {}
+
+        def _upload():
+            try:
+                dv_box["dv"] = DeviceVerts(verts)
+            except BaseException as e:  # re-raised on join below
+                dv_box["err"] = e
+
+        th = threading.Thread(target=_upload, name="mmtpu-dv-upload")
+        th.start()
         rca_mask = centerline_bounded_mask(cl_rca, verts, bounding_sphere_radius_mm)
         lca_mask = centerline_bounded_mask(cl_lca, verts, bounding_sphere_radius_mm)
+        th.join()
+        if "err" in dv_box:
+            raise dv_box["err"]
+        dv = dv_box["dv"]
     print(f"bounded: RCA {int(rca_mask.sum())} | LCA {int(lca_mask.sum())}")
 
     rca_removed = np.zeros(n, dtype=bool)
@@ -235,21 +256,27 @@ def label_geometry(
     from .regions import set_device_verts
 
     set_device_verts(results, dv)
-    store_regions(
-        results,
-        {
-            "aorta_points": np.nonzero(labels == _AORTA)[0],
-            "rca_points": np.nonzero(labels == _RCA)[0],
-            "lca_points": np.nonzero(labels == _LCA)[0],
-            "rca_removed_points": np.nonzero(labels == _RCA_REMOVED)[0],
-            "lca_removed_points": np.nonzero(labels == _LCA_REMOVED)[0],
-        },
+    regions = {
+        "aorta_points": np.nonzero(labels == _AORTA)[0],
+        "rca_points": np.nonzero(labels == _RCA)[0],
+        "lca_points": np.nonzero(labels == _LCA)[0],
+        "rca_removed_points": np.nonzero(labels == _RCA_REMOVED)[0],
+        "lca_removed_points": np.nonzero(labels == _LCA_REMOVED)[0],
+    }
+    # _defer_keys: regions the orchestrator (ccta.label) knows the immediately
+    # following label_anomalous_region store will overwrite — building their
+    # ~100k-tuple public lists here is pure waste; the index side channel
+    # stays authoritative until that store materialises them
+    materialize = (
+        None if not _defer_keys
+        else [k for k in regions if k not in _defer_keys]
     )
+    store_regions(results, regions, materialize=materialize)
     for key in (
         "aorta_points", "rca_points", "lca_points",
         "rca_removed_points", "lca_removed_points",
     ):
-        print(f"{key}: {len(results[key])}")
+        print(f"{key}: {len(regions[key])}")
 
     if control_plot:
         shown = ("aorta_points", "rca_points", "lca_points",

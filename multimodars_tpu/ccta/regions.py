@@ -224,6 +224,11 @@ def get_idx(
     side = results.get(_IDX_KEY)
     if side is not None and results.get(_IDX_MESH_KEY) is mesh and key in side:
         idx = side[key]
+        if key not in results:
+            # deferred materialization (store_regions with a materialize
+            # subset): no public list exists yet, so no user edit is
+            # possible — the side channel is authoritative
+            return idx
         # guard against callers replacing or editing the public tuple list
         # directly (reference semantics allow it): the side channel is only
         # trusted when the list is the very object store_regions wrote
