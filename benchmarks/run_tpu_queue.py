@@ -84,9 +84,34 @@ def main() -> None:
     _run([py, "benchmarks/benchmark_ccta_fusion.py", "5", "2" if quick else "3", "1"], timeout=2700)
     ratchet(_RESULTS / "ccta_fusion_scale5.json", "total_s")
 
-    # 3. north star (ratcheted on seconds_median; history appends inside)
+    # 3. north star (ratcheted on seconds_median; history appends inside).
+    # A restored (non-improving) run still contributes its (median, max) to
+    # the committed file's runs_history — the cross-session worst-case
+    # evidence is the point of that field, and discarding honest slow-phase
+    # draws would bias it toward lucky ones.
+    north = _RESULTS / "north_star.json"
     _run([py, "benchmarks/benchmark_north_star.py"], timeout=1800)
-    ratchet(_RESULTS / "north_star.json", "seconds_median")
+    try:
+        fresh_entry = {
+            k: json.loads(north.read_text()).get(k)
+            for k in ("seconds_median", "seconds_max")
+        }
+    except Exception:
+        fresh_entry = None
+    ratchet(north, "seconds_median")
+    if fresh_entry and fresh_entry.get("seconds_median") is not None:
+        try:
+            kept = json.loads(north.read_text())
+            hist = kept.get("runs_history", [])
+            if fresh_entry not in hist and fresh_entry != {
+                "seconds_median": kept.get("seconds_median"),
+                "seconds_max": kept.get("seconds_max"),
+            }:
+                kept["runs_history"] = (hist + [fresh_entry])[-9:]
+                north.write_text(json.dumps(kept, indent=2))
+                print(f"north-star history += {fresh_entry}")
+        except Exception:
+            pass
 
     if not quick:
         # 4. stepsize curve (ratcheted on the 0.1-deg optimized seconds)
@@ -98,6 +123,8 @@ def main() -> None:
             f = fresh.get("seconds", {}).get("optimized", {}).get("0.1")
             if b is not None and f is not None and f >= b:
                 _restore(_RESULTS / "bruteforce_stepsize.json")
+                # the figure is rendered from the json: restore it together
+                _restore(_RESULTS / "bruteforce_stepsize.png")
                 print(f"ratchet: stepsize 0.1deg {f} not better than {b} -> restored")
             else:
                 print(f"ratchet: stepsize 0.1deg {b} -> {f} KEPT")
