@@ -1387,3 +1387,26 @@ class TestFindIndicesSmall:
 
         assert find_indices_small(np.zeros((0, 3)), np.ones((2, 3))).tolist() == [-1, -1]
         assert len(find_indices_small(np.ones((5, 3)), np.zeros((0, 3)))) == 0
+
+
+class TestCenterlineDiameterMorphing:
+    """Kernel-level morphing parity (scale_coronary.rs:405-491)."""
+
+    def test_moves_point_radially_outward(self):
+        # scale_coronary.rs:414-460 — (1,1,0) is nearest to cl point (1,0,0);
+        # +1 mm moves it along the radial direction to (1,2,0)
+        from multimodars_tpu.ccta.kernels import adjust_diameter_centerline_morphing_simple
+
+        cl = numpy_to_centerline(np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]]))
+        out = adjust_diameter_centerline_morphing_simple(cl, [(1.0, 1.0, 0.0)], 1.0)
+        assert len(out) == 1
+        assert np.allclose(out[0], (1.0, 2.0, 0.0), atol=1e-6)
+
+    def test_negative_adjustment_moves_toward_centerline(self):
+        # scale_coronary.rs:462-489 — -0.5 mm pulls (2,0,0) halfway toward
+        # the single centerline point at the origin's radial unit
+        from multimodars_tpu.ccta.kernels import adjust_diameter_centerline_morphing_simple
+
+        cl = numpy_to_centerline(np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]]))
+        out = adjust_diameter_centerline_morphing_simple(cl, [(2.0, 0.0, 0.0)], -0.5)
+        assert np.allclose(out[0], (1.5, 0.0, 0.0), atol=1e-6)

@@ -188,3 +188,115 @@ class TestWalkCenterlineSlices:
             z = contour.xyz_view()[:, 2]
             if len(z):
                 assert z.std() < 0.02  # jitter (0.01 amplitude) flattened
+
+    def test_voronoi_no_cross_contamination(self):
+        # projecting.rs:427-457 — two rings at z=0 and z=20 on a straight
+        # centerline must land in separate slices
+        cl = PyCenterline(
+            [
+                PyCenterlinePoint(PyContourPoint(0, 0, 0.0, 0.0, 0.0, False), (0.0, 0.0, 1.0)),
+                PyCenterlinePoint(PyContourPoint(0, 1, 0.0, 0.0, 20.0, False), (0.0, 0.0, 1.0)),
+            ]
+        )
+        cloud = self._cloud_around([0.0], radius=3.0, n_ring=8)
+        cloud += self._cloud_around([20.0], radius=3.0, n_ring=8)
+        slices = walk_centerline_slices(cl, cloud, 0, step_size=20.0)
+        assert len(slices) == 2
+        for p in slices[0].xyz_view():
+            assert abs(p[2]) < 1.0
+        for p in slices[1].xyz_view():
+            assert abs(p[2] - 20.0) < 1.0
+
+    def _arc_cl(self, n=8, r=10.0):
+        # quarter circle in the xz plane with analytic tangents
+        pts = []
+        for i in range(n):
+            t = (math.pi / 2.0) * i / (n - 1)
+            cp = PyContourPoint(0, i, r * math.cos(t), 0.0, r * math.sin(t), False)
+            pts.append(PyCenterlinePoint(cp, (-math.sin(t), 0.0, math.cos(t))))
+        return pts
+
+    def test_walk_curved_centerline_points_on_planes(self):
+        # projecting.rs:459-520 — slices of a curved centerline contain only
+        # points lying exactly on their own anchor's perpendicular plane
+        n, r, step = 8, 10.0, 2.0
+        cl_pts = self._arc_cl(n, r)
+        cl = PyCenterline(cl_pts)
+        rng = np.random.default_rng(31)
+        cloud = []
+        for p in cl_pts:
+            c = p.contour_point
+            ring = np.asarray(self._cloud_around([0.0], radius=2.0, n_ring=7))
+            ring += rng.uniform(-0.3, 0.3, ring.shape)
+            cloud += [(x + c.x, y + c.y, z + c.z) for x, y, z in ring]
+        slices = walk_centerline_slices(cl, cloud, 0, step_size=step)
+
+        # expected anchor count: floor(arc / step) + 1
+        pos = np.array([[p.contour_point.x, p.contour_point.y, p.contour_point.z] for p in cl_pts])
+        tan = np.array([p.tangent for p in cl_pts])
+        seg = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        total = float(cum[-1])
+        expected = int(total // step) + 1
+        assert len(slices) == expected
+
+        # recompute the anchors with the same arc-length interpolation and
+        # assert every projected point sits on its anchor plane
+        for k, contour in enumerate(slices):
+            target = k * step
+            si = min(max(int(np.searchsorted(cum, target, side="right")) - 1, 0), len(pos) - 2)
+            t = (target - cum[si]) / (cum[si + 1] - cum[si])
+            a_pos = pos[si] + t * (pos[si + 1] - pos[si])
+            a_tan = tan[si] * (1 - t) + tan[si + 1] * t
+            a_tan /= np.linalg.norm(a_tan)
+            xyz = contour.xyz_view()
+            assert len(xyz) > 0
+            d = (xyz - a_pos) @ a_tan
+            assert np.abs(d).max() < 1e-9
+
+
+class TestPlaneProjection:
+    """Projection properties through the walk's single-anchor case
+    (projecting.rs:299-341)."""
+
+    def _single_anchor_cl(self, origin, tangent, length=20.0):
+        t = np.asarray(tangent, dtype=float)
+        t /= np.linalg.norm(t)
+        p1 = np.asarray(origin, dtype=float) + length * t
+        return PyCenterline(
+            [
+                PyCenterlinePoint(
+                    PyContourPoint(0, 0, origin[0], origin[1], origin[2], False), tuple(t)
+                ),
+                PyCenterlinePoint(PyContourPoint(0, 1, p1[0], p1[1], p1[2], False), tuple(t)),
+            ]
+        )
+
+    def test_projection_is_idempotent(self):
+        # projecting.rs:299-309 — projecting an already-projected cloud again
+        # leaves every point unchanged
+        cl = self._single_anchor_cl((1.0, 2.0, 3.0), (1.0, 1.0, 1.0))
+        cloud = [(4.0, 5.0, 7.0), (0.0, -2.0, 9.0), (1.5, 2.5, 3.5)]
+        once = walk_centerline_slices(cl, cloud, 0, step_size=100.0)[0].xyz_view()
+        twice = walk_centerline_slices(
+            cl, [tuple(p) for p in once], 0, step_size=100.0
+        )[0].xyz_view()
+        assert np.abs(once - twice).max() < 1e-10
+
+    def test_tilted_normal_projection(self):
+        # projecting.rs:325-341 — every projected point lies on the plane of
+        # a 45-degree-tilted anchor normal
+        sq2 = math.sqrt(2.0) / 2.0
+        tangent = np.array([sq2, 0.0, sq2])
+        cl = self._single_anchor_cl((0.0, 0.0, 0.0), tangent)
+        cloud = [
+            (1.0, 0.0, 1.0),
+            (-1.0, 0.0, -1.0),
+            (0.0, 2.0, 0.0),
+            (1.0, -1.5, 0.5),
+            (0.5, 0.5, -0.5),
+        ]
+        proj = walk_centerline_slices(cl, cloud, 0, step_size=100.0)[0].xyz_view()
+        assert len(proj) == len(cloud)
+        dist = proj @ tangent  # plane passes through the origin
+        assert np.abs(dist).max() < 1e-10

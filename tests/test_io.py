@@ -198,3 +198,32 @@ def test_read_centerline_vtp_picks_longest_by_arc_length_not_point_count(tmp_pat
     assert len(cl.branch_start_indices) == 2
     b0_len = cl.branch_start_indices[1] - cl.branch_start_indices[0]
     assert b0_len == len(line_a)
+
+
+def test_build_contour_attaches_measurements_for_lumen():
+    # contour.rs:482-510 — a Record's measurement_1/2 become the lumen
+    # contour's aortic/pulmonary thickness
+    from multimodars_tpu.io.build import build_contours_with_mapping
+    from multimodars_tpu.models.record import PyRecord
+
+    pts = [PyContourPoint(1, 0, 0.0, 0.0, 0.0, False)]
+    records = [PyRecord(1, "systolic", 1.23, 4.56)]
+    contours = build_contours_with_mapping(pts, records, "Lumen", {1: 0})
+    assert len(contours) == 1
+    c = contours[0]
+    assert c.id == 0
+    assert c.aortic_thickness == 1.23
+    assert c.pulmonary_thickness == 4.56
+
+
+def test_build_contour_ignores_measurements_for_non_lumen():
+    # contour.rs:512-540 — non-lumen contours never carry measurements
+    from multimodars_tpu.io.build import build_contours_with_mapping
+    from multimodars_tpu.models.record import PyRecord
+
+    pts = [PyContourPoint(1, 0, 0.0, 0.0, 0.0, False)]
+    records = [PyRecord(1, "systolic", 7.0, 8.0)]
+    contours = build_contours_with_mapping(pts, records, "Catheter", {1: 0})
+    assert len(contours) == 1
+    assert contours[0].aortic_thickness is None
+    assert contours[0].pulmonary_thickness is None

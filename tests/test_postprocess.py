@@ -156,3 +156,66 @@ def test_postprocess_geom_pair_runs(anomalous):
         out = postprocess_geom_pair(_pair(), 0.1, anomalous)
     assert out.geom_a.frames
     assert out.geom_b.frames
+
+
+def _hex_contour(id_, z):
+    # the reference's 6-point test hexagon (test_utils.rs:27-87)
+    coords = np.array(
+        [[1.0, 3.0, z], [0.0, 2.0, z], [0.0, 0.0, z],
+         [1.0, 0.0, z], [2.0, 0.0, z], [2.0, 2.0, z]]
+    )
+    centroid = tuple(coords.mean(axis=0))
+    return PyContour.from_arrays(
+        id_, id_, coords, centroid,
+        np.full(6, id_, dtype=np.int64), np.arange(6, dtype=np.int64),
+        np.zeros(6, dtype=bool), None, None, "Lumen",
+    ), centroid
+
+
+def _dummy_geometry_custom(z_spacing, n_frames):
+    # dummy_geometry_custom (test_utils.rs:8-109): hexagon frames at
+    # i * z_spacing, reference point (3, 1, z) on frame n/2
+    frames = []
+    for i in range(n_frames):
+        z = i * z_spacing
+        lumen, centroid = _hex_contour(i, z)
+        ref = (
+            PyContourPoint(i, 0, 3.0, 1.0, z, False)
+            if i == n_frames // 2
+            else None
+        )
+        frames.append(PyFrame(i, centroid, lumen, {}, ref))
+    return PyGeometry(frames, "dummy_geom")
+
+
+def test_complex_resampling():
+    # postprocessing.rs:920-978 — mixed-rate pair: predicted z grid,
+    # regridded frames, and element-exact pair equality after postprocess
+    geom_a = _dummy_geometry_custom(1.0, 3)
+    geom_b = _dummy_geometry_custom(0.5, 6)
+    pair = PyGeometryPair(geom_a, geom_b, "dummy_pair")
+
+    assert get_avg_z_diff(geom_a) == 1.0
+    assert get_avg_z_diff(geom_b) == 0.5
+
+    ref_idx_b = geom_b.find_ref_frame_idx()
+    ref_z_b = geom_b.frames[ref_idx_b].centroid[2]
+    z_coords = predict_z_positions(ref_z_b, 0.0, 2.5, 0.5)
+    assert z_coords == [i * 0.5 for i in range(6)]
+
+    interpolated = new_frames_by_sample_rate(geom_a, z_coords)
+    for i, frame in enumerate(interpolated.frames):
+        assert frame.centroid[2] == i * 0.5
+
+    resampled = resample_by_diff(geom_a, 0.5)
+    for i, frame in enumerate(resampled.frames):
+        assert frame.centroid[2] == i * 0.5
+
+    out = postprocess_geom_pair(pair, 0.1, True)
+    assert len(out.geom_a.frames) == len(out.geom_b.frames) > 0
+    for frame_a, frame_b in zip(out.geom_a.frames, out.geom_b.frames):
+        assert frame_a.id == frame_b.id
+        assert frame_a.centroid[0] == frame_b.centroid[0]
+        assert frame_a.centroid[1] == frame_b.centroid[1]
+        assert frame_a.centroid[2] == frame_b.centroid[2]
+        assert np.array_equal(frame_a.lumen.xyz_view(), frame_b.lumen.xyz_view())
