@@ -966,16 +966,40 @@ def align_frames_in_geometries(
             pass
         delta_all = np.asarray(delta_all, dtype=np.float64)[:n_real]
 
-    # backstop: the prefetch dispatches already enqueue their
-    # device->host copies (io/build.py), but re-enqueue here so any
-    # future pending-producer that forgets still gets overlapped pulls
-    # instead of one blocking tunnel RTT per geometry
-    for pending in pendings:
-        if pending is not None:
+    # pull every prefetched sweep in ONE tunnel round-trip: a tiny device
+    # concat of the pending handles (the sweeps themselves are already
+    # queued) turns n blocking np.asarray pulls — one RTT each over the
+    # ~5-15 ms-latency tunnel — into a single pull, sliced on host
+    pend_np = None
+    pend_off: dict = {}
+    live_pendings = [p for p in pendings if p is not None]
+    if len(live_pendings) > 1:
+        try:
+            sizes = [int(p.shape[0]) for p in live_pendings]
+            cat = jnp.concatenate([jnp.ravel(p) for p in live_pendings])
             try:
-                pending.copy_to_host_async()
+                cat.copy_to_host_async()
             except Exception:
                 pass
+            flat = np.asarray(cat, dtype=np.float64)
+            off = 0
+            for p, s in zip(live_pendings, sizes):
+                pend_off[id(p)] = flat[off : off + s]
+                off += s
+            pend_np = flat
+        except Exception:
+            pend_np = None  # fall back to per-handle pulls below
+    if pend_np is None:
+        # backstop: the prefetch dispatches already enqueue their
+        # device->host copies (io/build.py), but re-enqueue here so any
+        # future pending-producer that forgets still gets overlapped pulls
+        # instead of one blocking tunnel RTT per geometry
+        for pending in pendings:
+            if pending is not None:
+                try:
+                    pending.copy_to_host_async()
+                except Exception:
+                    pass
 
     results = []
     offset = 0
@@ -983,7 +1007,10 @@ def align_frames_in_geometries(
         if pending is not None:
             tg = _claim_tensor(tg)
             pre = _classify_pre(tg)
-            delta = np.asarray(pending, dtype=np.float64)
+            if pend_np is not None:
+                delta = pend_off[id(pending)]
+            else:
+                delta = np.asarray(pending, dtype=np.float64)
             if deferred:
                 t, logs, anom = _finish_alignment_tensor_coords(
                     tg, delta, smooth, pre=pre
