@@ -392,6 +392,71 @@ def extract_stack_points(lumen: np.ndarray, sample_size: int) -> np.ndarray:
     return lumen[:, idx, :2].reshape(-1, 2)
 
 
+def _fused_between_epilogue_blocks(
+    geom_a: PyGeometry,
+    geom_b: PyGeometry,
+    blocks,
+    best_rotation: float,
+    ref_a_centroid,
+    initial_translation,
+):
+    """One-pass form of translate(t0) -> rotate about A's ref centroid ->
+    exact re-translate over B's shared coordinate blocks.
+
+    Bitwise-identical to the three sequential passes: each element runs the
+    same f64 operation chain in the same order (add t0, the rotate
+    expression of :func:`rotate_geometry_around_point`, add the final
+    translation), the contour centroids are the means of exactly those
+    final values (the sequential path's intermediate means are dead — the
+    final translate recomputes them), and the final translation itself
+    comes from B's reference frame centroid through the identical scalar
+    steps.  Returns the final translation for narration."""
+    c = np.cos(best_rotation)
+    s = np.sin(best_rotation)
+    cax, cay = ref_a_centroid[0], ref_a_centroid[1]
+    t0x, t0y, t0z = initial_translation
+
+    def scalar_chain(px, py, pz):
+        # the exact translate -> rotate -> (pre-ft) scalar sequence
+        x1, y1, z1 = px + t0x, py + t0y, pz + t0z
+        tx, ty = x1 - cax, y1 - cay
+        return tx * c - ty * s + cax, tx * s + ty * c + cay, z1
+
+    ref_idx_a = geom_a.ref_or_proximal_idx()
+    ref_idx_b = geom_b.ref_or_proximal_idx()
+    final_a = geom_a.frames[ref_idx_a].centroid
+    cb = geom_b.frames[ref_idx_b].centroid
+    bx, by, bz = scalar_chain(cb[0], cb[1], cb[2])
+    ftx, fty, ftz = final_a[0] - bx, final_a[1] - by, final_a[2] - bz
+
+    for base, rows, contours in blocks:
+        if base.shape[1] == 0:  # compute_centroid's empty case
+            for cont in contours:
+                cont.centroid = (0.0, 0.0, 0.0)
+            continue
+        sub = base[rows]
+        x1 = sub[:, :, 0] + t0x
+        y1 = sub[:, :, 1] + t0y
+        z1 = sub[:, :, 2] + t0z
+        tx = x1 - cax
+        ty = y1 - cay
+        sub[:, :, 0] = (tx * c - ty * s + cax) + ftx
+        sub[:, :, 1] = (tx * s + ty * c + cay) + fty
+        sub[:, :, 2] = z1 + ftz
+        base[rows] = sub
+        means = sub.mean(axis=1).tolist()
+        for m, cont in zip(means, contours):
+            cont.centroid = (m[0], m[1], m[2])
+    for frame in geom_b.frames:
+        fx, fy, fz = scalar_chain(*frame.centroid)
+        frame.centroid = (fx + ftx, fy + fty, fz + ftz)
+        rp = frame.reference_point
+        if rp is not None:
+            rx, ry, rz = scalar_chain(rp.x, rp.y, rp.z)
+            rp.x, rp.y, rp.z = rx + ftx, ry + fty, rz + ftz
+    return (ftx, fty, ftz)
+
+
 def apply_between_epilogue(
     geom_a: PyGeometry,
     geom_b: PyGeometry,
@@ -409,16 +474,27 @@ def apply_between_epilogue(
     is applied to the geometry here first — the deferred orchestration in
     ``entry.full_processing`` uses that to keep the geometry work inside
     the search round-trip."""
-    if not pre_translated:
-        geom_b.translate_geometry(initial_translation)
-    rotate_geometry_around_point(geom_b, best_rotation, ref_a_centroid)
+    from ..models.geometry import shared_contour_blocks
 
-    ref_idx_a = geom_a.ref_or_proximal_idx()
-    ref_idx_b = geom_b.ref_or_proximal_idx()
-    final_a = geom_a.frames[ref_idx_a].centroid
-    final_b = geom_b.frames[ref_idx_b].centroid
-    final_translation = tuple(final_a[k] - final_b[k] for k in range(3))
-    geom_b.translate_geometry(final_translation)
+    final_translation = None
+    if not pre_translated:
+        blocks = shared_contour_blocks(geom_b.frames)
+        if blocks is not None:
+            final_translation = _fused_between_epilogue_blocks(
+                geom_a, geom_b, blocks, best_rotation, ref_a_centroid,
+                initial_translation,
+            )
+        else:
+            geom_b.translate_geometry(initial_translation)
+    if final_translation is None:
+        rotate_geometry_around_point(geom_b, best_rotation, ref_a_centroid)
+
+        ref_idx_a = geom_a.ref_or_proximal_idx()
+        ref_idx_b = geom_b.ref_or_proximal_idx()
+        final_a = geom_a.frames[ref_idx_a].centroid
+        final_b = geom_b.frames[ref_idx_b].centroid
+        final_translation = tuple(final_a[k] - final_b[k] for k in range(3))
+        geom_b.translate_geometry(final_translation)
 
     if verbose:
         print(f"\n✅ Aligned geometry '{geom_b.label}' to '{geom_a.label}'")

@@ -102,3 +102,45 @@ def test_batched_matches_single(dummy_geom_aligned_long):
             np.testing.assert_allclose(
                 fs.lumen.xyz_view(), fb.lumen.xyz_view(), atol=1e-12
             )
+
+
+def test_fused_epilogue_bitwise_matches_sequential(dummy_geom_aligned_long):
+    """The one-pass block epilogue (pre_translated=False) produces bitwise
+    the coordinates, centroids and reference points of the sequential
+    translate -> rotate -> exact re-translate passes."""
+    import numpy as np
+
+    from multimodars_tpu.models.geometry import shared_contour_blocks
+    from multimodars_tpu.models.tensor import geometry_to_tensor
+    from multimodars_tpu.pipelines.align_between import apply_between_epilogue
+
+    geom_a = dummy_geom_aligned_long.copy()
+    # block-backed twin (tensor materialisation) and plain object twin
+    blocky = geometry_to_tensor(dummy_geom_aligned_long).to_geometry()
+    plain = dummy_geom_aligned_long.copy()
+    assert shared_contour_blocks(blocky.frames) is not None
+    assert shared_contour_blocks(plain.frames) is None
+
+    args = dict(
+        best_rotation=math.radians(7.3),
+        ref_a_centroid=geom_a.frames[geom_a.ref_or_proximal_idx()].centroid,
+        initial_translation=(0.25, -1.5, 0.75),
+        rot_deg=30.0,
+        step_rot_deg=0.5,
+        verbose=False,
+        pre_translated=False,
+    )
+    apply_between_epilogue(geom_a, blocky, **args)
+    apply_between_epilogue(geom_a, plain, **args)
+
+    for fb, fp in zip(blocky.frames, plain.frames):
+        assert fb.centroid == fp.centroid
+        assert np.array_equal(fb.lumen.xyz_view(), fp.lumen.xyz_view())
+        assert fb.lumen.centroid == fp.lumen.centroid
+        for k in fb.extras:
+            assert np.array_equal(fb.extras[k].xyz_view(), fp.extras[k].xyz_view())
+            assert fb.extras[k].centroid == fp.extras[k].centroid
+        if fb.reference_point is not None:
+            assert (fb.reference_point.x, fb.reference_point.y, fb.reference_point.z) == (
+                fp.reference_point.x, fp.reference_point.y, fp.reference_point.z,
+            )
