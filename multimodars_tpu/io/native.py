@@ -144,6 +144,13 @@ def get_library() -> Optional[ctypes.CDLL]:
                 lib.mm_min_sqdist_cols.restype = None
             except AttributeError:
                 pass
+            try:  # absent in a pre-round-4 libmmio.so
+                lib.mm_ccw_sort.argtypes = [
+                    _dp, _dp, _dp, _ip, ctypes.c_int64, ctypes.c_int64,
+                ]
+                lib.mm_ccw_sort.restype = None
+            except AttributeError:
+                pass
             _lib = lib
         except OSError:
             _load_failed = True
@@ -334,6 +341,27 @@ def wall_offset_native(src: np.ndarray):
     centroids = np.empty((F, 3), dtype=np.float64)
     lib.mm_wall_offset(_dptr(src), _dptr(out), _dptr(centroids), F, N)
     return out, centroids
+
+
+def ccw_sort_native(xyz: np.ndarray, ang: np.ndarray):
+    """CCW contour sort of one [F, N, 3] f64 stack from caller-computed
+    angles: stable angle argsort (numpy tie/NaN order) rolled to the last
+    highest-y point, coordinates gathered in the same pass.  Returns
+    ``(sorted_xyz, order)`` or ``None`` when the library lacks the symbol.
+    ``ang`` must contain no NaN (the caller gates — NaN-angle geometries
+    keep the numpy path's argmax-over-NaN start semantics)."""
+    lib = get_library()
+    if lib is None or not hasattr(lib, "mm_ccw_sort"):
+        return None
+    F, N = ang.shape
+    out = np.empty_like(xyz)
+    order = np.empty((F, N), dtype=np.int64)
+    lib.mm_ccw_sort(
+        _dptr(xyz), _dptr(ang), _dptr(out),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        F, N,
+    )
+    return out, order
 
 
 def min_sqdist_cols_native(a64: np.ndarray, b64: np.ndarray):

@@ -158,6 +158,8 @@ class TensorGeometry:
         """CCW-sort every contour: stable angle sort about the contour's own
         xy mean, rolled so the *last* highest-Y point is first, point indices
         reassigned (Contour::sort_contour_points, contour.rs:368-405)."""
+        from ..io import native as _native
+
         for k in self.kinds:
             xyz = self.coords[k]
             F, n = xyz.shape[:2]
@@ -168,6 +170,32 @@ class TensorGeometry:
             ang = np.arctan2(
                 y - y.mean(axis=1)[:, None], x - x.mean(axis=1)[:, None]
             )
+            # native fused argsort+roll+gather: the angles come from numpy's
+            # arctan2, the stable sort replicates numpy's tie order, so the
+            # permutation is identical (tests/test_native_finish.py); NaN
+            # angles keep the numpy path's argmax-over-NaN start semantics
+            native_res = None
+            if (
+                xyz.dtype == np.float64
+                and xyz.flags["C_CONTIGUOUS"]
+                and xyz.shape[2] == 3
+                and np.isfinite(ang).all()
+            ):
+                native_res = _native.ccw_sort_native(
+                    xyz, np.ascontiguousarray(ang)
+                )
+            if native_res is not None:
+                self.coords[k], order = native_res
+                pf = self.pt_frame[k]
+                if not (pf[:, :1] == pf).all():
+                    self.pt_frame[k] = np.take_along_axis(pf, order, axis=1)
+                pa = self.pt_aortic[k]
+                if pa.any():
+                    self.pt_aortic[k] = np.take_along_axis(pa, order, axis=1)
+                self.pt_index[k] = np.broadcast_to(
+                    np.arange(n, dtype=np.int64), (F, n)
+                ).copy()
+                continue
             order = np.argsort(ang, axis=1, kind="stable")
             y_sorted = np.take_along_axis(y, order, axis=1)
             start = n - 1 - np.argmax(y_sorted[:, ::-1], axis=1)  # last max

@@ -761,3 +761,51 @@ extern "C" void mm_min_sqdist_cols(const double* a, int64_t n,
     out_j[i] = bj;
   }
 }
+
+// CCW contour sort: per frame, stable argsort of the caller-computed point
+// angles (numpy semantics: NaN sorts last, equal keys keep original order),
+// rolled so the LAST highest-y point lands at index 0, with the permuted
+// coordinates written in one gather.
+//   ang   [F, N] f64 angles (np.arctan2 of the centered points — computed
+//         by the caller so the transcendental matches numpy bit for bit)
+//   xyz   [F, N, 3] f64 C-contiguous coordinates
+//   out   [F, N, 3] permuted coordinates (must not alias xyz)
+//   order [F, N] the final permutation (sorted-then-rolled original
+//         indices) for the caller's per-point metadata
+extern "C" void mm_ccw_sort(const double* xyz, const double* ang,
+                            double* out, int64_t* order,
+                            int64_t F, int64_t N) {
+  if (N <= 0) return;
+  std::vector<int64_t> idx(static_cast<size_t>(N));
+  for (int64_t f = 0; f < F; ++f) {
+    const double* a = ang + f * N;
+    const double* in = xyz + f * N * 3;
+    double* o = out + f * N * 3;
+    int64_t* ord = order + f * N;
+    for (int64_t i = 0; i < N; ++i) idx[i] = i;
+    // numpy 'stable' order: NaN greater than everything, ties keep input
+    // order (std::stable_sort + this strict-weak comparator replicates it)
+    std::stable_sort(idx.begin(), idx.end(), [a](int64_t i, int64_t j) {
+      const double ai = a[i], aj = a[j];
+      if (ai != ai) return false;        // NaN is never less
+      if (aj != aj) return true;         // finite < NaN
+      return ai < aj;
+    });
+    // last index of the maximum sorted y (numpy: n-1-argmax(y[::-1]))
+    int64_t start = N - 1;
+    double best = in[3 * idx[start] + 1];
+    for (int64_t i = N - 2; i >= 0; --i) {
+      const double yi = in[3 * idx[i] + 1];
+      if (yi > best) { best = yi; start = i; }
+    }
+    int64_t j = start;
+    for (int64_t i = 0; i < N; ++i) {
+      const int64_t src = idx[j];
+      ord[i] = src;
+      o[3 * i] = in[3 * src];
+      o[3 * i + 1] = in[3 * src + 1];
+      o[3 * i + 2] = in[3 * src + 2];
+      if (++j == N) j = 0;
+    }
+  }
+}

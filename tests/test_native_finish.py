@@ -582,3 +582,95 @@ class TestCreateWallFramesBatchParity:
             assert (got.point_indices == scalar.point_indices).all()
             assert got.centroid == scalar.centroid
             assert got.kind == "Wall"
+
+
+def _numpy_ccw(xyz, ang):
+    """The exact numpy pass from TensorGeometry.ccw_sort (post-arctan2)."""
+    F, n = xyz.shape[:2]
+    order = np.argsort(ang, axis=1, kind="stable")
+    y_sorted = np.take_along_axis(xyz[:, :, 1], order, axis=1)
+    start = n - 1 - np.argmax(y_sorted[:, ::-1], axis=1)  # last max
+    roll = (np.arange(n)[None, :] + start[:, None]) % n
+    order = np.take_along_axis(order, roll, axis=1)
+    return np.take_along_axis(xyz, order[:, :, None], axis=1), order
+
+
+class TestNativeCcwSort:
+    """mm_ccw_sort must replicate the numpy stable argsort + last-max-Y
+    roll + gather bit for bit, including angle ties (duplicate points keep
+    numpy's stable input order) and duplicated maximum y values."""
+
+    @pytest.mark.parametrize("seed,F,N", [(0, 1, 3), (3, 9, 64), (4, 41, 501)])
+    def test_bit_identical_random(self, seed, F, N):
+        rng = np.random.default_rng(seed)
+        xyz = np.ascontiguousarray(rng.uniform(-5.0, 5.0, (F, N, 3)))
+        ang = np.arctan2(
+            xyz[:, :, 1] - xyz[:, :, 1].mean(axis=1)[:, None],
+            xyz[:, :, 0] - xyz[:, :, 0].mean(axis=1)[:, None],
+        )
+        res = native.ccw_sort_native(xyz, np.ascontiguousarray(ang))
+        assert res is not None
+        ref, ref_order = _numpy_ccw(xyz, ang)
+        out, order = res
+        assert (order == ref_order).all()
+        assert (out == ref).all()
+
+    def test_ties_match_numpy_stable_order(self):
+        # duplicate points (equal angles) and a duplicated max-y: the native
+        # stable sort must keep input order on ties and the roll must pick
+        # the LAST highest-y point, exactly like the numpy expressions
+        rng = np.random.default_rng(7)
+        F, N = 4, 24
+        xyz = np.ascontiguousarray(rng.uniform(-2.0, 2.0, (F, N, 3)))
+        xyz[:, 5] = xyz[:, 11]          # duplicate point -> angle tie
+        xyz[:, 17] = xyz[:, 2]
+        ymax = xyz[:, :, 1].max(axis=1)
+        xyz[:, 9, 1] = ymax             # duplicated maximum y
+        xyz = np.ascontiguousarray(xyz)
+        ang = np.arctan2(
+            xyz[:, :, 1] - xyz[:, :, 1].mean(axis=1)[:, None],
+            xyz[:, :, 0] - xyz[:, :, 0].mean(axis=1)[:, None],
+        )
+        res = native.ccw_sort_native(xyz, np.ascontiguousarray(ang))
+        assert res is not None
+        ref, ref_order = _numpy_ccw(xyz, ang)
+        out, order = res
+        assert (order == ref_order).all()
+        assert (out == ref).all()
+
+    def test_tensor_ccw_sort_native_vs_numpy(self, monkeypatch):
+        # end to end through TensorGeometry.ccw_sort: the native path and
+        # the numpy fallback must produce identical coords and metadata
+        from multimodars_tpu.models import tensor as tmod
+
+        def make():
+            rng = np.random.default_rng(11)
+            F, N = 6, 33
+            coords = np.ascontiguousarray(rng.uniform(-4.0, 4.0, (F, N, 3)))
+            return tmod.TensorGeometry(
+                label="t",
+                kinds=["Lumen"],
+                coords={"Lumen": coords.copy()},
+                present={"Lumen": np.ones(F, dtype=bool)},
+                pt_frame={"Lumen": np.repeat(np.arange(F), N).reshape(F, N)},
+                pt_index={"Lumen": np.tile(np.arange(N), (F, 1))},
+                pt_aortic={"Lumen": rng.random((F, N)) < 0.3},
+                con_centroid={"Lumen": coords.mean(axis=1)},
+                aortic_th={"Lumen": np.full(F, np.nan)},
+                pulm_th={"Lumen": np.full(F, np.nan)},
+                ids=np.arange(F, dtype=np.int64),
+                orig_frame=np.arange(F, dtype=np.int64),
+                centroids=coords.mean(axis=1),
+            )
+
+        tg_native = make()
+        tg_native.ccw_sort()
+        tg_numpy = make()
+        monkeypatch.setattr(native, "ccw_sort_native", lambda *a: None)
+        tg_numpy.ccw_sort()
+        assert (tg_native.coords["Lumen"] == tg_numpy.coords["Lumen"]).all()
+        assert (tg_native.pt_frame["Lumen"] == tg_numpy.pt_frame["Lumen"]).all()
+        assert (tg_native.pt_index["Lumen"] == tg_numpy.pt_index["Lumen"]).all()
+        assert (
+            tg_native.pt_aortic["Lumen"] == tg_numpy.pt_aortic["Lumen"]
+        ).all()
