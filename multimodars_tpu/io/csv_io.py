@@ -39,9 +39,37 @@ def _detect_delimiter(path) -> str:
     return "\t" if first_line.count("\t") > first_line.count(",") else ","
 
 
-def read_contour_array(path):
-    """(N, 5) [frame, x, y, z, aortic] array via the native CSV parser,
-    falling back to the Python reader."""
+# -- contour read-ahead -------------------------------------------------------
+# the native CSV parser releases the GIL (ctypes call into libmmio), so
+# directories 2..n of a multi-geometry entry point can parse in background
+# threads while the funnel builds geometry 1 (entry.prepare_n_geometries).
+# Entries are keyed by (path, mtime_ns, size) and consumed exactly once
+# (popped), so a file change between prefetch and read can only miss, never
+# serve stale rows.
+_READAHEAD: Dict[tuple, object] = {}
+_READAHEAD_LOCK = None
+_READAHEAD_POOL = None
+
+
+def _readahead_state():
+    global _READAHEAD_LOCK, _READAHEAD_POOL
+    if _READAHEAD_LOCK is None:
+        import threading
+
+        _READAHEAD_LOCK = threading.Lock()
+    if _READAHEAD_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _READAHEAD_POOL = ThreadPoolExecutor(max_workers=4)
+    return _READAHEAD_LOCK, _READAHEAD_POOL
+
+
+def _readahead_key(path):
+    st = os.stat(path)
+    return (str(path), st.st_mtime_ns, st.st_size)
+
+
+def _read_contour_array_direct(path):
     from .native import read_contour_csv_native
 
     arr = read_contour_csv_native(path)
@@ -52,6 +80,39 @@ def read_contour_array(path):
     for i, p in enumerate(pts):
         out[i] = (p.frame_index, p.x, p.y, p.z, p.aortic)
     return out
+
+
+def prefetch_contour_files(paths) -> None:
+    """Queue background parses for the given contour CSVs (missing paths are
+    skipped).  Each parse is consumed by the next matching
+    :func:`read_contour_array` call."""
+    lock, pool = _readahead_state()
+    for p in paths:
+        try:
+            key = _readahead_key(p)
+        except OSError:
+            continue
+        with lock:
+            if key in _READAHEAD:
+                continue
+            _READAHEAD[key] = pool.submit(_read_contour_array_direct, p)
+
+
+def read_contour_array(path):
+    """(N, 5) [frame, x, y, z, aortic] array via the native CSV parser,
+    falling back to the Python reader.  Consumes a read-ahead parse when one
+    is in flight for this exact file state."""
+    if _READAHEAD and _READAHEAD_LOCK is not None:
+        try:
+            key = _readahead_key(path)
+        except OSError:
+            key = None
+        if key is not None:
+            with _READAHEAD_LOCK:
+                fut = _READAHEAD.pop(key, None)
+            if fut is not None:
+                return fut.result()
+    return _read_contour_array_direct(path)
 
 
 def read_contour_data(path) -> List[PyContourPoint]:

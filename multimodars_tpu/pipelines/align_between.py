@@ -168,13 +168,7 @@ def dispatch_between_search(
     return best
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "step_deg", "range_deg", "bruteforce", "dtype_name", "fast", "prune",
-    ),
-)
-def _fused_full_between_impl(
+def fused_between_core(
     ref1,
     test1,
     rmask1,
@@ -184,13 +178,15 @@ def _fused_full_between_impl(
     step_deg: float,
     range_deg: float,
     bruteforce: bool,
-    dtype_name: str,
+    dtype,
     fast: bool = True,
     prune: bool = True,
 ):
     """Both between-alignment stages of the full pipeline in ONE device
     program — the chained equivalent of two sequential
     :func:`dispatch_between_search` round-trips (entry.rs:206-277).
+    Jit-composable body shared by :func:`_fused_full_between_impl` and the
+    one-round-trip orchestration (:mod:`.fused_chain`).
 
     ``ref1``/``test1``: f64 ``[2, P, 2]`` raw (uncentered) stage-1 clouds —
     slot 0 = (a, b+t0_ab), slot 1 = (c, d+t0_cd) — padded to a common
@@ -207,7 +203,6 @@ def _fused_full_between_impl(
     the sequential orchestration except on exact cost ties.
     Returns ``[r_ab, r_cd, r_ac, r_bd]``.
     """
-    dtype = jnp.dtype(dtype_name)
     f64 = ref1.dtype
 
     def masked_mean(x, m):
@@ -265,6 +260,33 @@ def _fused_full_between_impl(
         prune=prune,
     )
     return jnp.concatenate([r1, r2])
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "step_deg", "range_deg", "bruteforce", "dtype_name", "fast", "prune",
+    ),
+)
+def _fused_full_between_impl(
+    ref1,
+    test1,
+    rmask1,
+    tmask1,
+    pivots_xy,
+    t0_xy,
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool,
+    dtype_name: str,
+    fast: bool = True,
+    prune: bool = True,
+):
+    """Jit entry around :func:`fused_between_core` (host-built clouds)."""
+    return fused_between_core(
+        ref1, test1, rmask1, tmask1, pivots_xy, t0_xy, step_deg, range_deg,
+        bruteforce, jnp.dtype(dtype_name), fast=fast, prune=prune,
+    )
 
 
 def dispatch_fused_between(

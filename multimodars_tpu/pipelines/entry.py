@@ -35,6 +35,22 @@ def _path_basename(path) -> str:
     return name if name else "unknown"
 
 
+def _prefetch_dir_reads(paths_phases) -> None:
+    """Queue background CSV parses for every (directory, phase) about to be
+    built — the native parser releases the GIL, so later directories parse
+    while the funnel builds the first (io.csv_io read-ahead)."""
+    from ..io.csv_io import prefetch_contour_files
+
+    cands = []
+    for path, dia in paths_phases:
+        phase = "diastolic" if dia else "systolic"
+        d = Path(path)
+        cands.append(d / f"{phase}_contours.csv")
+        for prefix in ("eem", "calcium", "branch"):
+            cands.append(d / f"{prefix}_{phase}_contours.csv")
+    prefetch_contour_files(cands)
+
+
 @trace("entry.prepare_n_geometries")
 def prepare_n_geometries(
     labels: Sequence[str],
@@ -89,6 +105,7 @@ def prepare_n_geometries(
             )
         use_labels = len(labels) == 2
         basename = _path_basename(path)
+        _prefetch_dir_reads([(path, True), (path, False)])
         return [
             build_any_from_inputdata(
                 None,
@@ -118,6 +135,9 @@ def prepare_n_geometries(
                 "Full processing requires either at least 4 InputData or both paths"
             )
         use_labels = len(labels) == 4
+        _prefetch_dir_reads(
+            [(p, dia) for p in (path_a, path_b) for dia in (True, False)]
+        )
         out = []
         idx = 0
         for path in (path_a, path_b):
@@ -182,6 +202,78 @@ def _between_stage_deferred(
 
     geoms = [(A.materialize(), B.materialize()) for A, B in pairs_defs]
     rot = np.asarray(handle, dtype=np.float64)
+    out = []
+    for (A_g, B_g), (ca, t0, _), r in zip(geoms, preps, rot):
+        apply_between_epilogue(
+            A_g, B_g, float(r), ca, t0, range_deg, step_deg, verbose,
+            pre_translated=False,
+        )
+        if build_pairs:
+            out.append(build_pair(A_g, B_g))
+    return out, geoms, preps
+
+
+def _try_fused_chain(
+    geometries, pair_idx, full_stage2: bool, step_deg: float, range_deg: float,
+    bruteforce: bool, sample_size: int, smooth: bool,
+):
+    """Attempt the one-round-trip orchestration (pipelines.fused_chain):
+    chain the in-flight within sweeps straight into the between search on
+    device.  Returns ``(taken, handle, delta_sizes)`` or ``None`` when any
+    geometry can't ride the chain (no prefetch, holes, object path) — the
+    regular two-round-trip orchestration then runs unchanged."""
+    if os.environ.get("MMTPU_NO_FUSED_CHAIN", "0") == "1":
+        return None
+    from .fused_chain import dispatch_fused_chain, take_device_sweeps
+
+    taken = take_device_sweeps(
+        geometries, step_deg, range_deg, bruteforce, sample_size
+    )
+    if taken is None:
+        return None
+    try:
+        handle, sizes = dispatch_fused_chain(
+            taken, pair_idx, full_stage2, smooth, sample_size, step_deg,
+            range_deg,
+        )
+    except Exception:
+        # pendings are consumed, but the claimed tensors are untouched —
+        # the fallback align simply re-dispatches the within sweep
+        return None
+    return taken, handle, sizes
+
+
+def _finish_chain(taken, flat: np.ndarray, sizes, smooth: bool, verbose: bool):
+    """Host finish for the fused chain's single pull: per-geometry within
+    finishes (identical to the deferred path) + the between winners."""
+    from .align_within import DeferredAligned, _finish_alignment_tensor_coords
+
+    ds = []
+    off = 0
+    for (tg, _pending, pre), s in zip(taken, sizes):
+        delta = flat[off : off + s]
+        off += s
+        t, logs, anom = _finish_alignment_tensor_coords(tg, delta, smooth, pre=pre)
+        ds.append(DeferredAligned(t, None, logs, anom, verbose))
+    return ds, flat[off:]
+
+
+def _between_finish(
+    pairs_defs, rot, step_deg: float, range_deg: float, verbose: bool,
+    build_pairs: bool = True,
+):
+    """Materialise + mutating epilogue + pair construction for precomputed
+    between winners (the fused chain's tail — same semantics as
+    :func:`_between_stage_deferred` after its pull)."""
+    from .align_between import apply_between_epilogue, build_pair
+
+    preps = []
+    for A, B in pairs_defs:
+        ca = A.ref_centroid()
+        cb = B.ref_centroid()
+        t0 = tuple(ca[k] - cb[k] for k in range(3))
+        preps.append((ca, t0, None))
+    geoms = [(A.materialize(), B.materialize()) for A, B in pairs_defs]
     out = []
     for (A_g, B_g), (ca, t0, _), r in zip(geoms, preps, rot):
         apply_between_epilogue(
@@ -261,10 +353,24 @@ def full_processing(
         extract_stack_points,
     )
 
-    d_a, d_b, d_c, d_d = align_frames_in_geometries(
-        geometries, step_deg, range_deg, smooth, bruteforce, sample_size,
-        verbose=verbose, deferred=True,
+    chain = _try_fused_chain(
+        geometries, ((0, 1), (2, 3)), True, step_deg, range_deg, bruteforce,
+        sample_size, smooth,
     )
+    if chain is not None:
+        # one-round-trip path: the within deltas and the between winners
+        # arrive in a single pull (pipelines.fused_chain)
+        taken, handle, sizes = chain
+        flat = np.asarray(handle, dtype=np.float64)
+        (d_a, d_b, d_c, d_d), winners = _finish_chain(
+            taken, flat, sizes, smooth, verbose
+        )
+        r_ab, r_cd, r_ac, r_bd = winners
+    else:
+        d_a, d_b, d_c, d_d = align_frames_in_geometries(
+            geometries, step_deg, range_deg, smooth, bruteforce, sample_size,
+            verbose=verbose, deferred=True,
+        )
 
     between_sample = max(sample_size, 500)
 
@@ -285,13 +391,15 @@ def full_processing(
     cd = d_d.ref_centroid()
     t0_ab = tuple(ca[k] - cb[k] for k in range(3))
     t0_cd = tuple(cc[k] - cd[k] for k in range(3))
-    cloud_a = _cloud(d_a)
-    cloud_b = _cloud(d_b) + np.array([t0_ab[0], t0_ab[1]])
-    cloud_c = _cloud(d_c)
-    cloud_d = _cloud(d_d) + np.array([t0_cd[0], t0_cd[1]])
-    handle = dispatch_fused_between(
-        [(cloud_a, cloud_b), (cloud_c, cloud_d)], ca, cc, step_deg, range_deg,
-    )
+    if chain is None:
+        cloud_a = _cloud(d_a)
+        cloud_b = _cloud(d_b) + np.array([t0_ab[0], t0_ab[1]])
+        cloud_c = _cloud(d_c)
+        cloud_d = _cloud(d_d) + np.array([t0_cd[0], t0_cd[1]])
+        handle = dispatch_fused_between(
+            [(cloud_a, cloud_b), (cloud_c, cloud_d)], ca, cc, step_deg,
+            range_deg,
+        )
 
     # materialise the geometry objects while the fused search flies
     geom_a = d_a.materialize()
@@ -299,7 +407,8 @@ def full_processing(
     geom_c = d_c.materialize()
     geom_d = d_d.materialize()
 
-    r_ab, r_cd, r_ac, r_bd = np.asarray(handle, dtype=np.float64)
+    if chain is None:
+        r_ab, r_cd, r_ac, r_bd = np.asarray(handle, dtype=np.float64)
 
     # stage-1 epilogues (b onto a, d onto c), then the stage-1 pairs
     apply_between_epilogue(
@@ -385,18 +494,34 @@ def double_pair_processing(
         raise ValueError(
             f"Double Pair processing requires exactly 4 geometries, got {len(geometries)}"
         )
-    d_a, d_b, d_c, d_d = align_frames_in_geometries(
-        geometries, step_deg, range_deg, smooth, bruteforce, sample_size,
-        verbose=verbose, deferred=True,
+    chain = _try_fused_chain(
+        geometries, ((0, 1), (2, 3)), False, step_deg, range_deg, bruteforce,
+        sample_size, smooth,
     )
+    if chain is not None:
+        taken, handle, sizes = chain
+        flat = np.asarray(handle, dtype=np.float64)
+        (d_a, d_b, d_c, d_d), winners = _finish_chain(
+            taken, flat, sizes, smooth, verbose
+        )
+    else:
+        d_a, d_b, d_c, d_d = align_frames_in_geometries(
+            geometries, step_deg, range_deg, smooth, bruteforce, sample_size,
+            verbose=verbose, deferred=True,
+        )
     logs_a, logs_b, logs_c, logs_d = d_a.logs, d_b.logs, d_c.logs, d_d.logs
     bool_a, bool_b, bool_c, bool_d = (
         d_a.anomalous, d_b.anomalous, d_c.anomalous, d_d.anomalous,
     )
 
-    (pair_ab, pair_cd), _, _ = _between_stage_deferred(
-        [(d_a, d_b), (d_c, d_d)], step_deg, range_deg, sample_size, verbose
-    )
+    if chain is not None:
+        (pair_ab, pair_cd), _, _ = _between_finish(
+            [(d_a, d_b), (d_c, d_d)], winners, step_deg, range_deg, verbose
+        )
+    else:
+        (pair_ab, pair_cd), _, _ = _between_stage_deferred(
+            [(d_a, d_b), (d_c, d_d)], step_deg, range_deg, sample_size, verbose
+        )
 
     anomalous = bool_a or bool_b or bool_c or bool_d
     pair_ab = _maybe_postprocess(pair_ab, anomalous, postprocessing)
@@ -447,16 +572,30 @@ def pair_processing(
         raise ValueError(
             f"Single Pair processing requires exactly 2 geometries, got {len(geometries)}"
         )
-    d_a, d_b = align_frames_in_geometries(
-        geometries, step_deg, range_deg, smooth, bruteforce, sample_size,
-        verbose=verbose, deferred=True,
+    chain = _try_fused_chain(
+        geometries, ((0, 1),), False, step_deg, range_deg, bruteforce,
+        sample_size, smooth,
     )
+    if chain is not None:
+        taken, handle, sizes = chain
+        flat = np.asarray(handle, dtype=np.float64)
+        (d_a, d_b), winners = _finish_chain(taken, flat, sizes, smooth, verbose)
+    else:
+        d_a, d_b = align_frames_in_geometries(
+            geometries, step_deg, range_deg, smooth, bruteforce, sample_size,
+            verbose=verbose, deferred=True,
+        )
     logs_a, logs_b = d_a.logs, d_b.logs
     bool_a, bool_b = d_a.anomalous, d_b.anomalous
 
-    (pair,), _, _ = _between_stage_deferred(
-        [(d_a, d_b)], step_deg, range_deg, sample_size, verbose
-    )
+    if chain is not None:
+        (pair,), _, _ = _between_finish(
+            [(d_a, d_b)], winners, step_deg, range_deg, verbose
+        )
+    else:
+        (pair,), _, _ = _between_stage_deferred(
+            [(d_a, d_b)], step_deg, range_deg, sample_size, verbose
+        )
     pair = _maybe_postprocess(pair, bool_a or bool_b, postprocessing)
     if write_obj:
         pair = to_object.process_case(

@@ -1,0 +1,367 @@
+"""One-round-trip orchestration: the within-pullback sweep chains straight
+into the between-geometry rotation search on device.
+
+The reference runs align-within (crossbeam ×4, entry.rs:140-203) to
+completion, then align-between (entry.rs:206-277) on the *aligned*
+geometries.  On the tunneled TPU backend each device→host synchronisation
+costs a full round-trip (~26 ms), so the repo's round-3/4 orchestration —
+one concatenated pull for the within deltas, one fused program for both
+between stages — still paid two round-trips per `full_processing` call.
+
+This module removes the remaining one.  Every quantity the between search
+needs is an analytic function of the within deltas and of pre-sweep state:
+
+- the within epilogue's per-frame transform is ``rotate(cumsum(delta) +
+  additional)`` about the original centroid plus a known translation
+  (align_within.rs:70-123 reformulated; see
+  ``align_within._finish_alignment_tensor_coords``),
+- the axis rotation ``additional`` depends only on ``cum[ref_idx]`` and
+  rigid-invariant pre-classification (anomalous flag, farthest-pair
+  indices — ``align_within.rs:256-317``),
+- the CCW re-sort is a pure start-roll whose index is the last-max-Y
+  argmax of the transformed contour (contour.rs:368-405),
+- the optional 3-frame smoothing is a fixed-stencil average
+  (geometry.rs:165-239), and
+- the between cloud is a static-index downsample of the result
+  (align_between.rs:11-92).
+
+So the whole chain — deltas → finished lumen coordinates → between clouds
+→ between search — composes into ONE device program whose inputs are the
+in-flight sweep handles (never pulled) plus small pre-sweep uploads, and
+whose single output concatenates the deltas and the between winners.  All
+host-side mutation (the real finish, walls, logs, epilogues) then runs from
+the pulled deltas exactly as before, so the final geometries are
+bit-identical to the two-round-trip orchestration; only the between
+*search inputs* are device-composed f64 replicas of the host expression
+tree, which can differ from the host-built clouds by sub-ulp trig/reduction
+noise — observable only on exact cost ties between grid angles (the same
+caveat the fused between program already carries).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..models.contour import downsample_indices
+from ..models.tensor import TensorGeometry
+from ..ops.rotation_search import (
+    _fast_ladder,
+    _multires_rotation_search_impl,
+    _prune_enabled,
+    plan_is_bruteforce,
+)
+from .align_between import fused_between_core
+
+_EPS64 = float(np.finfo(np.float64).eps)
+_TWO_PI = 2.0 * math.pi
+
+
+def take_device_sweeps(
+    geometries: Sequence,
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool,
+    sample_size: int,
+) -> Optional[List[Tuple[TensorGeometry, object, dict]]]:
+    """Claim every geometry's prefetched sweep handle for the fused chain.
+
+    Returns ``[(claimed_tensor, pending_handle, pre_classification), …]``
+    when ALL geometries ride the tensor fast path with a matching in-flight
+    prefetch (io.build._prefetch_sweep*), else ``None`` — validation runs
+    before any handle is detached, so a ``None`` leaves the geometries
+    exactly as found for the regular orchestration."""
+    from .align_within import _claim_tensor, _classify_pre
+
+    key = (float(step_deg), float(range_deg), bool(bruteforce), int(sample_size))
+    for g in geometries:
+        if not isinstance(g, TensorGeometry):
+            return None
+        pending = getattr(g, "_pending_sweep", None)
+        if pending is None or pending[1] != key:
+            return None
+        if g.n_frames < 2 or g.coords["Lumen"].shape[1] < 1:
+            return None
+        if g.ref_point is None or g.ref_pos is None:
+            return None
+
+    out = []
+    for g in geometries:
+        handle, _k = g._pending_sweep
+        g._pending_sweep = None
+        tg = _claim_tensor(g)
+        pre = _classify_pre(tg)
+        if pre is None:
+            return None  # unreachable given the ref-point check above
+        out.append((tg, handle, pre))
+    return out
+
+
+def _axis_rotation_dev(p1c, p2c, rp, anomalous: bool):
+    """Device f64 replica of align_within._axis_rotation_from_coords
+    (align_within.rs:256-317): rotation putting the reference point
+    rightmost, with the farthest-pair axis vertical when anomalous."""
+    line_angle = jnp.arctan2(p2c[1] - p1c[1], p2c[0] - p1c[0])
+    desired = math.pi / 2.0 if anomalous else 0.0
+    rotation = jnp.mod(desired - line_angle, _TWO_PI)
+    c_ = jnp.cos(rotation)
+    s_ = jnp.sin(rotation)
+
+    def rot2_x(pt):
+        dx = pt[0] - p1c[0]
+        dy = pt[1] - p1c[1]
+        return dx * c_ - dy * s_ + p1c[0]
+
+    rx = rot2_x(rp)
+    bad = jnp.asarray(False)
+    for op in (p1c, p2c):
+        skip = (jnp.abs(op[0] - rp[0]) <= _EPS64) & (
+            jnp.abs(op[1] - rp[1]) <= _EPS64
+        )
+        bad = bad | ((~skip) & (rx <= rot2_x(op)))
+    return jnp.where(bad, jnp.mod(rotation + math.pi, _TWO_PI), rotation)
+
+
+def _cloud_dev(delta, lum_xy, cents, rp_xy, meta, smooth: bool):
+    """Device f64 replica of the within finish's lumen coordinate pass
+    (align_within._finish_alignment_tensor_coords +
+    TensorGeometry.finish_transform/smooth_xy) followed by the between
+    cloud extraction (align_between.extract_stack_points).
+
+    Returns ``(cloud [F·fn, 2], post_ref_centroid_xy [2])`` in f64."""
+    F, N, ref_idx, anomalous, farthest, fn = meta
+    f64 = jnp.float64
+    d64 = delta.astype(f64)
+    cum = jnp.concatenate([jnp.zeros((1,), f64), jnp.cumsum(d64)])
+    c0 = cents[0]
+    txy = c0[None, :] - cents  # row 0 is exactly 0.0, like the host zeros
+    post_ref = cents[ref_idx] + txy[ref_idx]
+
+    # analytic post-transform positions of the axis-defining points (the
+    # host's _xf closure, same association order)
+    a_ref = cum[ref_idx]
+    ca_ = jnp.cos(a_ref)
+    sa_ = jnp.sin(a_ref)
+    cref = cents[ref_idx]
+    tref = txy[ref_idx]
+
+    def xf(p):
+        dx0 = p[0] - cref[0]
+        dy0 = p[1] - cref[1]
+        return jnp.stack(
+            [
+                dx0 * ca_ - dy0 * sa_ + cref[0] + tref[0],
+                dx0 * sa_ + dy0 * ca_ + cref[1] + tref[1],
+            ]
+        )
+
+    rp_t = xf(rp_xy)
+    if anomalous:
+        i1, i2 = farthest
+        p1c = xf(lum_xy[ref_idx, i1])
+        p2c = xf(lum_xy[ref_idx, i2])
+    else:
+        p1c = jnp.stack([cref[0] + tref[0], cref[1] + tref[1]])
+        p2c = rp_t
+    additional = _axis_rotation_dev(p1c, p2c, rp_t, anomalous)
+
+    total = cum + additional
+    ct = jnp.cos(total)[:, None]
+    st = jnp.sin(total)[:, None]
+    x = lum_xy[:, :, 0] - cents[:, 0:1]
+    y = lum_xy[:, :, 1] - cents[:, 1:2]
+    # only the transformed y is needed at full width (the roll argmax);
+    # x/y are then gathered at the sampled post-roll positions and rotated
+    # there — elementwise ops commute with the gather, so the subset values
+    # are bitwise what full-transform-then-gather would produce
+    yp = x * st + y * ct + cents[:, 1:2] + txy[:, 1:2]
+
+    # last-max-Y start roll, applied iff the host would
+    # (finish_transform's ccw_roll=(additional != 0.0))
+    start = jnp.where(
+        additional != 0.0,
+        (N - 1) - jnp.argmax(yp[:, ::-1], axis=1),
+        0,
+    )
+    idx = downsample_indices(N, fn)
+    gather = (jnp.asarray(idx)[None, :] + start[:, None]) % N  # [F, fn]
+    xg = jnp.take_along_axis(x, gather, axis=1)
+    yg = jnp.take_along_axis(y, gather, axis=1)
+    xr = xg * ct - yg * st + cents[:, 0:1] + txy[:, 0:1]
+    yr = xg * st + yg * ct + cents[:, 1:2] + txy[:, 1:2]
+
+    if smooth:
+        idx_f = np.arange(F)
+        prev = np.maximum(idx_f - 1, 0)
+        nxt = np.minimum(idx_f + 1, F - 1)
+        xr = (xr[prev] + xr + xr[nxt]) / 3.0
+        yr = (yr[prev] + yr + yr[nxt]) / 3.0
+
+    cloud = jnp.stack([xr, yr], axis=-1).reshape(F * len(idx), 2)
+    return cloud, post_ref
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "metas", "pair_idx", "full_stage2", "smooth",
+        "step_deg", "range_deg", "bruteforce", "dtype_name", "fast", "prune",
+    ),
+)
+def _fused_chain_impl(
+    deltas,
+    lums,
+    cents,
+    rps,
+    metas,
+    pair_idx,
+    full_stage2: bool,
+    smooth: bool,
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool,
+    dtype_name: str,
+    fast: bool,
+    prune: bool,
+):
+    """Whole-pipeline device program: within deltas → finished lumen clouds
+    → between search.  Returns ``concat(delta_0…delta_{n−1}, winners)`` in
+    f64 — ONE pull for everything the host epilogues need."""
+    dtype = jnp.dtype(dtype_name)
+    f64 = jnp.float64
+    n = len(metas)
+    clouds, refs = [], []
+    for g in range(n):
+        cloud, pref = _cloud_dev(
+            deltas[g], lums[g], cents[g], rps[g], metas[g], smooth
+        )
+        clouds.append(cloud)
+        refs.append(pref)
+    sizes = [int(c.shape[0]) for c in clouds]
+    P = max(sizes)
+
+    def pad(cloud):
+        m = cloud.shape[0]
+        if m == P:
+            return cloud
+        return jnp.zeros((P, 2), f64).at[:m].set(cloud)
+
+    if full_stage2:
+        # slots (0,1) and (2,3); stage 2 = (0,2) and (1,3) composed on
+        # device by fused_between_core (entry.rs:206-277)
+        t0ab = refs[0] - refs[1]
+        t0cd = refs[2] - refs[3]
+        ref1 = jnp.stack([pad(clouds[0]), pad(clouds[2])])
+        test1 = jnp.stack(
+            [pad(clouds[1] + t0ab[None, :]), pad(clouds[3] + t0cd[None, :])]
+        )
+        rmask1 = np.zeros((2, P), dtype=bool)
+        rmask1[0, : sizes[0]] = True
+        rmask1[1, : sizes[2]] = True
+        tmask1 = np.zeros((2, P), dtype=bool)
+        tmask1[0, : sizes[1]] = True
+        tmask1[1, : sizes[3]] = True
+        pivots = jnp.stack([refs[0], refs[2]])
+        t0_2 = refs[0] - refs[2]
+        winners = fused_between_core(
+            ref1, test1, jnp.asarray(rmask1), jnp.asarray(tmask1), pivots,
+            t0_2, step_deg, range_deg, bruteforce, dtype, fast=fast,
+            prune=prune,
+        )
+    else:
+        # independent pairs, dispatch_between_search semantics: each slot
+        # centered on its reference cloud's mean (align_between.rs:11-92)
+        K = len(pair_idx)
+        refs_c, tests_c = [], []
+        rmask = np.zeros((K, P), dtype=bool)
+        tmask = np.zeros((K, P), dtype=bool)
+        for k, (ia, ib) in enumerate(pair_idx):
+            t0 = refs[ia] - refs[ib]
+            rc = clouds[ia]
+            tc = clouds[ib] + t0[None, :]
+            pivot = rc.mean(axis=0)
+            refs_c.append(pad((rc - pivot[None, :])).astype(dtype))
+            tests_c.append(pad((tc - pivot[None, :])).astype(dtype))
+            rmask[k, : sizes[ia]] = True
+            tmask[k, : sizes[ib]] = True
+        winners = _multires_rotation_search_impl(
+            jnp.stack(tests_c),
+            jnp.stack(refs_c),
+            jnp.asarray(tmask),
+            jnp.asarray(rmask),
+            step_deg,
+            range_deg,
+            bruteforce,
+            False,
+            fast=fast,
+            prune=prune,
+        )
+
+    parts = [deltas[g].astype(f64) for g in range(n)]
+    parts.append(winners.astype(f64))
+    return jnp.concatenate(parts)
+
+
+def dispatch_fused_chain(
+    taken: List[Tuple[TensorGeometry, object, dict]],
+    pair_idx: Tuple[Tuple[int, int], ...],
+    full_stage2: bool,
+    smooth: bool,
+    sample_size: int,
+    step_deg: float,
+    range_deg: float,
+):
+    """Enqueue the one-round-trip chain.  Returns ``(handle, delta_sizes)``
+    — ``np.asarray(handle)`` blocks once for the whole pipeline; slice the
+    per-geometry deltas by ``delta_sizes`` and take the final
+    ``len(pair_idx) * (2 if full_stage2 else 1)`` entries as the between
+    winners."""
+    between_sample = max(int(sample_size), 500)
+    deltas, lums, cents, rps, metas = [], [], [], [], []
+    for tg, pending, pre in taken:
+        lum = tg.coords["Lumen"]
+        F, N = lum.shape[0], lum.shape[1]
+        ratio = between_sample / (F * N)
+        fn = max(int(np.ceil(N * ratio)), 1)
+        farthest = (
+            (int(pre["farthest"][0]), int(pre["farthest"][1]))
+            if pre["farthest"] is not None
+            else None
+        )
+        metas.append(
+            (F, N, int(pre["ref_idx"]), bool(pre["anomalous"]), farthest, fn)
+        )
+        deltas.append(pending)
+        lums.append(np.ascontiguousarray(lum[:, :, :2]))
+        cents.append(np.ascontiguousarray(tg.centroids[:, :2]))
+        rps.append(np.array([tg.ref_point.x, tg.ref_point.y]))
+
+    step = float(step_deg)
+    rng = float(range_deg)
+    handle = _fused_chain_impl(
+        tuple(deltas),
+        tuple(lums),
+        tuple(cents),
+        tuple(rps),
+        metas=tuple(metas),
+        pair_idx=tuple(tuple(p) for p in pair_idx),
+        full_stage2=bool(full_stage2),
+        smooth=bool(smooth),
+        step_deg=step,
+        range_deg=rng,
+        bruteforce=bool(plan_is_bruteforce(step, rng)),
+        dtype_name=jnp.dtype(config.compute_dtype).name,
+        fast=_fast_ladder(),
+        prune=_prune_enabled(),
+    )
+    try:
+        handle.copy_to_host_async()
+    except Exception:
+        pass
+    return handle, [m[0] - 1 for m in metas]

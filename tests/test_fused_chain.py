@@ -1,0 +1,155 @@
+"""One-round-trip fused chain (pipelines.fused_chain) parity.
+
+The chain composes the within-sweep deltas, the device replica of the
+within finish (align_within.rs:70-331), and the between search
+(align_between.rs:11-92 / entry.rs:206-277) into one device program with a
+single pull.  The host epilogues run from the pulled deltas exactly as in
+the two-round-trip orchestration, so every output must be bit-identical to
+the fallback path (MMTPU_NO_FUSED_CHAIN=1) on data without exact grid-angle
+cost ties.
+"""
+
+import numpy as np
+import pytest
+
+from multimodars import numpy_to_inputdata
+from multimodars_tpu._processing import _to_inputdata
+from multimodars_tpu.pipelines import entry
+
+
+def _make_datas(n, anomalous=False, seed=17):
+    """Synthetic pullbacks; ``anomalous=True`` uses elliptic ratio > 2 so
+    the finish takes the farthest-pair-axis branch (align_within.rs:256-317)."""
+    rng = np.random.default_rng(seed)
+    rx, ry = (3.0, 1.0) if anomalous else (2.0, 1.5)
+    datas = []
+    for g in range(n):
+        rows = []
+        for f in range(12):
+            th = np.linspace(0, 2 * np.pi, 40, endpoint=False)
+            x = 4.5 + (rx + 0.15 * rng.standard_normal()) * np.cos(th + 0.1 * f)
+            y = 4.5 + (ry + 0.15 * rng.standard_normal()) * np.sin(th + 0.1 * f)
+            z = np.full(40, f * 0.3)
+            rows.append(np.stack([np.full(40, f), x, y, z], -1))
+        lumen = np.concatenate(rows)
+        ref = np.array([0, 6.8 + 0.1 * g, 4.5, 0.0])
+        datas.append(
+            _to_inputdata(
+                numpy_to_inputdata(lumen, ref, g % 2 == 0, label=f"g{g}")
+            )
+        )
+    return datas
+
+
+def _assert_pairs_equal(a, b):
+    for pn, po in zip(a, b):
+        for gn, go in ((pn.geom_a, po.geom_a), (pn.geom_b, po.geom_b)):
+            assert len(gn.frames) == len(go.frames)
+            for fn, fo in zip(gn.frames, go.frames):
+                assert (fn.lumen.xyz_view() == fo.lumen.xyz_view()).all()
+                assert fn.centroid == fo.centroid
+                for k in fn.extras:
+                    assert (
+                        fn.extras[k].xyz_view() == fo.extras[k].xyz_view()
+                    ).all()
+
+
+def _spy_chain(monkeypatch):
+    calls = {"chain": 0}
+    orig = entry._try_fused_chain
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        if r is not None:
+            calls["chain"] += 1
+        return r
+
+    monkeypatch.setattr(entry, "_try_fused_chain", spy)
+    return calls
+
+
+class TestFusedChainParity:
+    @pytest.mark.parametrize("smooth", [False, True])
+    @pytest.mark.parametrize("anomalous", [False, True])
+    def test_full_matches_fallback(self, monkeypatch, smooth, anomalous):
+        datas = _make_datas(4, anomalous=anomalous)
+        kw = dict(
+            input_data=datas, write_obj=False, postprocessing=False,
+            step_deg=1.0, range_deg=10.0, smooth=smooth, verbose=False,
+        )
+        labels = [d.label for d in datas]
+
+        calls = _spy_chain(monkeypatch)
+        new = entry.full_processing(labels, (4.5, 4.5), 0.5, 20, **kw)
+        assert calls["chain"] == 1, "fused chain did not engage"
+
+        monkeypatch.setenv("MMTPU_NO_FUSED_CHAIN", "1")
+        old = entry.full_processing(labels, (4.5, 4.5), 0.5, 20, **kw)
+
+        _assert_pairs_equal(new[:4], old[:4])
+        for ln, lo in zip(new[4:], old[4:]):
+            assert len(ln) == len(lo)
+            for xn, xo in zip(ln, lo):
+                assert (
+                    xn.contour_id, xn.matched_to, xn.rot_deg, xn.tx, xn.ty,
+                    xn.centroid,
+                ) == (
+                    xo.contour_id, xo.matched_to, xo.rot_deg, xo.tx, xo.ty,
+                    xo.centroid,
+                )
+
+    def test_double_pair_matches_fallback(self, monkeypatch):
+        datas = _make_datas(4, seed=23)
+        kw = dict(
+            input_data=datas, write_obj=False, postprocessing=False,
+            step_deg=1.0, range_deg=10.0, smooth=False, verbose=False,
+        )
+        labels = [d.label for d in datas]
+
+        calls = _spy_chain(monkeypatch)
+        new = entry.double_pair_processing(labels, (4.5, 4.5), 0.5, 20, **kw)
+        assert calls["chain"] == 1
+
+        monkeypatch.setenv("MMTPU_NO_FUSED_CHAIN", "1")
+        old = entry.double_pair_processing(labels, (4.5, 4.5), 0.5, 20, **kw)
+        _assert_pairs_equal(new[:2], old[:2])
+
+    def test_pair_matches_fallback(self, monkeypatch):
+        datas = _make_datas(2, anomalous=True, seed=5)
+        kw = dict(
+            input_data=datas, write_obj=False, postprocessing=False,
+            step_deg=1.0, range_deg=10.0, smooth=True, verbose=False,
+        )
+        labels = [d.label for d in datas]
+
+        calls = _spy_chain(monkeypatch)
+        new = entry.pair_processing(labels, (4.5, 4.5), 0.5, 20, **kw)
+        assert calls["chain"] == 1
+
+        monkeypatch.setenv("MMTPU_NO_FUSED_CHAIN", "1")
+        old = entry.pair_processing(labels, (4.5, 4.5), 0.5, 20, **kw)
+        _assert_pairs_equal([new[0]], [old[0]])
+
+    def test_fallback_when_no_prefetch(self, monkeypatch):
+        """Geometries without a matching in-flight prefetch must take the
+        regular path (take_device_sweeps returns None before detaching)."""
+        from multimodars_tpu.pipelines.fused_chain import take_device_sweeps
+
+        datas = _make_datas(2, seed=9)
+        geoms = entry.prepare_n_geometries(
+            [d.label for d in datas], (4.5, 4.5), 0.5, 20, datas, True,
+            None, None, "pair", verbose=False,
+        )  # no prefetch kwargs -> no pending sweeps
+        assert take_device_sweeps(geoms, 1.0, 10.0, False, 500) is None
+        # and with a prefetch under DIFFERENT search params the key mismatches
+        geoms2 = entry.prepare_n_geometries(
+            [d.label for d in datas], (4.5, 4.5), 0.5, 20, datas, True,
+            None, None, "pair", verbose=False,
+            prefetch=dict(step_deg=2.0, range_deg=10.0, bruteforce=False,
+                          sample_size=500),
+        )
+        assert take_device_sweeps(geoms2, 1.0, 10.0, False, 500) is None
+        # pendings must still be attached for the regular path to reuse
+        assert all(
+            getattr(g, "_pending_sweep", None) is not None for g in geoms2
+        )
