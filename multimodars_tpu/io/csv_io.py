@@ -508,19 +508,12 @@ def read_centerline_vtp(path) -> PyCenterline:
                 ok[:, None], diff / np.where(ok, norm, 1.0)[:, None], 0.0
             )
             tang[-1] = tang[-2]
-        bc_l = bc.tolist()
-        tang_l = tang.tolist()
-        rad_l = radii[branch].tolist()
-        base = len(cl_points)
-        for i in range(L):
-            idx = base + i
-            x, y, z = bc_l[i]
-            cl_points.append(
-                PyCenterlinePoint(
-                    PyContourPoint(idx, idx, x, y, z, False),
-                    tang_l[i],
-                    branch_id,
-                    rad_l[i],
-                )
+        from ..models.centerline import clpoints_from_lists
+
+        cl_points.extend(
+            clpoints_from_lists(
+                bc.tolist(), tang.tolist(), radii[branch].tolist(),
+                branch_id, len(cl_points),
             )
+        )
     return PyCenterline(cl_points, branch_start_indices)

@@ -52,6 +52,35 @@ class PyCenterlinePoint:
     __str__ = __repr__
 
 
+def clpoints_from_lists(
+    xyz_l, tang_l, rad_l, branch_id: int, base: int
+) -> List[PyCenterlinePoint]:
+    """Bulk PyCenterlinePoint construction from plain float lists (e.g.
+    ndarray.tolist() output) — slot writes via ``__new__``, skipping the
+    per-value coercions ``__init__`` performs, which dominate large parses
+    (io.csv_io.read_centerline_vtp).  Semantics identical: frame/point index
+    = running position, aortic False."""
+    out: List[PyCenterlinePoint] = []
+    append = out.append
+    for i in range(len(xyz_l)):
+        idx = base + i
+        x, y, z = xyz_l[i]
+        cp = PyContourPoint.__new__(PyContourPoint)
+        cp.frame_index = idx
+        cp.point_index = idx
+        cp.x = x
+        cp.y = y
+        cp.z = z
+        cp.aortic = False
+        p = PyCenterlinePoint.__new__(PyCenterlinePoint)
+        p.contour_point = cp
+        p.tangent = tuple(tang_l[i])
+        p.branch_id = branch_id
+        p.radius = rad_l[i]
+        append(p)
+    return out
+
+
 def _positions(points: Sequence[PyCenterlinePoint]) -> np.ndarray:
     out = np.empty((len(points), 3), dtype=np.float64)
     for i, p in enumerate(points):
