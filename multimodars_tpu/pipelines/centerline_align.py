@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import config
-from ..models.centerline import PyCenterline, PyCenterlinePoint
+from ..models.centerline import PyCenterline, PyCenterlinePoint, clpoints_from_lists
 from ..models.contour import PyContour, downsample_indices
 from ..models.geometry import PyGeometry, PyGeometryPair
 from ..models.point import PyContourPoint
@@ -56,7 +56,10 @@ def rotate_all(target: AlignTarget, angle_rad: float) -> AlignTarget:
 def preprocess_centerline(centerline: PyCenterline, ref_mesh: PyGeometry) -> PyCenterline:
     """Strip side branches, ensure descending z, resample at the geometry's
     mean frame-centroid spacing.  Parity: preprocessing.rs:12-102."""
-    pts = [p.copy() for p in centerline.points if p.branch_id == 0]
+    # reference-only views: the resample constructs entirely new points, so
+    # the filtered/reversed intermediate never needs to copy (its only other
+    # consumer, the no-spacing fallback, copies at return)
+    pts = [p for p in centerline.points if p.branch_id == 0]
     if not pts:
         raise ValueError("Centerline has no branch-0 points")
     if pts and pts[0].contour_point.z < pts[-1].contour_point.z:
@@ -106,37 +109,36 @@ def _resample_centerline_by_contours(
     tangents = centerline.tangents()
     radii = centerline.radii()
 
-    new_points: List[PyCenterlinePoint] = []
-    for k, target_s in enumerate(s_new):
-        idx = int(np.searchsorted(cum, target_s, side="right")) - 1
-        idx = max(idx, 0)
-        if idx >= len(centerline.points) - 1:
-            src = centerline.points[-1]
-            new_points.append(
-                PyCenterlinePoint(
-                    PyContourPoint(k, k, src.contour_point.x, src.contour_point.y, src.contour_point.z, False),
-                    src.tangent,
-                    0,
-                    src.radius,
-                )
-            )
-            continue
-        s0, s1 = cum[idx], cum[idx + 1]
-        denom = s1 - s0
-        t = 0.0 if abs(denom) < 1e-12 else (target_s - s0) / denom
-        p = pos[idx] + t * (pos[idx + 1] - pos[idx])
-        tangent = tangents[idx] * (1.0 - t) + tangents[idx + 1] * t
-        tn = float(np.linalg.norm(tangent))
-        tangent = tuple(tangent / tn) if tn > 1e-12 else (0.0, 0.0, 0.0)
-        radius = float(radii[idx] * (1.0 - t) + radii[idx + 1] * t)
-        new_points.append(
-            PyCenterlinePoint(
-                PyContourPoint(k, k, float(p[0]), float(p[1]), float(p[2]), False),
-                tangent,
-                0,
-                radius,
-            )
-        )
+    # vectorised per-sample interpolation (same scalar expression tree per
+    # element as the original loop, so values are bit-identical); samples
+    # landing at/after the final arc position copy the last point verbatim
+    n_p = len(centerline.points)
+    s_arr = np.asarray(s_new, dtype=np.float64)
+    idx = np.searchsorted(cum, s_arr, side="right") - 1
+    idx = np.maximum(idx, 0)
+    tail = idx >= n_p - 1
+    idx_c = np.minimum(idx, n_p - 2)
+    s0 = cum[idx_c]
+    denom = cum[idx_c + 1] - s0
+    small = np.abs(denom) < 1e-12
+    t = np.where(small, 0.0, (s_arr - s0) / np.where(small, 1.0, denom))
+    tc = t[:, None]
+    p = pos[idx_c] + tc * (pos[idx_c + 1] - pos[idx_c])
+    tang = tangents[idx_c] * (1.0 - tc) + tangents[idx_c + 1] * tc
+    tn = np.sqrt((tang * tang).sum(-1))
+    ok = tn > 1e-12
+    tang = np.where(ok[:, None], tang / np.where(ok, tn, 1.0)[:, None], 0.0)
+    rad = np.where(
+        tail, radii[-1], radii[idx_c] * (1.0 - t) + radii[idx_c + 1] * t
+    )
+    if tail.any():
+        src = centerline.points[-1]
+        p[tail] = pos[-1]
+        tang[tail] = np.asarray(src.tangent, dtype=np.float64)
+
+    new_points = clpoints_from_lists(
+        p.tolist(), tang.tolist(), rad.tolist(), 0, 0
+    )
     return PyCenterline(new_points, [0] if new_points else [])
 
 

@@ -103,12 +103,13 @@ def take_device_sweeps(
     return out
 
 
-def _axis_rotation_dev(p1c, p2c, rp, anomalous: bool):
+def _axis_rotation_dev(p1c, p2c, rp, anomalous):
     """Device f64 replica of align_within._axis_rotation_from_coords
     (align_within.rs:256-317): rotation putting the reference point
-    rightmost, with the farthest-pair axis vertical when anomalous."""
+    rightmost, with the farthest-pair axis vertical when anomalous
+    (``anomalous`` is a traced bool scalar)."""
     line_angle = jnp.arctan2(p2c[1] - p1c[1], p2c[0] - p1c[0])
-    desired = math.pi / 2.0 if anomalous else 0.0
+    desired = jnp.where(anomalous, math.pi / 2.0, 0.0)
     rotation = jnp.mod(desired - line_angle, _TWO_PI)
     c_ = jnp.cos(rotation)
     s_ = jnp.sin(rotation)
@@ -128,14 +129,20 @@ def _axis_rotation_dev(p1c, p2c, rp, anomalous: bool):
     return jnp.where(bad, jnp.mod(rotation + math.pi, _TWO_PI), rotation)
 
 
-def _cloud_dev(delta, lum_xy, cents, rp_xy, meta, smooth: bool):
+def _cloud_dev(delta, lum_xy, cents, rp_xy, dyn, meta, smooth: bool):
     """Device f64 replica of the within finish's lumen coordinate pass
     (align_within._finish_alignment_tensor_coords +
     TensorGeometry.finish_transform/smooth_xy) followed by the between
     cloud extraction (align_between.extract_stack_points).
 
+    ``dyn`` carries the data-dependent scalars — [ref_idx, i1, i2] int32 +
+    anomalous bool — as traced values, so the compiled executable depends
+    only on shapes/flags and is reused across datasets.
+
     Returns ``(cloud [F·fn, 2], post_ref_centroid_xy [2])`` in f64."""
-    F, N, ref_idx, anomalous, farthest, fn = meta
+    F, N, fn = meta
+    idxs, anomalous = dyn
+    ref_idx, i1, i2 = idxs[0], idxs[1], idxs[2]
     f64 = jnp.float64
     d64 = delta.astype(f64)
     cum = jnp.concatenate([jnp.zeros((1,), f64), jnp.cumsum(d64)])
@@ -162,13 +169,13 @@ def _cloud_dev(delta, lum_xy, cents, rp_xy, meta, smooth: bool):
         )
 
     rp_t = xf(rp_xy)
-    if anomalous:
-        i1, i2 = farthest
-        p1c = xf(lum_xy[ref_idx, i1])
-        p2c = xf(lum_xy[ref_idx, i2])
-    else:
-        p1c = jnp.stack([cref[0] + tref[0], cref[1] + tref[1]])
-        p2c = rp_t
+    # both classification branches computed, winner selected by the traced
+    # anomalous flag (align_within.rs:256-317's two axis definitions)
+    p1c_anom = xf(lum_xy[ref_idx, i1])
+    p2c_anom = xf(lum_xy[ref_idx, i2])
+    p1c_reg = jnp.stack([cref[0] + tref[0], cref[1] + tref[1]])
+    p1c = jnp.where(anomalous, p1c_anom, p1c_reg)
+    p2c = jnp.where(anomalous, p2c_anom, rp_t)
     additional = _axis_rotation_dev(p1c, p2c, rp_t, anomalous)
 
     total = cum + additional
@@ -219,6 +226,7 @@ def _fused_chain_impl(
     lums,
     cents,
     rps,
+    dyns,
     metas,
     pair_idx,
     full_stage2: bool,
@@ -239,7 +247,7 @@ def _fused_chain_impl(
     clouds, refs = [], []
     for g in range(n):
         cloud, pref = _cloud_dev(
-            deltas[g], lums[g], cents[g], rps[g], metas[g], smooth
+            deltas[g], lums[g], cents[g], rps[g], dyns[g], metas[g], smooth
         )
         clouds.append(cloud)
         refs.append(pref)
@@ -323,24 +331,28 @@ def dispatch_fused_chain(
     ``len(pair_idx) * (2 if full_stage2 else 1)`` entries as the between
     winners."""
     between_sample = max(int(sample_size), 500)
-    deltas, lums, cents, rps, metas = [], [], [], [], []
+    deltas, lums, cents, rps, dyns, metas = [], [], [], [], [], []
     for tg, pending, pre in taken:
         lum = tg.coords["Lumen"]
         F, N = lum.shape[0], lum.shape[1]
         ratio = between_sample / (F * N)
         fn = max(int(np.ceil(N * ratio)), 1)
-        farthest = (
+        i1, i2 = (
             (int(pre["farthest"][0]), int(pre["farthest"][1]))
             if pre["farthest"] is not None
-            else None
+            else (0, 0)
         )
-        metas.append(
-            (F, N, int(pre["ref_idx"]), bool(pre["anomalous"]), farthest, fn)
-        )
+        metas.append((F, N, fn))
         deltas.append(pending)
         lums.append(np.ascontiguousarray(lum[:, :, :2]))
         cents.append(np.ascontiguousarray(tg.centroids[:, :2]))
         rps.append(np.array([tg.ref_point.x, tg.ref_point.y]))
+        dyns.append(
+            (
+                np.array([int(pre["ref_idx"]), i1, i2], dtype=np.int32),
+                np.bool_(pre["anomalous"]),
+            )
+        )
 
     step = float(step_deg)
     rng = float(range_deg)
@@ -349,6 +361,7 @@ def dispatch_fused_chain(
         tuple(lums),
         tuple(cents),
         tuple(rps),
+        tuple(dyns),
         metas=tuple(metas),
         pair_idx=tuple(tuple(p) for p in pair_idx),
         full_stage2=bool(full_stage2),

@@ -130,6 +130,23 @@ class TestFusedChainParity:
         old = entry.pair_processing(labels, (4.5, 4.5), 0.5, 20, **kw)
         _assert_pairs_equal([new[0]], [old[0]])
 
+    def test_executable_reused_across_datasets(self, monkeypatch):
+        """Data-dependent scalars (ref_idx, anomalous, farthest indices) are
+        traced, not static — same-shaped pullbacks from different patients
+        must share one compiled executable."""
+        from multimodars_tpu.pipelines import fused_chain
+
+        base = fused_chain._fused_chain_impl._cache_size()
+        for seed, anomalous in ((31, False), (32, True), (33, False)):
+            datas = _make_datas(2, anomalous=anomalous, seed=seed)
+            entry.pair_processing(
+                [d.label for d in datas], (4.5, 4.5), 0.5, 20,
+                input_data=datas, write_obj=False, postprocessing=False,
+                step_deg=1.0, range_deg=10.0, smooth=False, verbose=False,
+            )
+        grown = fused_chain._fused_chain_impl._cache_size() - base
+        assert grown <= 1, f"chain recompiled per dataset ({grown} entries)"
+
     def test_fallback_when_no_prefetch(self, monkeypatch):
         """Geometries without a matching in-flight prefetch must take the
         regular path (take_device_sweeps returns None before detaching)."""
