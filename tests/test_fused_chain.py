@@ -147,6 +147,31 @@ class TestFusedChainParity:
         grown = fused_chain._fused_chain_impl._cache_size() - base
         assert grown <= 1, f"chain recompiled per dataset ({grown} entries)"
 
+    def test_real_fixture_full_matches_fallback(self, monkeypatch):
+        """Chain parity on the vendored clinical pullbacks (501-point
+        contours, catheter synthesis, real reference points) — the shape
+        class every synthetic test misses."""
+        from pathlib import Path
+
+        rest = Path(__file__).parent / "data" / "fixtures" / "ivus_rest"
+        stress = Path(__file__).parent / "data" / "fixtures" / "ivus_stress"
+        if not rest.is_dir() or not stress.is_dir():
+            pytest.skip("vendored fixtures not present")
+        kw = dict(
+            input_path_a=str(rest), input_path_b=str(stress),
+            write_obj=False, postprocessing=False,
+            step_deg=2.0, range_deg=20.0, smooth=True, verbose=False,
+        )
+        labels = ["a", "b", "c", "d"]
+
+        calls = _spy_chain(monkeypatch)
+        new = entry.full_processing(labels, (4.5, 4.5), 0.5, 20, **kw)
+        assert calls["chain"] == 1, "fused chain did not engage on fixtures"
+
+        monkeypatch.setenv("MMTPU_NO_FUSED_CHAIN", "1")
+        old = entry.full_processing(labels, (4.5, 4.5), 0.5, 20, **kw)
+        _assert_pairs_equal(new[:4], old[:4])
+
     def test_fallback_when_no_prefetch(self, monkeypatch):
         """Geometries without a matching in-flight prefetch must take the
         regular path (take_device_sweeps returns None before detaching)."""
