@@ -125,7 +125,11 @@ def _resample_centerline_by_contours(
     tc = t[:, None]
     p = pos[idx_c] + tc * (pos[idx_c + 1] - pos[idx_c])
     tang = tangents[idx_c] * (1.0 - tc) + tangents[idx_c + 1] * tc
-    tn = np.sqrt((tang * tang).sum(-1))
+    # per-row np.linalg.norm, NOT a vectorised (t*t).sum: the BLAS dot the
+    # scalar loop used rounds differently in the last ulp ~11% of the time,
+    # and these tangents seed rotation matrices whose cost ties the
+    # bit-parity tests pin; the sample axis is tiny (~frame count)
+    tn = np.array([float(np.linalg.norm(v)) for v in tang])
     ok = tn > 1e-12
     tang = np.where(ok[:, None], tang / np.where(ok, tn, 1.0)[:, None], 0.0)
     rad = np.where(

@@ -652,3 +652,70 @@ class TestMeanSpacingResample:
         gaps = np.sqrt(((pos[1:] - pos[:-1]) ** 2).sum(-1))
         # no centroid spacing -> fallback total/segments = 1.0
         np.testing.assert_allclose(gaps, 1.0, atol=1e-9)
+
+    def test_vectorized_resample_bitwise_matches_scalar_loop(self):
+        """The vectorised interpolation must reproduce the original
+        per-sample scalar loop BIT-exactly on irregular random centerlines —
+        including the tangent norm, whose BLAS dot path rounds differently
+        from a vectorised (t*t).sum in ~11% of random 3-vectors."""
+        from multimodars_tpu.pipelines.centerline_align import (
+            _resample_centerline_by_contours,
+        )
+
+        rng = np.random.default_rng(7)
+        for trial in range(4):
+            n = int(rng.integers(5, 40))
+            pts = np.cumsum(rng.standard_normal((n, 3)) * 0.8, axis=0)
+            cl = numpy_to_centerline(pts)
+            for p in cl.points:  # irregular radii too
+                p.radius = float(rng.uniform(0.5, 2.0))
+            mesh = self._mesh(
+                [tuple(c) for c in np.cumsum(
+                    rng.uniform(0.2, 1.0, (3, 3)), axis=0)]
+            )
+            out = _resample_centerline_by_contours(cl, mesh)
+
+            # scalar reference: the exact pre-vectorisation expression tree
+            pos = cl.positions()
+            seg = np.sqrt(((pos[1:] - pos[:-1]) ** 2).sum(-1))
+            cum = np.concatenate([[0.0], np.cumsum(seg)])
+            total = float(cum[-1])
+            centroids = np.array([f.centroid for f in mesh.frames])
+            spacing = float(
+                np.sqrt(((centroids[1:] - centroids[:-1]) ** 2).sum(-1)).mean()
+            )
+            s_new = []
+            s = 0.0
+            while s <= total + 1e-9:
+                s_new.append(s)
+                s += spacing
+            if s_new and s_new[-1] > total + 1e-6:
+                s_new[-1] = total
+            tangents = cl.tangents()
+            radii = cl.radii()
+            assert len(out.points) == len(s_new)
+            for k, target_s in enumerate(s_new):
+                got = out.points[k]
+                idx = int(np.searchsorted(cum, target_s, side="right")) - 1
+                idx = max(idx, 0)
+                if idx >= len(cl.points) - 1:
+                    src = cl.points[-1]
+                    exp_xyz = (src.contour_point.x, src.contour_point.y,
+                               src.contour_point.z)
+                    exp_tan, exp_rad = src.tangent, src.radius
+                else:
+                    s0, s1 = cum[idx], cum[idx + 1]
+                    denom = s1 - s0
+                    t = 0.0 if abs(denom) < 1e-12 else (target_s - s0) / denom
+                    p = pos[idx] + t * (pos[idx + 1] - pos[idx])
+                    tangent = tangents[idx] * (1.0 - t) + tangents[idx + 1] * t
+                    tn = float(np.linalg.norm(tangent))
+                    exp_tan = (
+                        tuple(tangent / tn) if tn > 1e-12 else (0.0, 0.0, 0.0)
+                    )
+                    exp_rad = float(radii[idx] * (1.0 - t) + radii[idx + 1] * t)
+                    exp_xyz = (float(p[0]), float(p[1]), float(p[2]))
+                cp = got.contour_point
+                assert (cp.x, cp.y, cp.z) == exp_xyz, (trial, k)
+                assert got.tangent == exp_tan, (trial, k)
+                assert got.radius == exp_rad, (trial, k)

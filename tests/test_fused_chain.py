@@ -136,6 +136,7 @@ class TestFusedChainParity:
         must share one compiled executable."""
         from multimodars_tpu.pipelines import fused_chain
 
+        calls = _spy_chain(monkeypatch)
         base = fused_chain._fused_chain_impl._cache_size()
         for seed, anomalous in ((31, False), (32, True), (33, False)):
             datas = _make_datas(2, anomalous=anomalous, seed=seed)
@@ -144,6 +145,7 @@ class TestFusedChainParity:
                 input_data=datas, write_obj=False, postprocessing=False,
                 step_deg=1.0, range_deg=10.0, smooth=False, verbose=False,
             )
+        assert calls["chain"] == 3, "fused chain did not engage on all runs"
         grown = fused_chain._fused_chain_impl._cache_size() - base
         assert grown <= 1, f"chain recompiled per dataset ({grown} entries)"
 
