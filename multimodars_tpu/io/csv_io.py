@@ -20,7 +20,11 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..models.centerline import PyCenterline, PyCenterlinePoint
+from ..models.centerline import (
+    PyCenterline,
+    PyCenterlinePoint,
+    clpoints_from_lists,
+)
 from ..models.point import PyContourPoint
 from ..models.record import PyInputData, PyRecord
 
@@ -95,6 +99,10 @@ def prefetch_contour_files(paths) -> None:
         with lock:
             if key in _READAHEAD:
                 continue
+            # bound abandoned entries (a build that errors never consumes
+            # its prefetch): drop oldest beyond a small working set
+            while len(_READAHEAD) >= 64:
+                _READAHEAD.pop(next(iter(_READAHEAD)))
             _READAHEAD[key] = pool.submit(_read_contour_array_direct, p)
 
 
@@ -508,8 +516,6 @@ def read_centerline_vtp(path) -> PyCenterline:
                 ok[:, None], diff / np.where(ok, norm, 1.0)[:, None], 0.0
             )
             tang[-1] = tang[-2]
-        from ..models.centerline import clpoints_from_lists
-
         cl_points.extend(
             clpoints_from_lists(
                 bc.tolist(), tang.tolist(), radii[branch].tolist(),

@@ -400,6 +400,14 @@ def align_between_geometries(
     )[0]
 
 
+def stack_sample_width(F: int, N: int, sample_size: int) -> int:
+    """Per-frame downsample width of the between cloud for an [F, N] lumen
+    stack — the exact expression :func:`extract_geometry_points` evaluates
+    per frame, shared so the device chain (fused_chain) cannot drift."""
+    ratio = sample_size / (F * N)
+    return max(int(np.ceil(N * ratio)), 1)
+
+
 def extract_stack_points(lumen: np.ndarray, sample_size: int) -> np.ndarray:
     """:func:`extract_geometry_points` computed straight off a rectangular
     [F, N, 3] lumen stack (one gather instead of a per-frame loop) —
@@ -408,9 +416,7 @@ def extract_stack_points(lumen: np.ndarray, sample_size: int) -> np.ndarray:
     from ..models.contour import downsample_indices
 
     F, N = lumen.shape[:2]
-    ratio = sample_size / (F * N)
-    frame_n = max(int(np.ceil(N * ratio)), 1)
-    idx = downsample_indices(N, frame_n)
+    idx = downsample_indices(N, stack_sample_width(F, N, sample_size))
     return lumen[:, idx, :2].reshape(-1, 2)
 
 

@@ -29,6 +29,8 @@ from .postprocess import postprocess_geom_pair
 # tolerance of distance between frames [mm] that counts as 0 (entry.rs:21)
 TOLERANCE = 0.03
 
+_CHAIN_WARNED = False
+
 
 def _path_basename(path) -> str:
     name = Path(path).name
@@ -236,9 +238,21 @@ def _try_fused_chain(
             taken, pair_idx, full_stage2, smooth, sample_size, step_deg,
             range_deg,
         )
-    except Exception:
+    except Exception as e:
         # pendings are consumed, but the claimed tensors are untouched —
-        # the fallback align simply re-dispatches the within sweep
+        # the fallback align simply re-dispatches the within sweep.  Warn
+        # (once per process) because a persistent failure here silently
+        # costs an extra tunnel round-trip + re-sweep on every call.
+        global _CHAIN_WARNED
+        if not _CHAIN_WARNED:
+            _CHAIN_WARNED = True
+            import sys
+
+            print(
+                f"fused-chain dispatch failed ({type(e).__name__}: {e}); "
+                "falling back to the two-round-trip orchestration",
+                file=sys.stderr,
+            )
         return None
     return taken, handle, sizes
 

@@ -332,11 +332,12 @@ def dispatch_fused_chain(
     winners."""
     between_sample = max(int(sample_size), 500)
     deltas, lums, cents, rps, dyns, metas = [], [], [], [], [], []
+    from .align_between import stack_sample_width
+
     for tg, pending, pre in taken:
         lum = tg.coords["Lumen"]
         F, N = lum.shape[0], lum.shape[1]
-        ratio = between_sample / (F * N)
-        fn = max(int(np.ceil(N * ratio)), 1)
+        fn = stack_sample_width(F, N, between_sample)
         i1, i2 = (
             (int(pre["farthest"][0]), int(pre["farthest"][1]))
             if pre["farthest"] is not None
