@@ -81,13 +81,42 @@ def scale(results: dict, cl_vessel, cl_aorta, aligned_frames) -> dict:
     aortic_state = manipulating.find_aorta_scaling_start(
         frames=aligned_frames, cl_aorta=cl_aorta, results=results
     )
+
+    # regions go in as vertex-index arrays (the results side channel) so
+    # the morphs never rebuild a coordinate lookup over 100k+ vertices.
+    # The three morphs' nearest-centerline passes do not depend on the
+    # sweep scalars, so when the regions are pairwise disjoint (the normal
+    # case — they label disjoint anatomy) the NN waves dispatch HERE,
+    # overlapping the sweeps, and the whole morph chain applies in one
+    # mesh copy + one sync (bit-identical to the sequential chain).
+    b_distal_idx = regions.get_idx(results, "distal_points")
+    b_aortic_idx = np.concatenate(
+        [
+            regions.get_idx(results, "aorta_points"),
+            regions.get_idx(results, "rca_removed_points"),
+        ]
+    )
+    b_proximal_idx = regions.get_idx(results, "proximal_points")
+    morph_states = manipulating.morph_regions_start(
+        results["mesh"],
+        [
+            (b_distal_idx, cl_vessel),
+            (b_aortic_idx, cl_aorta),
+            (b_proximal_idx, cl_vessel),
+        ],
+    )
+
     prox_scaling, distal_scaling = manipulating.find_distal_and_proximal_scaling(
         frames=aligned_frames, centerline=cl_vessel, results=results
     )
     aortic_scaling = manipulating.find_aorta_scaling_finish(aortic_state)
 
-    # regions go in as vertex-index arrays (the results side channel) so
-    # the morph never rebuilds a coordinate lookup over 100k+ vertices
+    if morph_states is not None:
+        return manipulating.morph_regions_finish(
+            results, morph_states, (distal_scaling, aortic_scaling, prox_scaling)
+        )
+
+    # overlapping regions: the sequential chain is the exact semantics
     distal_idx = regions.get_idx(results, "distal_points")
     scaled_distal = manipulating.scale_region_centerline_morphing(
         mesh=results["mesh"],

@@ -2122,6 +2122,16 @@ def adjust_diameter_centerline_morphing_simple(
 
 def _morph_points(pts: np.ndarray, cl_pos: np.ndarray, adjustment: float) -> np.ndarray:
     _, nearest = min_sqdist(pts, cl_pos)
+    return _morph_points_from_nn(pts, cl_pos, nearest, adjustment)
+
+
+def _morph_points_from_nn(
+    pts: np.ndarray, cl_pos: np.ndarray, nearest: np.ndarray, adjustment: float
+) -> np.ndarray:
+    """:func:`_morph_points` with the nearest-centerline pass precomputed —
+    the NN argmin is independent of ``adjustment``, so callers can dispatch
+    it early (overlapping the scaling sweeps) and apply the identical
+    per-element expression tree here."""
     rel = pts - cl_pos[nearest]
     norms = np.linalg.norm(rel, axis=1)
     ok = norms > 0.0

@@ -383,6 +383,74 @@ def scale_region_centerline_morphing(
     return scaled
 
 
+def morph_regions_start(mesh: Mesh, specs):
+    """Dispatch half of the batched region-morph chain: one
+    nearest-centerline NN pass per region, enqueued BEFORE the scaling
+    sweeps resolve (the NN argmin does not depend on the adjustment
+    scalar, so its device work and tunnel pull overlap the sweeps).
+
+    ``specs``: ``[(idx int64 array, centerline), …]`` in the sequential
+    chain's order.  Returns ``None`` when the regions are not pairwise
+    disjoint — there the sequential scale_region_centerline_morphing chain
+    is the semantics (a later morph must read coordinates an earlier one
+    moved), and the caller falls back to it."""
+    from .kernels import _min_sqdist_start
+
+    # disjointness is required ACROSS specs only: duplicates WITHIN one
+    # spec (e.g. rca_removed_points ⊆ aorta_points concatenated into the
+    # aortic region) morph to identical values from identical inputs, so
+    # the duplicate write is a no-op in both orchestrations
+    uniq = [np.unique(np.asarray(idx, np.int64)) for idx, _ in specs]
+    total = sum(len(u) for u in uniq)
+    if total and len(np.unique(np.concatenate(uniq))) != total:
+        return None
+    verts = mesh.vertices
+    states = []
+    for idx, cl in specs:
+        if len(idx) == 0:
+            states.append(None)
+            continue
+        cl_pos = np.ascontiguousarray(cl.positions(), dtype=np.float64)
+        nn = _min_sqdist_start(np.ascontiguousarray(verts[idx]), cl_pos)
+        states.append((np.asarray(idx, np.int64), cl, cl_pos, nn))
+    return states
+
+
+def morph_regions_finish(results: dict, states, adjustments) -> dict:
+    """Apply the batched morphs: one mesh copy, the sequential chain's
+    prints in order, ONE sync with the union of moved indices.  Exact vs
+    the sequential chain because the regions are pairwise disjoint: each
+    morph reads coordinates no other morph touches (identical per-element
+    expression tree via _morph_points_from_nn), and the single sync
+    rematerialises every intersecting region list from the same final
+    vertex values the three-sync chain ends on."""
+    from .kernels import _min_sqdist_finish, _morph_points_from_nn
+
+    mesh = results["mesh"]
+    scaled = mesh.copy()
+    moved = []
+    for st, adj in zip(states, adjustments):
+        if st is None:
+            print("Warning: No vertices found for scaling region")
+            continue
+        idx, cl, cl_pos, nn = st
+        print(
+            f"scaling {len(idx)} vertices by {np.round(adj, 2)} mm"
+            f" around {cl}"
+        )
+        _, nearest = _min_sqdist_finish(nn)
+        pts = np.ascontiguousarray(mesh.vertices[idx])
+        scaled.vertices[idx] = _morph_points_from_nn(
+            pts, cl_pos, nearest, float(adj)
+        )
+        moved.append(idx)
+    scaled._invalidate()
+    moved_all = (
+        np.concatenate(moved) if moved else np.zeros(0, dtype=np.int64)
+    )
+    return sync_results_to_mesh(results, mesh, scaled, moved_idx=moved_all)
+
+
 def find_distal_and_proximal_scaling(
     frames,
     centerline,

@@ -300,3 +300,65 @@ class TestSyncRemapsOverlappingRegions:
         sub = {tuple(p) for k in ("proximal_points", "distal_points",
                                   "anomalous_points") for p in scaled[k]}
         assert sub == {tuple(p) for p in scaled["rca_points"]}
+
+
+class TestBatchedMorphChainParity:
+    """The batched morph chain (one mesh copy + one sync, NN waves
+    dispatched before the sweeps resolve) must be bit-identical to the
+    sequential scale_region_centerline_morphing + sync chain whenever the
+    regions are pairwise disjoint across specs (ccta.scale engages it
+    exactly then)."""
+
+    def _scaled_pair(self):
+        import contextlib, io as _io
+
+        from multimodars_tpu.ccta import manipulating
+
+        mesh, cl_ao, cl_rca, cl_lca, geom = TestFullFusionE2E._build_case(
+            TestFullFusionE2E
+        )
+        with contextlib.redirect_stdout(_io.StringIO()):
+            results, (rca_cl, _, ao_cl) = ccta.label(
+                mesh, cl_ao, cl_rca, cl_lca,
+                aligned_frames=geom.frames, anomalous_rca=True,
+                control_plot=False,
+            )
+            if not results["rca_removed_points"]:
+                ao = np.asarray(results["aorta_points"])
+                near = np.linalg.norm(
+                    ao - np.array([30.0, 0.0, 14.0]), axis=1
+                ) < 5.0
+                results["rca_removed_points"] = [tuple(p) for p in ao[near][:50]]
+
+            engaged = []
+            orig_finish = manipulating.morph_regions_finish
+
+            def spy_finish(results_, states, adjustments):
+                engaged.append(True)
+                return orig_finish(results_, states, adjustments)
+
+            manipulating.morph_regions_finish = spy_finish
+            try:
+                batched = ccta.scale(dict(results), rca_cl, ao_cl, geom.frames)
+            finally:
+                manipulating.morph_regions_finish = orig_finish
+            assert engaged, "batched morph chain did not engage"
+
+            orig_start = manipulating.morph_regions_start
+            manipulating.morph_regions_start = lambda mesh_, specs: None
+            try:
+                sequential = ccta.scale(dict(results), rca_cl, ao_cl, geom.frames)
+            finally:
+                manipulating.morph_regions_start = orig_start
+        return batched, sequential
+
+    def test_bit_identical_to_sequential_chain(self):
+        batched, sequential = self._scaled_pair()
+        assert np.array_equal(
+            batched["mesh"].vertices, sequential["mesh"].vertices
+        )
+        assert np.array_equal(batched["mesh"].faces, sequential["mesh"].faces)
+        for key in ("rca_points", "lca_points", "aorta_points",
+                    "rca_removed_points", "proximal_points", "distal_points",
+                    "anomalous_points"):
+            assert batched[key] == sequential[key], key
