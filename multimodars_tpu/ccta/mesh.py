@@ -125,15 +125,30 @@ class Mesh:
                 ])
             else:
                 keys = np.zeros(0, dtype=np.int64)
-            # introsort, not stable.  Consumers of the cached order must
-            # stay tie-order-independent: boundary_edges reads only
-            # multiplicity-1 keys (unique positions), and the ordered
-            # winding BFS treats the two edges of a manifold
-            # (multiplicity-2) pair symmetrically — nothing may start
-            # depending on the order WITHIN an equal-key run
-            order = np.argsort(keys)
+            # Consumers of the cached order must stay tie-order-independent:
+            # boundary_edges reads only multiplicity-1 keys (unique
+            # positions), and the ordered winding BFS treats the two edges
+            # of a manifold (multiplicity-2) pair symmetrically — nothing
+            # may start depending on the order WITHIN an equal-key run.
+            # That freedom buys the fast path: sorting the VALUES
+            # (key << slot_bits | slot) runs ~3x faster than np.argsort's
+            # payload indirection on this host and decodes into the same
+            # (sorted keys, grouping-valid order) pair, with slot-ascending
+            # ties.
+            n_slots = len(keys)
+            slot_bits = max(n_slots - 1, 1).bit_length()
+            if n_slots and n * n < (1 << (63 - slot_bits)):
+                packed = (keys << slot_bits) | np.arange(
+                    n_slots, dtype=np.int64
+                )
+                sp = np.sort(packed)
+                order = sp & ((1 << slot_bits) - 1)
+                ks = sp >> slot_bits
+            else:  # packed key would overflow int64: argsort fallback
+                order = np.argsort(keys)
+                ks = keys[order]
             self._cache["edge_key_order"] = order
-            self._cache["edge_keys_sorted"] = (keys[order], keys)
+            self._cache["edge_keys_sorted"] = (ks, keys)
         return self._cache["edge_keys_sorted"]
 
     @property
@@ -304,8 +319,19 @@ class Mesh:
             key = (ci[:, 0] * np.int64(span[1]) + ci[:, 1]) * np.int64(
                 span[2]
             ) + ci[:, 2]
-            order = np.argsort(key, kind="stable")
-            ks = key[order]
+            # stable order: when the cell key leaves headroom for the row
+            # index, sorting the VALUES (key << bits | row) is ~3x faster
+            # than argsort's payload indirection and its row-ascending tie
+            # order IS first-occurrence order
+            slot_bits = max(n - 1, 1).bit_length()
+            kmax = int(span[0] * span[1] * span[2])
+            if kmax < (1 << (63 - slot_bits)):
+                sp = np.sort((key << slot_bits) | np.arange(n, dtype=np.int64))
+                order = sp & ((1 << slot_bits) - 1)
+                ks = sp >> slot_bits
+            else:
+                order = np.argsort(key, kind="stable")
+                ks = key[order]
             new = np.empty(n, dtype=bool)
             new[0] = True
             np.not_equal(ks[1:], ks[:-1], out=new[1:])

@@ -1410,3 +1410,80 @@ class TestCenterlineDiameterMorphing:
         cl = numpy_to_centerline(np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]]))
         out = adjust_diameter_centerline_morphing_simple(cl, [(2.0, 0.0, 0.0)], -0.5)
         assert np.allclose(out[0], (1.5, 0.0, 0.0), atol=1e-6)
+
+
+class TestPackedSortEquivalence:
+    """The value-packed (key << bits | slot) sort fast paths must produce
+    the same groupings as their argsort fallbacks: identical merge results
+    (first-occurrence stability) and identical edge-cache consumers."""
+
+    def _random_mesh(self, seed, n_verts=400, n_faces=700):
+        from multimodars_tpu.ccta.mesh import Mesh
+
+        rng = np.random.default_rng(seed)
+        # duplicate-heavy vertex cloud incl. negatives and exact repeats
+        base = np.round(rng.normal(scale=3.0, size=(n_verts // 2, 3)), 2)
+        verts = np.concatenate([base, base[rng.integers(0, len(base), n_verts - len(base))]])
+        verts[rng.integers(0, len(verts), 5)] = 0.0  # exact zeros
+        faces = rng.integers(0, len(verts), size=(n_faces, 3)).astype(np.int64)
+        faces = faces[(faces[:, 0] != faces[:, 1])
+                      & (faces[:, 1] != faces[:, 2])
+                      & (faces[:, 0] != faces[:, 2])]
+        return Mesh(verts.copy(), faces.copy())
+
+    def test_merge_vertices_matches_lexsort_reference(self):
+        from multimodars_tpu.ccta.mesh import Mesh
+
+        for seed in range(5):
+            m = self._random_mesh(seed)
+            ref_v = m.vertices.copy()
+            ref_f = m.faces.copy()
+            m.merge_vertices(digits=2)
+
+            # reference semantics: stable lexsort grouping of the rounded
+            # coordinates, first occurrence kept (the fallback branch)
+            rounded = np.round(ref_v, 2)
+            order = np.lexsort((rounded[:, 2], rounded[:, 1], rounded[:, 0]))
+            rs = rounded[order]
+            new = np.empty(len(ref_v), dtype=bool)
+            new[0] = True
+            np.any(rs[1:] != rs[:-1], axis=1, out=new[1:])
+            inverse = np.empty(len(ref_v), dtype=np.int64)
+            inverse[order] = np.cumsum(new) - 1
+            first_idx = order[np.flatnonzero(new)]
+
+            assert np.array_equal(m.vertices, ref_v[first_idx]), seed
+            rf = inverse[ref_f]
+            rf = rf[(rf[:, 0] != rf[:, 1]) & (rf[:, 1] != rf[:, 2])
+                    & (rf[:, 0] != rf[:, 2])]  # merge ends in degenerate removal
+            assert np.array_equal(m.faces, rf), seed
+
+    def test_edge_cache_consumers_match_argsort_path(self):
+        for seed in range(5):
+            m1 = self._random_mesh(seed + 10)
+            m2 = m1.copy()
+            # force the argsort fallback on m2 by seeding its cache the
+            # slow way
+            f = m2.faces.astype(np.int64, copy=False)
+            n = len(m2.vertices) + 1
+            a, b, c = f[:, 0], f[:, 1], f[:, 2]
+            keys = np.concatenate([
+                np.minimum(a, b) * n + np.maximum(a, b),
+                np.minimum(b, c) * n + np.maximum(b, c),
+                np.minimum(c, a) * n + np.maximum(c, a),
+            ])
+            order = np.argsort(keys)
+            m2._cache["edge_key_order"] = order
+            m2._cache["edge_keys_sorted"] = (keys[order], keys)
+
+            ks1, keys1 = m1._edge_keys_sorted()
+            ks2, keys2 = m2._edge_keys_sorted()
+            assert np.array_equal(ks1, ks2), seed  # sorted keys identical
+            assert np.array_equal(keys1, keys2), seed
+            assert m1.is_watertight == m2.is_watertight, seed
+            be1 = {tuple(e) for e in m1.boundary_edges()}
+            be2 = {tuple(e) for e in m2.boundary_edges()}
+            assert be1 == be2, seed
+            m1.fix_winding()
+            m2.fix_winding()
+            assert np.array_equal(m1.faces, m2.faces), seed
