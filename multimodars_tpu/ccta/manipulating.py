@@ -231,6 +231,11 @@ def _remap_region_indices(results: dict, old_mesh: Mesh, new_mesh: Mesh, remap: 
     updated["mesh"] = new_mesh
     invalidate_idx(updated)
     regions = {}
+    # a removal only DROPS vertices; the survivors keep their coordinates,
+    # so a region whose rows all survive has a bit-identical public tuple
+    # list — only regions that lost rows (or were cleared, or the new
+    # boundary ring) need their list rebuilt
+    materialize = {"boundary_points"}
     # every point-list region in the dict rides the index map — including
     # caller-specified keys outside the standard set (e.g. the default
     # "anomalous_points" of remove_labeled_points_from_mesh), which must be
@@ -247,12 +252,16 @@ def _remap_region_indices(results: dict, old_mesh: Mesh, new_mesh: Mesh, remap: 
     for key in point_keys:
         if key in cleared:
             regions[key] = np.zeros(0, dtype=np.int64)
+            materialize.add(key)
         elif key in updated and len(updated[key] or ()):
             old_idx = get_idx(results, key, lookup)
             new_idx = remap[old_idx]
-            regions[key] = new_idx[new_idx >= 0]
+            kept = new_idx >= 0
+            regions[key] = new_idx[kept]
+            if not kept.all():
+                materialize.add(key)
     regions["boundary_points"] = np.asarray(boundary_idx_new, dtype=np.int64)
-    store_regions(updated, regions)
+    store_regions(updated, regions, materialize=materialize)
     return updated
 
 
