@@ -524,7 +524,8 @@ def bounded_masks_resident(
 
 @partial(jax.jit, static_argnames=("ch",))
 def _fused_absorb_impl(
-    buf, prox_rows, dist_rows, btw_rows, n_prox, min_ratio, r2lo, r2hi, ch
+    buf, prox_rows, dist_rows, btw_rows, n_prox, n_dist, min_ratio, r2lo,
+    r2hi, ch
 ):
     """Both outlier-absorption passes of the region split in ONE device
     program (scale_coronary.rs:341-404 semantics, chained like the host
@@ -535,11 +536,21 @@ def _fused_absorb_impl(
     afterwards (and the chain re-validated there).
 
     ``*_rows``: int32 gather indices into the resident ``buf`` (pad slots
-    index the _FAR sentinel); ``n_prox``/``n_btw`` the real counts (the
-    _FAR pads never land in the rounding band, but the move mask must not
-    mark pad slots as reference members).  Returns the four count streams
-    {p_btw, p_self, d_ref2, d_self} sign-bit-packed with their near flags
-    (:func:`_pack_count_near`), stacked [4, n], plus the device move mask.
+    index the _FAR sentinel); ``n_prox``/``n_dist`` the real counts (the
+    _FAR pads never land in the rounding band, but the move masks must not
+    mark pad slots as reference members).  Returns ``(flags, stacked)``:
+
+    - ``flags`` uint8[n] — bit 0 device prox move, bit 1 prox near-band,
+      bit 2 device dist move, bit 3 dist near-band.  This 1-byte/row pull
+      is all the host needs on the common path: for non-near rows the
+      certain counts ARE exact, so the device's f64 decision replica
+      necessarily equals the host decision.
+    - ``stacked`` [4, n] int32 — the four count streams {p_btw, p_self,
+      d_ref2, d_self} sign-bit-packed with their near flags
+      (:func:`_pack_count_near`).  NOT pulled on the common path; the host
+      fetches it (second round-trip) only when an exact near-row
+      re-decision flips a prox row, which invalidates the device's pass-2
+      reference set.
     """
     prox = buf[prox_rows]
     dist = buf[dist_rows]
@@ -583,16 +594,31 @@ def _fused_absorb_impl(
     d_moved, d_moved_near = counts(dist, prox_ref)
     d_self, d_self_near = counts(dist, dist)
 
-    # sign-bit-pack each (count, near) pair: halves the pull bytes
+    # pass 2's decision replica (same f64 expression tree)
+    d_ref2 = d_btw + d_moved
+    d_ref2_near = d_btw_near + d_moved_near
+    ref_d = d_ref2.astype(jnp.float64)
+    self_d = jnp.maximum(d_self.astype(jnp.float64) - 1.0, 0.0)
+    total_d = ref_d + self_d
+    move_d = (total_d > 0) & (ref_d / jnp.maximum(total_d, 1.0) >= min_ratio)
+    move_d = move_d & (jnp.arange(dist.shape[0]) < n_dist)
+
+    flags = (
+        move.astype(jnp.uint8)
+        | (((p_btw_near + p_self_near) > 0).astype(jnp.uint8) << 1)
+        | (move_d.astype(jnp.uint8) << 2)
+        | (((d_ref2_near + d_self_near) > 0).astype(jnp.uint8) << 3)
+    )
+    # sign-bit-pack each (count, near) pair: halves the lazy pull's bytes
     stacked = jnp.stack(
         [
             _pack_count_near(p_btw, p_btw_near),
             _pack_count_near(p_self, p_self_near),
-            _pack_count_near(d_btw + d_moved, d_btw_near + d_moved_near),
+            _pack_count_near(d_ref2, d_ref2_near),
             _pack_count_near(d_self, d_self_near),
         ]
     )
-    return stacked, move
+    return flags, stacked
 
 
 def fused_absorb_resident(
@@ -629,49 +655,52 @@ def fused_absorb_resident(
     d_rows = pad_rows(dist_idx, ab_pad)
     b_rows = pad_rows(btw_idx)
     ch_eff = min(ch, len(b_rows), len(p_rows), len(d_rows))
-    stacked, move_dev = _fused_absorb_impl(
+    flags_h, stacked = _fused_absorb_impl(
         dv.dev,
         to_device(p_rows, np.int32),
         to_device(d_rows, np.int32),
         to_device(b_rows, np.int32),
         jnp.asarray(len(prox_idx)),
+        jnp.asarray(len(dist_idx)),
         jnp.asarray(float(min_ratio), jnp.float64),
         jnp.asarray(r2lo_f, dv.dtype),
         jnp.asarray(r2hi_f, dv.dtype),
         ch_eff,
     )
     try:
-        stacked.copy_to_host_async()
-        move_dev.copy_to_host_async()
+        flags_h.copy_to_host_async()  # 1 byte/row; `stacked` stays on device
     except Exception:
         pass
-    flat = np.asarray(stacked)
-    move_dev = np.asarray(move_dev)[: len(prox_idx)]
+    flags = np.asarray(flags_h)
 
     np_ = len(prox_idx)
     nd = len(dist_idx)
-    # decode the sign-bit packing: near = sign, count = low 31 bits
-    p_btw = flat[0, :np_].astype(np.int64) & 0x7FFFFFFF
-    p_btw_near = flat[0, :np_] < 0
-    p_self = flat[1, :np_].astype(np.int64) & 0x7FFFFFFF
-    p_self_near = flat[1, :np_] < 0
-    d_ref2 = flat[2, :nd].astype(np.int64) & 0x7FFFFFFF
-    d_ref2_near = flat[2, :nd] < 0
-    d_self = flat[3, :nd].astype(np.int64) & 0x7FFFFFFF
-    d_self_near = flat[3, :nd] < 0
+    move_dev_p = (flags[:np_] & 1) > 0
+    near_p = (flags[:np_] & 2) > 0
+    move_dev_d = (flags[:nd] & 4) > 0
+    near_d = (flags[:nd] & 8) > 0
 
     prox64 = dv.verts64[prox_idx]
     btw64 = dv.verts64[btw_idx]
-    near_p = p_btw_near | p_self_near
+    # non-near rows: certain counts are exact, so the device's f64 decision
+    # replica IS the host decision; only near-band rows re-decide exactly
+    move_prox = move_dev_p.copy()
     if near_p.any():
         sub = np.ascontiguousarray(prox64[near_p])
-        p_btw[near_p] = _count_rows_exact_host(sub, btw64, r2)
-        p_self[near_p] = _count_rows_exact_host(sub, prox64, r2)
-    move_prox = reassign_mask_from_counts(p_btw, p_self, min_ratio)
+        pb = _count_rows_exact_host(sub, btw64, r2)
+        ps = _count_rows_exact_host(sub, prox64, r2)
+        move_prox[near_p] = reassign_mask_from_counts(pb, ps, min_ratio)
 
     dist64 = dv.verts64[dist_idx]
-    wrong = move_prox != move_dev
+    wrong = move_prox != move_dev_p  # ⊆ near_p by construction
     if wrong.any():
+        # rare path: a near-row re-decision flipped a prox row, so the
+        # device's pass-2 reference set was wrong — pull the count streams
+        # (the one lazy round-trip) and delta-correct before re-deciding
+        # every dist row from counts
+        flat = np.asarray(stacked)
+        d_ref2 = flat[2, :nd].astype(np.int64) & 0x7FFFFFFF
+        d_self = flat[3, :nd].astype(np.int64) & 0x7FFFFFFF
         if int(wrong.sum()) * max(nd, 1) > 20_000_000:
             # too many flipped columns for the dense fix: recount pass 2
             # outright against the true reference set
@@ -688,15 +717,26 @@ def fused_absorb_resident(
             delta = _count_columns_within_host(dist64, fix, r2)
             sign = np.where(move_prox[wrong], 1, -1)
             d_ref2 = d_ref2 + (delta * sign[None, :]).sum(axis=1)
-    near_d = d_ref2_near | d_self_near
+        if near_d.any():
+            sub = np.ascontiguousarray(dist64[near_d])
+            ref2 = np.concatenate([btw64, prox64[move_prox]])
+            d_ref2[near_d] = (
+                _count_rows_exact_host(sub, ref2, r2) if len(ref2) else 0
+            )
+            d_self[near_d] = _count_rows_exact_host(sub, dist64, r2)
+        return move_prox, reassign_mask_from_counts(d_ref2, d_self, min_ratio)
+
+    move_dist = move_dev_d.copy()
     if near_d.any():
         sub = np.ascontiguousarray(dist64[near_d])
         ref2 = np.concatenate([btw64, prox64[move_prox]])
-        d_ref2[near_d] = (
-            _count_rows_exact_host(sub, ref2, r2) if len(ref2) else 0
+        dr = (
+            _count_rows_exact_host(sub, ref2, r2)
+            if len(ref2)
+            else np.zeros(int(near_d.sum()), dtype=np.int64)
         )
-        d_self[near_d] = _count_rows_exact_host(sub, dist64, r2)
-    move_dist = reassign_mask_from_counts(d_ref2, d_self, min_ratio)
+        ds = _count_rows_exact_host(sub, dist64, r2)
+        move_dist[near_d] = reassign_mask_from_counts(dr, ds, min_ratio)
     return move_prox, move_dist
 
 

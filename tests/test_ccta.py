@@ -1199,6 +1199,55 @@ class TestFusedAbsorb:
         np.testing.assert_array_equal(move_p, exp_p)
         np.testing.assert_array_equal(move_d, exp_d)
 
+    def test_flip_path_pulls_counts_and_corrects(self, monkeypatch):
+        """A near-band prox row whose exact re-decision FLIPS the device
+        verdict must invalidate the device's pass-2 reference set: the
+        lazy count pull + per-column delta correction path runs and still
+        matches the sequential host chain."""
+        from multimodars_tpu.ccta import kernels as K
+
+        monkeypatch.setenv("MMTPU_CCTA_RESIDENT", "1")
+        # prox[0] at the origin has 3 between neighbours at EXACTLY the
+        # radius (device-certain counts miss them — band pairs — while the
+        # exact host counts include them) plus 2 strictly-inside between
+        # neighbours and 3 close prox companions:
+        #   exact: ref 5, self 3 -> ratio 0.625 >= 0.6 -> move
+        #   certain: ref 2, self 3 -> ratio 0.4 < 0.6 -> stay
+        prox = np.array([
+            [0.0, 0.0, 0.0],
+            [0.3, 0.0, 0.0], [0.0, 0.3, 0.0], [0.0, 0.0, 0.3],
+            [9.0, 9.0, 9.0],
+        ])
+        btw = np.array([
+            [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+            [0.5, 0.5, 0.0], [0.0, 0.5, 0.5],
+        ])
+        # dist rows near prox[0] so its flip changes their pass-2 counts
+        dist = np.array([
+            [0.6, 0.0, 0.0], [0.0, 0.6, 0.0], [12.0, 12.0, 12.0],
+        ])
+        verts = np.concatenate([prox, dist, btw])
+        pi = np.arange(0, 5)
+        di = np.arange(5, 8)
+        bi = np.arange(8, 13)
+        dv = K.DeviceVerts(verts)
+
+        calls = []
+        orig_cols = K._count_columns_within_host
+        monkeypatch.setattr(
+            K, "_count_columns_within_host",
+            lambda *a: (calls.append(1), orig_cols(*a))[1],
+        )
+        move_p, move_d = K.fused_absorb_resident(dv, pi, di, bi, 1.0, 0.6)
+
+        exp_p = K.outlier_reassign_mask(verts[pi], verts[bi], 1.0, 0.6)
+        ref2 = np.concatenate([verts[bi], verts[pi][exp_p]])
+        exp_d = K.outlier_reassign_mask(verts[di], ref2, 1.0, 0.6)
+        np.testing.assert_array_equal(move_p, exp_p)
+        np.testing.assert_array_equal(move_d, exp_d)
+        assert exp_p[0], "scenario must move the boundary prox row"
+        assert calls, "the flip path (lazy pull + delta correction) must run"
+
 
 class TestOrientedFlag:
     """The winding-certified flag must short-circuit only when a full BFS
