@@ -134,7 +134,27 @@ def main() -> None:
                 )
         except Exception:
             pass
-    payload["runs_history"] = history[-9:]
+    payload["runs_history"] = history[-16:]
+    # never-truncated worst-case evidence: the cap above drops old entries,
+    # but the worst observed draw must survive (it IS the honesty signal)
+    prev_worst = {}
+    if out.is_file():
+        try:
+            prev_worst = json.loads(out.read_text()).get("worst_observed", {})
+        except Exception:
+            pass
+    cand_markers = history + [
+        {"seconds_median": median, "seconds_max": payload["seconds_max"]},
+        prev_worst,
+    ]
+    payload["worst_observed"] = {
+        "seconds_median": max(
+            (m.get("seconds_median") or 0.0) for m in cand_markers
+        ),
+        "seconds_max": max(
+            (m.get("seconds_max") or 0.0) for m in cand_markers
+        ),
+    }
     out.write_text(json.dumps(payload, indent=2))
     print(json.dumps(payload, indent=2))
 
