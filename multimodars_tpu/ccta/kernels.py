@@ -83,12 +83,6 @@ def _min_sqdist_block2(a, b):
     return jnp.stack([m1, m2]), am
 
 
-@jax.jit
-def _count_within_block(block, b_arr, r2):
-    d2 = ((block[:, None, :] - b_arr[None, :, :]) ** 2).sum(-1)
-    return (d2 <= r2).sum(axis=1)
-
-
 def _pack_count_near(certain, near):
     """Pack (certain count, any-near flag) into ONE int32 per row: the sign
     bit carries the flag (counts are < 2^31), so every wave pull moves half
@@ -1521,25 +1515,18 @@ def count_within_radius(a: np.ndarray, b: np.ndarray, radius: float) -> np.ndarr
         grid = _count_within_radius_grid(a64g, b64g, float(radius))
         if grid is not None:
             return grid
-    if len(a) * len(b) <= _DEVICE_PAIR_THRESHOLD:
-        a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
-        b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
-        sb = (b64 * b64).sum(axis=1)
-        out = np.empty(len(a64), dtype=np.int64)
-        chunk = max(1, min(len(a64), 4_000_000 // max(len(b64), 1) + 1))
-        for start in range(0, len(a64), chunk):
-            blk = a64[start : start + chunk]
-            d2 = (blk * blk).sum(axis=1)[:, None] + sb[None, :] - 2.0 * (blk @ b64.T)
-            out[start : start + chunk] = (d2 <= r2).sum(axis=1)
-        return out
-    dtype = config.compute_dtype
-    b_d = jnp.asarray(b, dtype=dtype)
-    r2_d = jnp.asarray(r2, dtype=dtype)
-    out = []
-    for start in range(0, len(a), _CHUNK):
-        block = jnp.asarray(a[start : start + _CHUNK], dtype=dtype)
-        out.append(np.asarray(_count_within_block(block, b_d, r2_d), dtype=np.int64))
-    return np.concatenate(out)
+    # gram matmul with the same near-boundary component-form recheck as the
+    # recount paths: the decision for pairs within rounding of the radius
+    # is component f64 on EVERY path (rstar's locate_within_distance
+    # semantics), so the public host path, the recount paths, and the
+    # certified device paths can never disagree.  The >5e6-pair non-TPU
+    # tail (grid refused: degenerate radius / overflowing keys /
+    # over-dense clustering) lands here too — slower than the old
+    # uncertified f32 block sweep, but a correctness fallback must be
+    # exact.
+    a64 = np.ascontiguousarray(a, dtype=np.float64).reshape(len(a), 3)
+    b64 = np.ascontiguousarray(b, dtype=np.float64).reshape(len(b), 3)
+    return _count_rows_exact_dense(a64, b64, r2)
 
 
 # ---------------------------------------------------------------------------
