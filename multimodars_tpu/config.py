@@ -75,17 +75,28 @@ if os.environ.get("MMTPU_NO_COMPILE_CACHE", "0") != "1":
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-# Honor JAX_PLATFORMS=cpu even when a device plugin ignores it (the axon TPU
-# plugin registers its device regardless): pin the default device to the CPU
-# platform so subprocess tiers that request a CPU backend (examples,
-# notebooks, CI) never contend for a single-client TPU tunnel.
+# Honor JAX_PLATFORMS=cpu even when a device plugin ignores it.  The axon
+# TPU image preimports jax from an interpreter-startup sitecustomize (with
+# the login profile's JAX_PLATFORMS=axon), so by the time user code runs the
+# jax_platforms config is already frozen at "axon,cpu" and re-exporting the
+# env var is a no-op.  Re-assert the requested platform through
+# ``jax.config.update`` (which wins over the preimport as long as no
+# backend is live yet — true at import time) so subprocess tiers that
+# request a CPU backend (tests, examples, notebooks, CI) never contend for
+# a single-client TPU tunnel.  Fall back to pinning the default device if
+# the platform list can no longer be changed.
 _requested = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
 if _requested == "cpu":
     try:
         if jax.default_backend() != "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        if jax.default_backend() != "cpu":  # pragma: no cover - old jax
+            raise RuntimeError("backend still not cpu")
+    except Exception:  # pragma: no cover - backends already initialized
+        try:
             jax.config.update("jax_default_device", jax.devices("cpu")[0])
-    except Exception:  # pragma: no cover - CPU platform always exists
-        pass
+        except Exception:
+            pass
 
 
 def cpu_pinned() -> bool:

@@ -28,12 +28,17 @@ FIXTURES_DIR = Path(__file__).resolve().parent / "data" / "fixtures"
 
 import pytest  # noqa: E402
 
-# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; pin all
-# test computation to the (virtual 8-device) CPU platform explicitly.
+# The axon image preimports jax at interpreter startup (sitecustomize on
+# PYTHONPATH) with the login profile's JAX_PLATFORMS=axon, freezing the
+# platform list before this file's env assignment is seen — so re-assert
+# the CPU platform through the config API (works while no backend is live).
 try:
-    jax.config.update("jax_default_device", jax.devices("cpu")[0])
-except Exception:  # pragma: no cover - CPU platform always exists
-    pass
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover - fall back to a default-device pin
+    try:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    except Exception:
+        pass
 
 from multimodars_tpu import (  # noqa: E402
     PyContour,
