@@ -87,16 +87,22 @@ import numpy as np  # noqa: E402
 # the platform list can no longer be changed.
 _requested = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
 if _requested == "cpu":
+    # Order matters: jax.default_backend() is itself a backend-initializing
+    # call (it realizes the frozen 'axon,cpu' platform list and opens the
+    # single-client TPU tunnel), after which the platform update silently
+    # no-ops.  So update the platform list FIRST, unconditionally — it is
+    # harmless when already cpu — and only then probe the backend; fall back
+    # to the default-device pin if the switch did not take (backend was
+    # already live before this module imported).
     try:
-        if jax.default_backend() != "cpu":
-            jax.config.update("jax_platforms", "cpu")
-        if jax.default_backend() != "cpu":  # pragma: no cover - old jax
-            raise RuntimeError("backend still not cpu")
-    except Exception:  # pragma: no cover - backends already initialized
-        try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover - older jax without the knob
+        pass
+    try:
+        if jax.default_backend() != "cpu":  # pragma: no cover - late import
             jax.config.update("jax_default_device", jax.devices("cpu")[0])
-        except Exception:
-            pass
+    except Exception:  # pragma: no cover
+        pass
 
 
 def cpu_pinned() -> bool:

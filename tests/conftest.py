@@ -32,13 +32,12 @@ import pytest  # noqa: E402
 # PYTHONPATH) with the login profile's JAX_PLATFORMS=axon, freezing the
 # platform list before this file's env assignment is seen — so re-assert
 # the CPU platform through the config API (works while no backend is live).
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:  # pragma: no cover - fall back to a default-device pin
-    try:
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
-    except Exception:
-        pass
+jax.config.update("jax_platforms", "cpu")
+# The update silently no-ops when a backend is already live (it never
+# raises), so verify with a positive check and pin the default device if
+# the platform switch did not take.
+if jax.default_backend() != "cpu":  # pragma: no cover - preinitialized backend
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 from multimodars_tpu import (  # noqa: E402
     PyContour,
