@@ -299,7 +299,7 @@ class DeviceVerts:
         pad = np.concatenate([self.centered, np.full((1, 3), _FAR)])
         # dispatch the upload immediately; callers create the cache right
         # after loading the mesh so the transfer overlaps host prep work
-        self.dev = to_device(pad, dtype)
+        self.dev = to_device(pad, dtype, kind="replicated")
 
     def _band(self, radius: float, maxb: float) -> Tuple[float, float, float]:
         r2 = radius * radius
@@ -391,7 +391,7 @@ def _count_device_dispatch_resident(dv: DeviceVerts, a_idx, b, radius: float):
             handles.append(
                 (int(s), n_blk, n_pad,
                  _count_band_window_block_idx(
-                     dv.dev, to_device(rows, np.int32), b_d,
+                     dv.dev, to_device(rows, np.int32, kind="rows"), b_d,
                      jnp.asarray(int(lo)), r2lo, r2hi, ch, w,
                  ))
             )
@@ -409,7 +409,7 @@ def _count_device_dispatch_resident(dv: DeviceVerts, a_idx, b, radius: float):
     n_pad = -(-len(ac) // row_blk) * row_blk
     rows = np.full(n_pad, dv.n, dtype=np.int32)
     rows[: len(ac)] = a_idx
-    rows_d = to_device(rows, np.int32)
+    rows_d = to_device(rows, np.int32, kind="rows")
     if b_is_idx:
         perm = np.full(m_pad, dv.n, dtype=np.int32)
         perm[: len(bc)] = np.asarray(b, dtype=np.int64)
@@ -651,9 +651,9 @@ def fused_absorb_resident(
     ch_eff = min(ch, len(b_rows), len(p_rows), len(d_rows))
     flags_h, stacked = _fused_absorb_impl(
         dv.dev,
-        to_device(p_rows, np.int32),
-        to_device(d_rows, np.int32),
-        to_device(b_rows, np.int32),
+        to_device(p_rows, np.int32, kind="rows"),
+        to_device(d_rows, np.int32, kind="rows"),
+        to_device(b_rows, np.int32, kind="rows"),
         jnp.asarray(len(prox_idx)),
         jnp.asarray(len(dist_idx)),
         jnp.asarray(float(min_ratio), jnp.float64),
@@ -810,7 +810,7 @@ def _min_sqdist_device_start(a: np.ndarray, b: np.ndarray):
         blk_padded = np.zeros((n_pad, 3))
         blk_padded[: len(blk)] = blk
         handles.append(
-            (start, len(blk), n_pad, _min_sqdist_block2(to_device(blk_padded, dtype), b_d))
+            (start, len(blk), n_pad, _min_sqdist_block2(to_device(blk_padded, dtype, kind="rows"), b_d))
         )
 
     # one device-side concat across chunks, then ONE pull for both output
@@ -1266,7 +1266,7 @@ def _count_device_dispatch(a64, b64, radius, dtype):
             handles.append(
                 (int(s), n, n_pad,
                  _count_band_window_block(
-                     to_device(blk, dtype), b_d, jnp.asarray(int(lo)),
+                     to_device(blk, dtype, kind="rows"), b_d, jnp.asarray(int(lo)),
                      r2lo, r2hi, ch, w,
                  ))
             )
@@ -1295,7 +1295,7 @@ def _count_device_dispatch(a64, b64, radius, dtype):
         handles.append(
             (start, n, n_pad,
              _count_band_window_block(
-                 to_device(blk, dtype), b_d, jnp.asarray(0),
+                 to_device(blk, dtype, kind="rows"), b_d, jnp.asarray(0),
                  r2lo, r2hi, ch, m_pad,
              ))
         )
@@ -1720,16 +1720,16 @@ def occlusion_remove_mask(
             # upload the triangle columns only on the device path — the
             # native path above never reads them, and the transfer is paid
             # over the ~15-30 MB/s tunnel
-            v0 = jnp.asarray(tri[:, 0], dtype=dtype)
-            v1 = jnp.asarray(tri[:, 1], dtype=dtype)
-            v2 = jnp.asarray(tri[:, 2], dtype=dtype)
+            v0 = to_device(tri[:, 0], dtype, kind="replicated")
+            v1 = to_device(tri[:, 1], dtype, kind="replicated")
+            v2 = to_device(tri[:, 2], dtype, kind="replicated")
         RAY_CHUNK = 4096 if use_device else max(1, 1_000_000 // max(len(tri), 1))
         for rs in range(0, len(origins), RAY_CHUNK):
             if use_device:
                 t_vals = np.asarray(
                     _ray_triangle_hits(
-                        jnp.asarray(origins[rs : rs + RAY_CHUNK], dtype=dtype),
-                        jnp.asarray(directions[rs : rs + RAY_CHUNK], dtype=dtype),
+                        to_device(origins[rs : rs + RAY_CHUNK], dtype, kind="rows"),
+                        to_device(directions[rs : rs + RAY_CHUNK], dtype, kind="rows"),
                         v0,
                         v1,
                         v2,

@@ -278,3 +278,127 @@ class TestShardedCctaCount:
             np.zeros((0, 3)), np.ones((5, 3)), 1.0, mesh=mesh
         )
         assert out.shape == (0,)
+
+
+@needs_mesh
+class TestCCTAOrchestrationUnderMesh:
+    """The UNCHANGED CCTA orchestration — the label wave sequence (bounded
+    masks, occlusion, island absorption, reclassify), the batched morph
+    chain of the scale stage, and the stitch — run with their device waves
+    row-sharded over a multi-device mesh via ``shard_rows_over``, and every
+    output must be bit-identical to the 1-device mesh and the all-host
+    path.  Counting/argmin waves are integer-exact under any row partition
+    and near-band rows re-decide exactly in f64 on the host, so this is a
+    certification, not a tolerance comparison.  Parity bars:
+    label_coronary.rs:29-225 / scale_coronary.rs:90-261 semantics under
+    sharding."""
+
+    def _run_pipeline(self, mesh_ctx):
+        import contextlib
+        import io as _io
+
+        from test_fusion_e2e import TestFullFusionE2E
+
+        from multimodars_tpu import ccta
+        from multimodars_tpu.ccta.mesh import Mesh
+
+        mesh, cl_ao, cl_rca, cl_lca, geom = TestFullFusionE2E._build_case(
+            TestFullFusionE2E
+        )
+        with contextlib.redirect_stdout(_io.StringIO()), mesh_ctx:
+            results, (rca_cl, _, ao_cl) = ccta.label(
+                Mesh(mesh.vertices.copy(), mesh.faces.copy()),
+                cl_ao, cl_rca, cl_lca,
+                aligned_frames=geom.frames,
+                anomalous_rca=True,
+                control_plot=False,
+            )
+            results = dict(results)
+            if not results["rca_removed_points"]:
+                ostium = np.asarray(TestFullFusionE2E.RCA_P0)
+                ao = np.asarray(results["aorta_points"])
+                near = np.linalg.norm(ao - ostium, axis=1) < 5.0
+                results["rca_removed_points"] = [
+                    tuple(p) for p in ao[near][:40]
+                ]
+            results = ccta.scale(results, rca_cl, ao_cl, geom.frames)
+            stitched = ccta.stitch(
+                results, geom,
+                region_remove=("anomalous_points",),
+                prox_start_mode="nearest_iv",
+                dist_start_mode="nearest_iv",
+            )
+        return results, stitched
+
+    _REGION_KEYS = (
+        "aorta_points", "rca_points", "lca_points", "rca_removed_points",
+        "anomalous_points", "proximal_points", "distal_points",
+    )
+
+    def test_label_scale_stitch_bit_identical(self, monkeypatch):
+        import contextlib
+
+        from multimodars_tpu.parallel import shard_rows_over
+        from multimodars_tpu.parallel.ccta_shard import rows_mesh
+
+        # force every device wave the orchestration can take on the CPU
+        # backend: resident counts, device NN passes, device ray casting
+        monkeypatch.setenv("MMTPU_CCTA_RESIDENT", "1")
+        import multimodars_tpu.ccta.kernels as K
+
+        monkeypatch.setattr(K, "_DEVICE_PAIR_THRESHOLD", 0)
+        monkeypatch.setattr(K, "_RAY_NATIVE_THRESHOLD", 0)
+
+        res8, st8 = self._run_pipeline(
+            shard_rows_over(rows_mesh(cpu_devices[:8]))
+        )
+        res1, st1 = self._run_pipeline(
+            shard_rows_over(rows_mesh(cpu_devices[:1]))
+        )
+        monkeypatch.setenv("MMTPU_CCTA_RESIDENT", "0")
+        res_host, st_host = self._run_pipeline(contextlib.nullcontext())
+
+        for key in self._REGION_KEYS:
+            assert sorted(map(tuple, res8[key])) == sorted(
+                map(tuple, res1[key])
+            ), f"{key}: 8-dev vs 1-dev"
+            assert sorted(map(tuple, res8[key])) == sorted(
+                map(tuple, res_host[key])
+            ), f"{key}: 8-dev vs host"
+        # the scale stage's morph chain moved vertices — bit-identical mesh
+        np.testing.assert_array_equal(
+            res8["mesh"].vertices, res1["mesh"].vertices
+        )
+        np.testing.assert_array_equal(
+            res8["mesh"].vertices, res_host["mesh"].vertices
+        )
+        # stitched output: same weld, same triangles, same coordinates
+        np.testing.assert_array_equal(
+            st8["mesh"].vertices, st1["mesh"].vertices
+        )
+        np.testing.assert_array_equal(st8["mesh"].faces, st1["mesh"].faces)
+        np.testing.assert_array_equal(
+            st8["mesh"].vertices, st_host["mesh"].vertices
+        )
+        np.testing.assert_array_equal(
+            st8["mesh"].faces, st_host["mesh"].faces
+        )
+
+    def test_rows_actually_sharded(self):
+        """Guard against the context silently degrading to replicated-only:
+        a divisible rows-tagged transfer inside the context must land with
+        its leading axis split across the mesh."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from multimodars_tpu.parallel import shard_rows_over
+        from multimodars_tpu.parallel.ccta_shard import rows_mesh
+        from multimodars_tpu.utils.device import to_device
+
+        mesh = rows_mesh(cpu_devices[:8])
+        with shard_rows_over(mesh):
+            arr = to_device(np.zeros((1024, 3)), np.float64, kind="rows")
+            rep = to_device(np.zeros((64, 3)), np.float64)
+        assert arr.sharding.spec == P("rows")
+        assert len({d.id for d in arr.sharding.device_set}) == 8
+        assert rep.sharding.spec == P()
