@@ -19,6 +19,11 @@ import os
 # this host faults fresh pages pathologically slowly; the opt-in glibc
 # tuning keeps benchmark timings stable (see multimodars_tpu/config.py)
 os.environ.setdefault("MMTPU_HOST_MALLOC_TUNING", "1")
+# prefault the measured benchmark working set upfront: this 1-vCPU
+# host faults fresh anonymous pages pathologically slowly in its slow
+# phases, and a mid-run burst of faults is the dominant worst-case
+# noise source (north_star.json worst_observed; VERDICT r4 item 5)
+os.environ.setdefault("MMTPU_PREFAULT_MB", "512")
 
 import contextlib
 import io

@@ -63,8 +63,24 @@ def _pallas_default() -> bool:
         return False
 
 
+def _angle_chunk_default() -> int:
+    """Angles evaluated per ``lax.map`` step of the sweep.
+
+    Chunking amortizes the per-step loop/dispatch overhead of the mapped
+    sweep at the price of a G-times-larger live tile; the default comes
+    from the committed tuning experiment
+    (benchmarks/benchmark_sweep_tuning.py -> results/sweep_tuning.json).
+    Override with MMTPU_SWEEP_ANGLE_CHUNK (read at trace time)."""
+    import os
+
+    try:
+        return max(int(os.environ.get("MMTPU_SWEEP_ANGLE_CHUNK", "1")), 1)
+    except ValueError:  # pragma: no cover
+        return 1
+
+
 def rotation_cost_table(test, ref, test_mask, ref_mask, angles, angles_valid,
-                        dense: bool = False):
+                        dense: bool = False, angle_chunk: Optional[int] = None):
     """Squared-Hausdorff cost of rotating each frame's centered test set by
     each candidate angle against its centered reference set.
 
@@ -74,21 +90,30 @@ def rotation_cost_table(test, ref, test_mask, ref_mask, angles, angles_valid,
     Returns costs [F, K] with +inf at invalid slots.
     """
     K = angles.shape[1]
+    G = angle_chunk if angle_chunk is not None else _angle_chunk_default()
+    G = max(min(G, K), 1)
 
-    def cost_for_angle(k):
-        th = angles[:, k]  # [F]
-        c = jnp.cos(th)[:, None]
-        s = jnp.sin(th)[:, None]
-        tx = test[..., 0] * c - test[..., 1] * s  # [F, N]
-        ty = test[..., 0] * s + test[..., 1] * c
+    def cost_for_angles(ks):
+        # ks: [G] angle-slot indices; one fused [G, F, N, M] tile chain
+        th = angles[:, ks].T  # [G, F]
+        c = jnp.cos(th)[:, :, None]
+        s = jnp.sin(th)[:, :, None]
+        tx = test[None, ..., 0] * c - test[None, ..., 1] * s  # [G, F, N]
+        ty = test[None, ..., 0] * s + test[None, ..., 1] * c
         rotated = jnp.stack([tx, ty], axis=-1)
         # reference is (ref, rotated-test): hausdorff is symmetric anyway
         if dense:
-            return hausdorff_sq_dense(rotated, ref)  # [F]
-        return hausdorff_sq_masked(rotated, ref, test_mask, ref_mask)  # [F]
+            return hausdorff_sq_dense(rotated, ref[None])  # [G, F]
+        return hausdorff_sq_masked(
+            rotated, ref[None], test_mask[None], ref_mask[None]
+        )  # [G, F]
 
-    costs = lax.map(cost_for_angle, jnp.arange(K))  # [K, F]
-    costs = costs.T
+    # pad K to a chunk multiple; surplus slots recompute slot 0 (cheap, and
+    # their outputs are discarded by the reshape slice below)
+    n_chunks = -(-K // G)
+    idx = jnp.arange(n_chunks * G) % K
+    costs = lax.map(cost_for_angles, idx.reshape(n_chunks, G))  # [C, G, F]
+    costs = costs.reshape(n_chunks * G, -1)[:K].T  # [F, K]
     inf = jnp.asarray(jnp.inf, costs.dtype)
     return jnp.where(angles_valid, costs, inf)
 

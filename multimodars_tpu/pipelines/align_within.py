@@ -1126,7 +1126,8 @@ def align_frames_in_geometry(
         # blocking on the device result
         tg = _claim_tensor(geometry)
         pre = _classify_pre(tg)
-        delta = np.asarray(pending, dtype=np.float64)
+        with span("align_within.sweep_block"):
+            delta = np.asarray(pending, dtype=np.float64)
         return _finish_alignment_tensor(
             tg, delta, smooth=smooth, verbose=verbose, pre=pre
         )
@@ -1147,7 +1148,8 @@ def align_frames_in_geometry(
             r.copy_to_host_async()
         except Exception:
             pass
-        delta = np.asarray(r, dtype=np.float64)
+        with span("align_within.sweep_block"):
+            delta = np.asarray(r, dtype=np.float64)
     else:
         delta = np.zeros((0,), dtype=np.float64)
 
