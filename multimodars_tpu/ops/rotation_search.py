@@ -147,6 +147,38 @@ def candidate_angles(centers, step_deg: float, range_deg: float, limes_deg: floa
     return _normalize_angle(raw), valid
 
 
+# Argmin-certification band: the maximum cross-backend divergence of one
+# candidate's squared-Hausdorff cost computed in ``dtype``.  Each distance
+# element carries absolute error ~ C·eps·r·sqrt(d2) + C·eps·d2 (r = point
+# scale; the sqrt term dominates for small costs because dx is a difference
+# of O(r) quantities), and min/max reductions add nothing.  Two candidates
+# whose costs differ by less than twice this can swap argmin order between
+# backends (XLA:CPU vs XLA:TPU vs emulated-f64), which moves the output
+# geometry by a whole grid step — the flat-landscape failure VERDICT r4
+# predicted and benchmarks/results/tpu_parity.json round 5 observed
+# (an 11-degree within-chain flip on ivus_full).  Flagged searches are
+# re-decided in exact host f64 (ops.argmin_repair), making the final angle
+# backend-independent.
+_TIE_C = 64.0
+
+
+def _tie_flags(costs, m, scale2, any_valid):
+    """bool[F]: another candidate's cost lies within the rounding band of
+    the winner — the argmin is not certified stable across backends."""
+    eps = jnp.asarray(jnp.finfo(costs.dtype).eps, costs.dtype)
+    band = _TIE_C * eps * (jnp.sqrt(jnp.maximum(scale2 * m, 0.0)) + m)
+    near = costs <= (m + band)[:, None]
+    return (near.sum(axis=1) > 1) & any_valid
+
+
+def _point_scale2(test, ref):
+    """Per-frame max squared point radius over both sets [F] (padding rows
+    are zeros and cannot raise the max)."""
+    t2 = (test * test).sum(-1).max(axis=-1)
+    r2 = (ref * ref).sum(-1).max(axis=-1)
+    return jnp.maximum(t2, r2)
+
+
 def search_range_batched(
     test,
     ref,
@@ -161,12 +193,14 @@ def search_range_batched(
 ):
     """One ``search_range`` stage vmapped over the frame axis.
 
-    Returns the best angle per frame (first-wins argmin), falling back to
-    the center where the grid is degenerate.  Parity:
+    Returns ``(best, tie)``: the best angle per frame (first-wins argmin,
+    falling back to the center where the grid is degenerate) and the
+    certification flag (True = a near-tie within the rounding band; the
+    argmin may differ between backends and needs exact repair).  Parity:
     process_utils.rs:33-75.
     """
     if step_deg <= 0.0:
-        return centers
+        return centers, jnp.zeros(centers.shape, dtype=bool)
     angles, valid = candidate_angles(centers, step_deg, range_deg, limes_deg)
     if use_pallas:
         from .pallas_kernels import rotation_cost_table_pallas
@@ -180,9 +214,11 @@ def search_range_batched(
     # sequential reduce with a strictly-less comparison
     best = jnp.take_along_axis(angles, best_k[:, None], axis=1)[:, 0]
     any_valid = valid.any(axis=1)
+    m = jnp.min(costs, axis=1)
+    tie = _tie_flags(costs, m, _point_scale2(test, ref), any_valid)
     # fully-inverted window (center beyond limes +/- range): the clamped
     # start angle, i.e. grid slot 0, matches the reference's clamp
-    return jnp.where(any_valid, best, angles[:, 0])
+    return jnp.where(any_valid, best, angles[:, 0]), tie
 
 
 # ---------------------------------------------------------------------------
@@ -276,9 +312,9 @@ def search_range_batched_pruned(
 ):
     """Bit-identical to :func:`search_range_batched` (XLA path), usually at
     ~1/stride + T/K of the work; falls back to the exact full sweep when the
-    certificate fails."""
+    certificate fails.  Returns ``(best, tie)`` like the unpruned stage."""
     if step_deg <= 0.0:
-        return centers
+        return centers, jnp.zeros(centers.shape, dtype=bool)
     angles, valid = candidate_angles(centers, step_deg, range_deg, limes_deg)
     K = angles.shape[1]
     T = min(_PRUNE_TOP, K)
@@ -301,18 +337,29 @@ def search_range_batched_pruned(
     best = jnp.take_along_axis(angles, k_best[:, None], axis=1)[:, 0]
     any_valid = valid.any(axis=1)
     pruned_answer = jnp.where(any_valid, best, angles[:, 0])
+    scale2 = _point_scale2(test, ref)
+    # evaluated-candidate ties; unevaluated ones are excluded by the
+    # band-aware certificate below (cost >= lb > m + band when certified)
+    tie_eval = _tie_flags(exact, m, scale2, any_valid)
 
-    # certificate: every unevaluated candidate's lower bound strictly above m
+    # certificate: every unevaluated candidate's lower bound strictly above
+    # m by at least max(1e-5 relative, the argmin-certification band) — the
+    # band term guarantees no band-level near-tie can hide among the
+    # unevaluated candidates (their exact costs exceed lb)
     inf = jnp.asarray(jnp.inf, lb.dtype)
     lb_rest = lb.at[jnp.arange(F)[:, None], sel_idx].set(inf)
     lb_rest_min = lb_rest.min(axis=1)
-    margin = lb_rest_min * jnp.asarray(1e-5, lb.dtype)
+    eps = jnp.asarray(jnp.finfo(exact.dtype).eps, exact.dtype)
+    band = _TIE_C * eps * (jnp.sqrt(jnp.maximum(scale2 * m, 0.0)) + m)
+    margin = jnp.maximum(lb_rest_min * jnp.asarray(1e-5, lb.dtype), band)
     cert = (
         (m < lb_rest_min - margin)
         | (m <= 0.0)  # zero-cost optimum: lb==0 ties are all selected
         | jnp.isinf(lb_rest_min)  # nothing unevaluated (or all invalid)
         | ~any_valid
     )
+    # m <= 0 certifies the answer but exact zero ties still need repair
+    zero_tie = (m <= 0.0) & ((exact <= 0.0).sum(axis=1) > 1) & any_valid
 
     def _fallback():
         costs = rotation_cost_table(
@@ -320,9 +367,13 @@ def search_range_batched_pruned(
         )
         bk = jnp.argmin(costs, axis=1)
         b = jnp.take_along_axis(angles, bk[:, None], axis=1)[:, 0]
-        return jnp.where(any_valid, b, angles[:, 0])
+        mf = jnp.min(costs, axis=1)
+        tf = _tie_flags(costs, mf, scale2, any_valid)
+        return jnp.where(any_valid, b, angles[:, 0]), tf
 
-    return lax.cond(cert.all(), lambda: pruned_answer, _fallback)
+    return lax.cond(
+        cert.all(), lambda: (pruned_answer, tie_eval | zero_tie), _fallback
+    )
 
 
 def ladder_stages(step_deg: float, range_deg: float):
@@ -492,6 +543,7 @@ def _multires_rotation_search_impl(
         and min(test.shape[1], ref.shape[1]) >= _PRUNE_MIN_POINTS
     )
     best = centers
+    tie_any = jnp.zeros((F,), dtype=bool)
     for idx, (stage_step, stage_range, centered) in enumerate(stages):
         stage_centers = best if centered else centers
         stride = _STAGE1_STRIDE if (subsample and idx == 0) else 1
@@ -502,12 +554,12 @@ def _multires_rotation_search_impl(
             else 1
         )
         if prune_ok and stride == 1 and k_static >= _PRUNE_MIN_K:
-            best = search_range_batched_pruned(
+            best, tie = search_range_batched_pruned(
                 t, r, tm, rm, stage_step, stage_range, stage_centers,
                 range_deg, dense,
             )
         else:
-            best = search_range_batched(
+            best, tie = search_range_batched(
                 t,
                 r,
                 tm,
@@ -519,7 +571,10 @@ def _multires_rotation_search_impl(
                 use_pallas,
                 dense,
             )
-    return best
+        # a near-tie at ANY stage can move the refinement window, so the
+        # whole search is flagged (the repair reruns the full ladder)
+        tie_any = tie_any | tie
+    return best, tie_any
 
 
 def multires_rotation_search(
@@ -536,8 +591,11 @@ def multires_rotation_search(
     sweep), all stages batched over the frame axis.
 
     test/ref: [F, N|M, 2] centered point sets; masks [F, N|M].
-    Returns [F] best angles in radians.  ``use_pallas=None`` auto-selects
-    the fused VMEM-resident sweep on TPU backends.
+    Returns ``(best [F], tie [F])``: best angles in radians plus the
+    argmin-certification flags (True = near-tie within the rounding band;
+    the caller repairs flagged slots via :mod:`ops.argmin_repair`).
+    ``use_pallas=None`` auto-selects the fused VMEM-resident sweep on TPU
+    backends.
     """
     if use_pallas is None:
         use_pallas = _pallas_default()
@@ -547,6 +605,49 @@ def multires_rotation_search(
         test, ref, test_mask, ref_mask, float(step_deg), float(range_deg),
         bool(bruteforce), bool(use_pallas), fast=_fast_ladder(),
         prune=_prune_enabled(),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("step_deg", "range_deg", "bruteforce", "use_pallas",
+                     "fast", "prune", "dense"),
+)
+def _multires_packed_impl(
+    test, ref, test_mask, ref_mask, step_deg, range_deg, bruteforce,
+    use_pallas, fast, prune, dense=False,
+):
+    """Single-output form for dispatch paths: ``[2F]`` f64 vector of
+    ``concat(best, tie_flags)`` so completion + angles + certification all
+    arrive in ONE tunnel pull."""
+    if dense:
+        tm = jnp.ones(test.shape[:2], dtype=bool)
+        rm = jnp.ones(ref.shape[:2], dtype=bool)
+    else:
+        tm, rm = test_mask, ref_mask
+    best, tie = _multires_rotation_search_impl(
+        test, ref, tm, rm, step_deg, range_deg, bruteforce, use_pallas,
+        dense=dense, fast=fast, prune=prune,
+    )
+    return jnp.concatenate(
+        [best.astype(jnp.float64), tie.astype(jnp.float64)]
+    )
+
+
+def multires_rotation_search_packed(
+    test, ref, test_mask, ref_mask, step_deg, range_deg, bruteforce=False,
+    use_pallas=None, dense=False,
+):
+    """:func:`multires_rotation_search` packed as one ``[2F]`` f64 array
+    (first half angles, second half 0/1 tie flags) — one device pull."""
+    if use_pallas is None:
+        use_pallas = _pallas_default()
+    if not bruteforce and plan_is_bruteforce(float(step_deg), float(range_deg)):
+        bruteforce = True
+    return _multires_packed_impl(
+        test, ref, test_mask, ref_mask, float(step_deg), float(range_deg),
+        bool(bruteforce), bool(use_pallas), fast=_fast_ladder(),
+        prune=_prune_enabled(), dense=bool(dense),
     )
 
 
@@ -570,7 +671,8 @@ def multires_rotation_search_dense(
     test, ref, step_deg, range_deg, bruteforce=False, use_pallas=None
 ):
     """Mask-free variant of :func:`multires_rotation_search` for rectangular
-    batches: no mask transfers, no sentinel selects."""
+    batches: no mask transfers, no sentinel selects.  Returns
+    ``(best, tie)`` like the masked variant."""
     if use_pallas is None:
         use_pallas = _pallas_default()
     if not bruteforce and plan_is_bruteforce(float(step_deg), float(range_deg)):
@@ -591,10 +693,11 @@ def _chain_rotation_search_impl(
 ):
     # consecutive-pair view formed ON DEVICE: one [F, S, 2] transfer instead
     # of two nearly-identical [F-1, S, 2] host slices
-    return _multires_rotation_search_impl(
+    best, tie = _multires_rotation_search_impl(
         pts[1:], pts[:-1], mask[1:], mask[:-1],
         step_deg, range_deg, bruteforce, use_pallas, fast=fast, prune=prune,
     )
+    return jnp.concatenate([best.astype(jnp.float64), tie.astype(jnp.float64)])
 
 
 @partial(
@@ -606,11 +709,12 @@ def _chain_rotation_search_dense_impl(
     pts, step_deg, range_deg, bruteforce, use_pallas, fast, prune
 ):
     dummy = jnp.ones(pts.shape[:2], dtype=bool)
-    return _multires_rotation_search_impl(
+    best, tie = _multires_rotation_search_impl(
         pts[1:], pts[:-1], dummy[1:], dummy[:-1],
         step_deg, range_deg, bruteforce, use_pallas, dense=True, fast=fast,
         prune=prune,
     )
+    return jnp.concatenate([best.astype(jnp.float64), tie.astype(jnp.float64)])
 
 
 def chain_rotation_search(
@@ -620,9 +724,11 @@ def chain_rotation_search(
 
     pts: [F, S, 2] centered sample sets; mask: [F, S] or None (None = every
     slot valid, which skips the sentinel selects and the mask transfer).
-    Returns [F-1] best relative angles — the batched form of the reference's
-    sequential chain (align_within.rs:72-123; see pipelines.align_within
-    module docstring for the rotation-invariance argument).
+    Returns a packed ``[2(F-1)]`` f64 device array: the best relative
+    angles followed by their 0/1 argmin-certification tie flags — one pull
+    carries both (the batched form of the reference's sequential chain,
+    align_within.rs:72-123; see pipelines.align_within module docstring for
+    the rotation-invariance argument).
     """
     if use_pallas is None:
         use_pallas = _pallas_default()
@@ -671,11 +777,12 @@ def _chain_rotation_search_staged_impl(
         pts_all = xy
     pts = pts_all - cxy[:, None, :]
     dummy = jnp.ones(pts.shape[:2], dtype=bool)
-    return _multires_rotation_search_impl(
+    best, tie = _multires_rotation_search_impl(
         pts[1:], pts[:-1], dummy[1:], dummy[:-1],
         step_deg, range_deg, bruteforce, use_pallas, dense=True, fast=fast,
         prune=prune,
     )
+    return jnp.concatenate([best.astype(jnp.float64), tie.astype(jnp.float64)])
 
 
 def chain_rotation_search_staged(

@@ -154,6 +154,28 @@ def cohort_relative_rotations(
                 float(step_deg), float(range_deg), bool(bruteforce),
             )
         )
-    if len(handles) == 1:
-        return np.asarray(handles[0])
-    return np.concatenate([np.asarray(h) for h in handles])
+    best = np.concatenate([np.asarray(b) for b, _ in handles])
+    ties = np.concatenate([np.asarray(t) for _, t in handles])
+    if ties.any():
+        # exact f64 re-decision of certification-flagged pairs (rare): the
+        # host sample sets are the repair inputs (ops.argmin_repair)
+        from ..ops.argmin_repair import exact_ladder, certify_enabled, stats
+
+        flagged = np.nonzero(ties)[0]
+        stats["flagged"] += len(flagged)
+        if certify_enabled():
+            best = np.array(best, dtype=np.float64, copy=True)
+            t_h = np.asarray(test, dtype=np.float64)
+            r_h = np.asarray(ref, dtype=np.float64)
+            tm_h = np.asarray(test_mask)
+            rm_h = np.asarray(ref_mask)
+            for j in flagged:
+                exact = exact_ladder(
+                    t_h[j][tm_h[j]], r_h[j][rm_h[j]],
+                    float(step_deg), float(range_deg), bool(bruteforce),
+                )
+                stats["repaired"] += 1
+                if exact != best[j]:
+                    stats["changed"] += 1
+                best[j] = exact
+    return best

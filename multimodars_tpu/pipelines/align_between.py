@@ -24,6 +24,7 @@ from ..ops.rotation_search import (
     _multires_rotation_search_impl,
     _prune_enabled,
     multires_rotation_search,
+    multires_rotation_search_packed,
     plan_is_bruteforce,
 )
 from ..utils.device import to_device
@@ -62,10 +63,18 @@ def find_best_rotation_between(
     ref = jnp.asarray((reference_xy - pivot)[None, :, :], dtype=dtype)
     tmask = jnp.ones(test.shape[:2], dtype=bool)
     rmask = jnp.ones(ref.shape[:2], dtype=bool)
-    best = multires_rotation_search(
+    best, tie = multires_rotation_search(
         test, ref, tmask, rmask, float(step_deg), float(range_deg), bool(bruteforce)
     )
-    return float(best[0])
+    from ..ops.argmin_repair import repair_between
+
+    rot = repair_between(
+        np.asarray(best, dtype=np.float64),
+        np.asarray(tie),
+        [(reference_xy, target_xy)],
+        float(step_deg), float(range_deg), bool(bruteforce),
+    )
+    return float(rot[0])
 
 
 def rotate_geometry_around_point(
@@ -152,7 +161,7 @@ def dispatch_between_search(
         test[k, :n] = target_xy - pivot
         rmask[k, :m] = True
         tmask[k, :n] = True
-    best = multires_rotation_search(
+    best = multires_rotation_search_packed(
         to_device(test, dtype),
         to_device(ref, dtype),
         to_device(tmask),
@@ -201,7 +210,8 @@ def fused_between_core(
     then cast to the compute dtype — so the search sees the same f32 bits
     the host-built clouds would produce, and the returned grid angles match
     the sequential orchestration except on exact cost ties.
-    Returns ``[r_ab, r_cd, r_ac, r_bd]``.
+    Returns ``([r_ab, r_cd, r_ac, r_bd], tie_flags [4])`` — flagged slots
+    are re-decided exactly on the host (ops.argmin_repair).
     """
     f64 = ref1.dtype
 
@@ -215,7 +225,7 @@ def fused_between_core(
         return ((x - piv) * m[..., None].astype(f64)).astype(dtype)
 
     p1 = masked_mean(ref1, rmask1)
-    r1 = _multires_rotation_search_impl(
+    r1, tie1 = _multires_rotation_search_impl(
         centered(test1, p1, tmask1),
         centered(ref1, p1, rmask1),
         tmask1,
@@ -247,7 +257,7 @@ def fused_between_core(
     test2 = jnp.stack([ref1[1] + t0_xy, rotated[1] + t0_xy])
     tmask2 = jnp.stack([rmask1[1], tmask1[1]])
     p2 = masked_mean(ref2, rmask2)
-    r2 = _multires_rotation_search_impl(
+    r2, tie2 = _multires_rotation_search_impl(
         centered(test2, p2, tmask2),
         centered(ref2, p2, rmask2),
         tmask2,
@@ -259,7 +269,10 @@ def fused_between_core(
         fast=fast,
         prune=prune,
     )
-    return jnp.concatenate([r1, r2])
+    return (
+        jnp.concatenate([r1, r2]),
+        jnp.concatenate([tie1, tie2]),
+    )
 
 
 @partial(
@@ -282,10 +295,14 @@ def _fused_full_between_impl(
     fast: bool = True,
     prune: bool = True,
 ):
-    """Jit entry around :func:`fused_between_core` (host-built clouds)."""
-    return fused_between_core(
+    """Jit entry around :func:`fused_between_core` (host-built clouds).
+    Output: packed ``[8]`` f64 — winners then 0/1 tie flags (one pull)."""
+    winners, ties = fused_between_core(
         ref1, test1, rmask1, tmask1, pivots_xy, t0_xy, step_deg, range_deg,
         bruteforce, jnp.dtype(dtype_name), fast=fast, prune=prune,
+    )
+    return jnp.concatenate(
+        [winners.astype(jnp.float64), ties.astype(jnp.float64)]
     )
 
 
@@ -300,7 +317,8 @@ def dispatch_fused_between(
 
     ``clouds`` = [(cloud_a, cloud_b + t0_ab), (cloud_c, cloud_d + t0_cd)]
     raw xy clouds; ``ca``/``cc`` the (x, y, z) reference centroids of a and
-    c.  Returns the device handle of ``[r_ab, r_cd, r_ac, r_bd]``.
+    c.  Returns the device handle of the packed ``[8]`` vector
+    ``[r_ab, r_cd, r_ac, r_bd, tie_ab, tie_cd, tie_ac, tie_bd]``.
     """
     P = max(arr.shape[0] for pair in clouds for arr in pair)
     ref = np.zeros((2, P, 2))
@@ -336,10 +354,18 @@ def find_best_rotations_between_batch(
     range_deg: float,
     bruteforce: bool = False,
 ) -> np.ndarray:
-    """Blocking form of :func:`dispatch_between_search`."""
-    return np.asarray(
+    """Blocking form of :func:`dispatch_between_search` (with exact repair
+    of certification-flagged slots)."""
+    from ..ops.argmin_repair import repair_between, split_packed
+
+    flat = np.asarray(
         dispatch_between_search(clouds, step_deg, range_deg, bruteforce),
         dtype=np.float64,
+    )
+    rotations, ties = split_packed(flat)
+    return repair_between(
+        rotations, ties, clouds, float(step_deg), float(range_deg),
+        bool(bruteforce),
     )
 
 

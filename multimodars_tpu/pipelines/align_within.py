@@ -39,6 +39,7 @@ from ..ops.rotation_search import (
     chain_rotation_search,
     multires_rotation_search,
     multires_rotation_search_dense,
+    multires_rotation_search_packed,
 )
 from ..utils.device import to_device
 from ..utils.logs import AlignLog, dump_table
@@ -357,6 +358,39 @@ def _take_pending_sweep(
     return handle
 
 
+def _repair_pending_delta(
+    tg: TensorGeometry,
+    delta: np.ndarray,
+    ties: np.ndarray,
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool,
+    sample_size: int,
+) -> np.ndarray:
+    """Exact f64 re-decision of certification-flagged chain pairs on the
+    prefetched-sweep path: the host sample sets are rebuilt from the tensor
+    spine (bit-identical to what the device sweep evaluated — the prefetch
+    paths are certified against _pack_centered_sets_tensor)."""
+    if not ties.any():
+        return delta
+    from ..ops.argmin_repair import repair_chain_deltas
+
+    n_lumen = tg.coords["Lumen"].shape[1]
+    ssc = None
+    if "Catheter" in tg.coords and tg.present["Catheter"][0]:
+        ssc = int(
+            math.ceil(tg.coords["Catheter"].shape[1] * sample_size / n_lumen)
+        )
+    try:
+        pts = _pack_centered_sets_tensor(tg, sample_size, ssc)
+    except _TensorFallback:  # pragma: no cover - prefetch guarantees dense
+        return delta
+    return repair_chain_deltas(
+        delta, ties, pts, None, float(step_deg), float(range_deg),
+        bool(bruteforce),
+    )
+
+
 def _classify_pre(tg: TensorGeometry):
     """Delta-independent part of the finish classification (elliptic ratio,
     thicknesses, farthest-pair indices — all rigid-invariant), computable
@@ -565,14 +599,23 @@ def relative_rotations(
     """Per-consecutive-pair optimal relative rotations [F-1] (radians),
     computed as one batched device sweep."""
     pts, mask = _pack_centered_sets(geometry, sample_size, sample_size_catheter)
-    delta = chain_rotation_search(
-        to_device(pts, config.compute_dtype),
-        to_device(mask),
-        float(step_deg),
-        float(range_deg),
+    flat = np.asarray(
+        chain_rotation_search(
+            to_device(pts, config.compute_dtype),
+            to_device(mask),
+            float(step_deg),
+            float(range_deg),
+            bool(bruteforce),
+        ),
+        dtype=np.float64,
+    )
+    from ..ops.argmin_repair import repair_chain_deltas, split_packed
+
+    delta, ties = split_packed(flat)
+    return repair_chain_deltas(
+        delta, ties, pts, mask, float(step_deg), float(range_deg),
         bool(bruteforce),
     )
-    return np.asarray(delta, dtype=np.float64)
 
 
 # ---------------------------------------------------------------------------
@@ -943,15 +986,18 @@ def align_frames_in_geometries(
 
         if dense:
             # padding pairs (all-zero points) return angle 0 and are sliced away
-            delta_all = multires_rotation_search_dense(
+            flat_all = multires_rotation_search_packed(
                 to_device(test_h, dtype, sharding),
                 to_device(ref_h, dtype, sharding),
+                None,
+                None,
                 float(step_deg),
                 float(range_deg),
                 bool(bruteforce),
+                dense=True,
             )
         else:
-            delta_all = multires_rotation_search(
+            flat_all = multires_rotation_search_packed(
                 to_device(test_h, dtype, sharding),
                 to_device(ref_h, dtype, sharding),
                 to_device(tmask_h, sharding=sharding),
@@ -961,10 +1007,34 @@ def align_frames_in_geometries(
                 bool(bruteforce),
             )
         try:
-            delta_all.copy_to_host_async()
+            flat_all.copy_to_host_async()
         except Exception:
             pass
-        delta_all = np.asarray(delta_all, dtype=np.float64)[:n_real]
+        flat_all = np.asarray(flat_all, dtype=np.float64)
+        from ..ops.argmin_repair import repair_chain_deltas, split_packed
+
+        delta_all, ties_all = split_packed(flat_all)
+        delta_all = delta_all[:n_real]
+        ties_all = ties_all[:n_real]
+        # exact repair of flagged pairs, per geometry (its own pts/mask)
+        if ties_all.any():
+            off = 0
+            repaired = []
+            for entry_pm in packed:
+                if entry_pm is None:
+                    continue
+                pts_g, mask_g = entry_pm
+                n_p = pts_g.shape[0] - 1
+                repaired.append(
+                    repair_chain_deltas(
+                        delta_all[off : off + n_p],
+                        ties_all[off : off + n_p],
+                        pts_g, mask_g,
+                        float(step_deg), float(range_deg), bool(bruteforce),
+                    )
+                )
+                off += n_p
+            delta_all = np.concatenate(repaired) if repaired else delta_all
 
     # pull every prefetched sweep in ONE tunnel round-trip: a tiny device
     # concat of the pending handles (the sweeps themselves are already
@@ -1008,9 +1078,16 @@ def align_frames_in_geometries(
             tg = _claim_tensor(tg)
             pre = _classify_pre(tg)
             if pend_np is not None:
-                delta = pend_off[id(pending)]
+                flat = pend_off[id(pending)]
             else:
-                delta = np.asarray(pending, dtype=np.float64)
+                flat = np.asarray(pending, dtype=np.float64)
+            from ..ops.argmin_repair import split_packed
+
+            delta, p_ties = split_packed(flat)
+            delta = _repair_pending_delta(
+                tg, delta, p_ties, step_deg, range_deg, bruteforce,
+                sample_size,
+            )
             if deferred:
                 t, logs, anom = _finish_alignment_tensor_coords(
                     tg, delta, smooth, pre=pre
@@ -1127,7 +1204,13 @@ def align_frames_in_geometry(
         tg = _claim_tensor(geometry)
         pre = _classify_pre(tg)
         with span("align_within.sweep_block"):
-            delta = np.asarray(pending, dtype=np.float64)
+            flat = np.asarray(pending, dtype=np.float64)
+        from ..ops.argmin_repair import split_packed
+
+        delta, ties = split_packed(flat)
+        delta = _repair_pending_delta(
+            tg, delta, ties, step_deg, range_deg, bruteforce, sample_size
+        )
         return _finish_alignment_tensor(
             tg, delta, smooth=smooth, verbose=verbose, pre=pre
         )
@@ -1149,7 +1232,14 @@ def align_frames_in_geometry(
         except Exception:
             pass
         with span("align_within.sweep_block"):
-            delta = np.asarray(r, dtype=np.float64)
+            flat = np.asarray(r, dtype=np.float64)
+        from ..ops.argmin_repair import repair_chain_deltas, split_packed
+
+        delta, ties = split_packed(flat)
+        delta = repair_chain_deltas(
+            delta, ties, pts, mask, float(step_deg), float(range_deg),
+            bool(bruteforce),
+        )
     else:
         delta = np.zeros((0,), dtype=np.float64)
 

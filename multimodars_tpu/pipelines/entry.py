@@ -203,7 +203,10 @@ def _between_stage_deferred(
     handle = dispatch_between_search(clouds, step_deg, range_deg)
 
     geoms = [(A.materialize(), B.materialize()) for A, B in pairs_defs]
-    rot = np.asarray(handle, dtype=np.float64)
+    from ..ops.argmin_repair import repair_between, split_packed
+
+    rot, ties = split_packed(np.asarray(handle, dtype=np.float64))
+    rot = repair_between(rot, ties, clouds, float(step_deg), float(range_deg), False)
     out = []
     for (A_g, B_g), (ca, t0, _), r in zip(geoms, preps, rot):
         apply_between_epilogue(
@@ -257,19 +260,82 @@ def _try_fused_chain(
     return taken, handle, sizes
 
 
-def _finish_chain(taken, flat: np.ndarray, sizes, smooth: bool, verbose: bool):
+def _finish_chain(
+    taken, flat: np.ndarray, sizes, smooth: bool, verbose: bool,
+    step_deg: float, range_deg: float, bruteforce: bool, sample_size: int,
+):
     """Host finish for the fused chain's single pull: per-geometry within
-    finishes (identical to the deferred path) + the between winners."""
-    from .align_within import DeferredAligned, _finish_alignment_tensor_coords
+    finishes (identical to the deferred path) + the between winners.
+
+    Pull layout (fused_chain._fused_chain_impl):
+    ``[deltas… | winners | delta_ties… | winner_ties]``.  Flagged within
+    deltas are re-decided exactly here BEFORE the finish; when any within
+    delta changes, the device-composed between winners are invalid and the
+    caller must recompute the between stages host-exactly (returned flag).
+    """
+    from .align_within import (
+        DeferredAligned,
+        _finish_alignment_tensor_coords,
+        _repair_pending_delta,
+    )
+
+    S = sum(sizes)
+    W = (flat.shape[0] - 2 * S) // 2
+    deltas_flat = flat[:S]
+    winners = flat[S : S + W]
+    dties_flat = flat[S + W : 2 * S + W] > 0.5
+    wties = flat[2 * S + W :] > 0.5
 
     ds = []
     off = 0
+    within_changed = False
     for (tg, _pending, pre), s in zip(taken, sizes):
-        delta = flat[off : off + s]
+        delta = deltas_flat[off : off + s]
+        ties = dties_flat[off : off + s]
         off += s
+        if ties.any():
+            repaired = _repair_pending_delta(
+                tg, delta, ties, step_deg, range_deg, bruteforce, sample_size
+            )
+            if not np.array_equal(repaired, delta):
+                within_changed = True
+            delta = repaired
         t, logs, anom = _finish_alignment_tensor_coords(tg, delta, smooth, pre=pre)
         ds.append(DeferredAligned(t, None, logs, anom, verbose))
-    return ds, flat[off:]
+    return ds, winners, wties, within_changed
+
+
+def _exact_between_rotations(
+    pairs_defs, step_deg: float, range_deg: float, bruteforce: bool,
+    sample_size: int,
+):
+    """Host-exact between winners for independent (A, B) slots — the repair
+    path when the device search flagged a near-tie (ops.argmin_repair)."""
+    from ..ops.argmin_repair import exact_ladder
+    from .align_between import extract_geometry_points, extract_stack_points
+
+    between_sample = max(sample_size, 500)
+
+    def _cloud(d):
+        lum = d.lumen_coords()
+        if lum is not None:
+            return extract_stack_points(lum, between_sample)
+        return extract_geometry_points(d.materialize(), between_sample)
+
+    out = []
+    for A, B in pairs_defs:
+        ca = A.ref_centroid()
+        cb = B.ref_centroid()
+        cloud_ref = _cloud(A)
+        cloud_tgt = _cloud(B) + np.array([ca[0] - cb[0], ca[1] - cb[1]])
+        pv = cloud_ref.mean(axis=0)
+        out.append(
+            exact_ladder(
+                cloud_tgt - pv, cloud_ref - pv, float(step_deg),
+                float(range_deg), bool(bruteforce),
+            )
+        )
+    return np.asarray(out, dtype=np.float64)
 
 
 def _between_finish(
@@ -367,6 +433,9 @@ def full_processing(
         extract_stack_points,
     )
 
+    from ..ops.argmin_repair import certify_enabled, split_packed
+
+    need_exact_between = False
     chain = _try_fused_chain(
         geometries, ((0, 1), (2, 3)), True, step_deg, range_deg, bruteforce,
         sample_size, smooth,
@@ -376,10 +445,14 @@ def full_processing(
         # arrive in a single pull (pipelines.fused_chain)
         taken, handle, sizes = chain
         flat = np.asarray(handle, dtype=np.float64)
-        (d_a, d_b, d_c, d_d), winners = _finish_chain(
-            taken, flat, sizes, smooth, verbose
+        (d_a, d_b, d_c, d_d), winners, wties, within_changed = _finish_chain(
+            taken, flat, sizes, smooth, verbose, step_deg, range_deg,
+            bruteforce, sample_size,
         )
         r_ab, r_cd, r_ac, r_bd = winners
+        need_exact_between = certify_enabled() and (
+            within_changed or bool(wties.any())
+        )
     else:
         d_a, d_b, d_c, d_d = align_frames_in_geometries(
             geometries, step_deg, range_deg, smooth, bruteforce, sample_size,
@@ -422,7 +495,31 @@ def full_processing(
     geom_d = d_d.materialize()
 
     if chain is None:
-        r_ab, r_cd, r_ac, r_bd = np.asarray(handle, dtype=np.float64)
+        flat8 = np.asarray(handle, dtype=np.float64)
+        (r_ab, r_cd, r_ac, r_bd), wties = split_packed(flat8)
+        need_exact_between = certify_enabled() and bool(wties.any())
+
+    if need_exact_between:
+        # Certification-flagged between search (or a repaired within delta
+        # invalidated the device-composed clouds): recompute the whole
+        # between phase sequentially in exact host f64 — the
+        # backend-independent spec (entry.rs:206-277 order).  Stage-1
+        # winners come from the pre-epilogue clouds; stage 2 recomputes
+        # below, after the stage-1 epilogues mutate b and d.
+        from ..ops.argmin_repair import exact_ladder
+
+        cl_a = _cloud(d_a)
+        cl_b = _cloud(d_b) + np.array([t0_ab[0], t0_ab[1]])
+        cl_c = _cloud(d_c)
+        cl_d = _cloud(d_d) + np.array([t0_cd[0], t0_cd[1]])
+        pv_a = cl_a.mean(axis=0)
+        pv_c = cl_c.mean(axis=0)
+        r_ab = exact_ladder(
+            cl_b - pv_a, cl_a - pv_a, step_deg, range_deg, bruteforce
+        )
+        r_cd = exact_ladder(
+            cl_d - pv_c, cl_c - pv_c, step_deg, range_deg, bruteforce
+        )
 
     # stage-1 epilogues (b onto a, d onto c), then the stage-1 pairs
     apply_between_epilogue(
@@ -435,6 +532,25 @@ def full_processing(
     )
     pair_ab = build_pair(geom_a, geom_b)
     pair_cd = build_pair(geom_c, geom_d)
+
+    if need_exact_between:
+        # stage-2 winners from the mutated geometries, sequentially exact
+        from ..ops.argmin_repair import exact_ladder
+
+        stage2 = []
+        for A_g, B_g in ((geom_a, geom_c), (geom_b, geom_d)):
+            cl_ref = extract_geometry_points(A_g, between_sample)
+            cl_tgt = extract_geometry_points(B_g, between_sample)
+            ca2 = A_g.frames[A_g.ref_or_proximal_idx()].centroid
+            cb2 = B_g.frames[B_g.ref_or_proximal_idx()].centroid
+            cl_tgt = cl_tgt + np.array([ca2[0] - cb2[0], ca2[1] - cb2[1]])
+            pv = cl_ref.mean(axis=0)
+            stage2.append(
+                exact_ladder(
+                    cl_tgt - pv, cl_ref - pv, step_deg, range_deg, bruteforce
+                )
+            )
+        r_ac, r_bd = stage2
 
     # stage-2 epilogues (c onto a, d onto b) with host-exact translations
     for A_g, B_g, r in ((geom_a, geom_c, r_ac), (geom_b, geom_d, r_bd)):
@@ -512,11 +628,18 @@ def double_pair_processing(
         geometries, ((0, 1), (2, 3)), False, step_deg, range_deg, bruteforce,
         sample_size, smooth,
     )
+    from ..ops.argmin_repair import certify_enabled
+
+    need_exact_between = False
     if chain is not None:
         taken, handle, sizes = chain
         flat = np.asarray(handle, dtype=np.float64)
-        (d_a, d_b, d_c, d_d), winners = _finish_chain(
-            taken, flat, sizes, smooth, verbose
+        (d_a, d_b, d_c, d_d), winners, wties, within_changed = _finish_chain(
+            taken, flat, sizes, smooth, verbose, step_deg, range_deg,
+            bruteforce, sample_size,
+        )
+        need_exact_between = certify_enabled() and (
+            within_changed or bool(wties.any())
         )
     else:
         d_a, d_b, d_c, d_d = align_frames_in_geometries(
@@ -529,6 +652,13 @@ def double_pair_processing(
     )
 
     if chain is not None:
+        if need_exact_between:
+            # flagged winners (or repaired within deltas): re-decide both
+            # independent slots exactly on the host clouds
+            winners = _exact_between_rotations(
+                [(d_a, d_b), (d_c, d_d)], step_deg, range_deg, bruteforce,
+                sample_size,
+            )
         (pair_ab, pair_cd), _, _ = _between_finish(
             [(d_a, d_b), (d_c, d_d)], winners, step_deg, range_deg, verbose
         )
@@ -590,10 +720,19 @@ def pair_processing(
         geometries, ((0, 1),), False, step_deg, range_deg, bruteforce,
         sample_size, smooth,
     )
+    from ..ops.argmin_repair import certify_enabled
+
+    need_exact_between = False
     if chain is not None:
         taken, handle, sizes = chain
         flat = np.asarray(handle, dtype=np.float64)
-        (d_a, d_b), winners = _finish_chain(taken, flat, sizes, smooth, verbose)
+        (d_a, d_b), winners, wties, within_changed = _finish_chain(
+            taken, flat, sizes, smooth, verbose, step_deg, range_deg,
+            bruteforce, sample_size,
+        )
+        need_exact_between = certify_enabled() and (
+            within_changed or bool(wties.any())
+        )
     else:
         d_a, d_b = align_frames_in_geometries(
             geometries, step_deg, range_deg, smooth, bruteforce, sample_size,
@@ -603,6 +742,10 @@ def pair_processing(
     bool_a, bool_b = d_a.anomalous, d_b.anomalous
 
     if chain is not None:
+        if need_exact_between:
+            winners = _exact_between_rotations(
+                [(d_a, d_b)], step_deg, range_deg, bruteforce, sample_size
+            )
         (pair,), _, _ = _between_finish(
             [(d_a, d_b)], winners, step_deg, range_deg, verbose
         )

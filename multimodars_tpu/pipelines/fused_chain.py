@@ -239,11 +239,21 @@ def _fused_chain_impl(
     prune: bool,
 ):
     """Whole-pipeline device program: within deltas → finished lumen clouds
-    → between search.  Returns ``concat(delta_0…delta_{n−1}, winners)`` in
-    f64 — ONE pull for everything the host epilogues need."""
+    → between search.  Returns
+    ``concat(delta_0…delta_{n−1}, winners, delta_ties_0…, winner_ties)`` in
+    f64 — ONE pull for everything the host epilogues need, including the
+    argmin-certification flags."""
     dtype = jnp.dtype(dtype_name)
     f64 = jnp.float64
     n = len(metas)
+    # pending handles are packed [2(F-1)]: angles then tie flags
+    delta_ties = []
+    split_deltas = []
+    for g in range(n):
+        half = deltas[g].shape[0] // 2
+        split_deltas.append(deltas[g][:half])
+        delta_ties.append(deltas[g][half:])
+    deltas = split_deltas
     clouds, refs = [], []
     for g in range(n):
         cloud, pref = _cloud_dev(
@@ -277,7 +287,7 @@ def _fused_chain_impl(
         tmask1[1, : sizes[3]] = True
         pivots = jnp.stack([refs[0], refs[2]])
         t0_2 = refs[0] - refs[2]
-        winners = fused_between_core(
+        winners, winner_ties = fused_between_core(
             ref1, test1, jnp.asarray(rmask1), jnp.asarray(tmask1), pivots,
             t0_2, step_deg, range_deg, bruteforce, dtype, fast=fast,
             prune=prune,
@@ -298,7 +308,7 @@ def _fused_chain_impl(
             tests_c.append(pad((tc - pivot[None, :])).astype(dtype))
             rmask[k, : sizes[ia]] = True
             tmask[k, : sizes[ib]] = True
-        winners = _multires_rotation_search_impl(
+        winners, winner_ties = _multires_rotation_search_impl(
             jnp.stack(tests_c),
             jnp.stack(refs_c),
             jnp.asarray(tmask),
@@ -313,6 +323,8 @@ def _fused_chain_impl(
 
     parts = [deltas[g].astype(f64) for g in range(n)]
     parts.append(winners.astype(f64))
+    parts.extend(delta_ties[g].astype(f64) for g in range(n))
+    parts.append(winner_ties.astype(f64))
     return jnp.concatenate(parts)
 
 

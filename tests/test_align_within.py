@@ -165,11 +165,11 @@ class TestPrunedSweepParity:
         test, ref = pts[1:], pts[:-1]
 
         pruned = np.asarray(
-            multires_rotation_search_dense(test, ref, step, rng_deg)
+            multires_rotation_search_dense(test, ref, step, rng_deg)[0]
         )
         monkeypatch.setenv("MMTPU_NO_PRUNE", "1")
         exact = np.asarray(
-            multires_rotation_search_dense(test, ref, step, rng_deg)
+            multires_rotation_search_dense(test, ref, step, rng_deg)[0]
         )
         np.testing.assert_array_equal(pruned, exact)
 
@@ -186,11 +186,11 @@ class TestPrunedSweepParity:
         pts = np.stack([circle, circle, circle])
         test, ref = pts[1:], pts[:-1]
         pruned = np.asarray(
-            multires_rotation_search_dense(test, ref, 0.01, 6.0)
+            multires_rotation_search_dense(test, ref, 0.01, 6.0)[0]
         )
         monkeypatch.setenv("MMTPU_NO_PRUNE", "1")
         exact = np.asarray(
-            multires_rotation_search_dense(test, ref, 0.01, 6.0)
+            multires_rotation_search_dense(test, ref, 0.01, 6.0)[0]
         )
         np.testing.assert_array_equal(pruned, exact)
 
@@ -204,11 +204,11 @@ class TestPrunedSweepParity:
         pts = self._random_sets(rng, F=4)
         test, ref = pts[1:], pts[:-1]
         pruned = np.asarray(
-            multires_rotation_search_dense(test, ref, 0.05, 3.0, bruteforce=True)
+            multires_rotation_search_dense(test, ref, 0.05, 3.0, bruteforce=True)[0]
         )
         monkeypatch.setenv("MMTPU_NO_PRUNE", "1")
         exact = np.asarray(
-            multires_rotation_search_dense(test, ref, 0.05, 3.0, bruteforce=True)
+            multires_rotation_search_dense(test, ref, 0.05, 3.0, bruteforce=True)[0]
         )
         np.testing.assert_array_equal(pruned, exact)
 
@@ -223,11 +223,11 @@ class TestPrunedSweepParity:
         tm[:, 140:] = False
         rm[:, 145:] = False
         pruned = np.asarray(
-            multires_rotation_search(test, ref, tm, rm, 0.01, 6.0)
+            multires_rotation_search(test, ref, tm, rm, 0.01, 6.0)[0]
         )
         monkeypatch.setenv("MMTPU_NO_PRUNE", "1")
         exact = np.asarray(
-            multires_rotation_search(test, ref, tm, rm, 0.01, 6.0)
+            multires_rotation_search(test, ref, tm, rm, 0.01, 6.0)[0]
         )
         np.testing.assert_array_equal(pruned, exact)
 
@@ -259,8 +259,8 @@ class TestPlanSelection:
         base = rng.standard_normal((4, 64, 2))
         test = jnp.asarray(base, jnp.float64)
         ref = jnp.asarray(rng.standard_normal((4, 64, 2)), jnp.float64)
-        opt = multires_rotation_search_dense(test, ref, 2.5, 90.0, False)
-        bf = multires_rotation_search_dense(test, ref, 2.5, 90.0, True)
+        opt = multires_rotation_search_dense(test, ref, 2.5, 90.0, False)[0]
+        bf = multires_rotation_search_dense(test, ref, 2.5, 90.0, True)[0]
         np.testing.assert_array_equal(np.asarray(opt), np.asarray(bf))
 
 
@@ -301,14 +301,16 @@ class TestStagedSearch:
             [coords[perm], np.broadcast_to(ring[None], (F, n_cat, 2))], axis=1
         ) - cxy[:, None, :]
 
-        host = np.asarray(
+        host_flat = np.asarray(
             chain_rotation_search(jnp.asarray(pts), None, 0.5, 10.0, False)
         )
-        staged = np.asarray(
+        staged_flat = np.asarray(
             chain_rotation_search_staged(
                 jnp.asarray(coords), perm, 0.5, 10.0, False, n_cat, (4.5, 4.5), 0.5
             )
         )
+        host = host_flat[: len(host_flat) // 2]
+        staged = staged_flat[: len(staged_flat) // 2]
         np.testing.assert_allclose(staged, host, atol=1e-9)
 
     def test_numpy_to_inputdata_stages_nothing_on_cpu(self):

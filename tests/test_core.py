@@ -168,7 +168,7 @@ class TestEdgeCases:
         test = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 2)))
         mask = jnp.ones((2, 8), dtype=bool)
         centers = jnp.asarray([0.3, -0.2])
-        out = search_range_batched(test, test, mask, mask, 0.0, 5.0, centers, 10.0)
+        out, _tie = search_range_batched(test, test, mask, mask, 0.0, 5.0, centers, 10.0)
         np.testing.assert_allclose(np.asarray(out), np.asarray(centers))
 
     def test_contour_minimum_points(self):
@@ -202,7 +202,7 @@ class TestEdgeCases:
 
         test = jnp.zeros((1, 4, 2))
         mask = jnp.ones((1, 4), dtype=bool)
-        out = search_range_batched(
+        out, _tie = search_range_batched(
             test, test, mask, mask, 1.0, 5.0, jnp.asarray([np.pi]), 0.001
         )
         clamped_start = max(np.pi - np.radians(5.0), -np.radians(0.001))
@@ -210,7 +210,7 @@ class TestEdgeCases:
 
         # collapsed-but-not-inverted window (stop == start) still evaluates
         # its single grid point instead of passing the center through
-        out = search_range_batched(
+        out, _tie = search_range_batched(
             test, test, mask, mask, 1.0, 5.0, jnp.asarray([0.0]), 0.0
         )
         np.testing.assert_allclose(np.asarray(out), [0.0])

@@ -203,7 +203,7 @@ class TestAngleShardedSearch:
         for n_dev in (2, 4, 8):
             np.testing.assert_array_equal(results[n_dev], results[1])
         single = np.asarray(
-            multires_rotation_search(test, ref, tm, rm, 0.1, 30.0)
+            multires_rotation_search(test, ref, tm, rm, 0.1, 30.0)[0]
         )
         np.testing.assert_allclose(results[1], single, rtol=0, atol=1e-13)
 
@@ -221,7 +221,7 @@ class TestAngleShardedSearch:
         tm = np.ones(test.shape[:2], bool)
         rm = np.ones(ref.shape[:2], bool)
         single = np.asarray(
-            multires_rotation_search(test, ref, tm, rm, 0.5, 20.0, bruteforce=True)
+            multires_rotation_search(test, ref, tm, rm, 0.5, 20.0, bruteforce=True)[0]
         )
         sharded = sharded_multires_search(
             test, ref, tm, rm, 0.5, 20.0, mesh=angle_mesh(cpus[:n_dev]),
