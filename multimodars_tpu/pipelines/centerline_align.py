@@ -511,9 +511,43 @@ def refine_alignment_hausdorff(
         qmask = jnp.asarray(
             np.broadcast_to(qmask_h[:, None], (S, K, m_max)).reshape(S * K, m_max)
         )
-        costs = np.sqrt(
-            np.asarray(hausdorff_sq_masked(q, p, qmask, pmask))
+        costs_sq = np.asarray(
+            hausdorff_sq_masked(q, p, qmask, pmask), dtype=np.float64
         ).reshape(S, K)
+
+        # argmin certification (ops.argmin_repair semantics): when another
+        # (shift, angle) candidate's cost lies within the compute dtype's
+        # rounding band of the winner, the argmin can flip between
+        # backends — recompute every candidate exactly in f64 on the host
+        # (the point sets are already host-resident) and decide there
+        from ..ops.argmin_repair import certify_enabled, stats
+
+        m2 = float(costs_sq.min())
+        eps = float(jnp.finfo(dtype).eps)
+        scale2 = max(
+            float((p_h * p_h).sum(-1).max()), float((q_h * q_h).sum(-1).max()),
+            1e-30,
+        )
+        band = 64.0 * eps * (math.sqrt(max(scale2 * m2, 0.0)) + m2)
+        if (costs_sq <= m2 + band).sum() > 1:
+            stats["flagged"] += 1
+            if certify_enabled():
+                stats["repaired"] += 1
+                exact = np.empty_like(costs_sq)
+                for si, (_, cand, filt) in enumerate(shift_entries):
+                    c64 = np.asarray(cand, dtype=np.float64)
+                    f64c = np.asarray(filt, dtype=np.float64)
+                    dx = c64[:, :, None, 0] - f64c[None, None, :, 0]
+                    dy = c64[:, :, None, 1] - f64c[None, None, :, 1]
+                    d2 = dx * dx + dy * dy  # (K, n, m)
+                    fwd = d2.min(axis=2).max(axis=1)
+                    bwd = d2.min(axis=1).max(axis=1)
+                    exact[si] = np.maximum(fwd, bwd)
+                if np.argmin(exact) != np.argmin(costs_sq):
+                    stats["changed"] += 1
+                costs_sq = exact
+
+        costs = np.sqrt(costs_sq)
 
         # identical first-wins scan order to the sequential loop
         for si, (current_idx, _, _) in enumerate(shift_entries):
