@@ -162,10 +162,24 @@ def candidate_angles(centers, step_deg: float, range_deg: float, limes_deg: floa
 _TIE_C = 64.0
 
 
+def _eps_eff(dtype):
+    """Effective cross-backend rounding unit of ``dtype`` arithmetic.
+
+    For f32 it is the format eps.  For f64 the format eps understates the
+    real divergence: TPUs emulate f64 (float-pair arithmetic), and the
+    measured TPU-vs-CPU residual of this package's f64 pipelines is
+    ~4e-14 relative (benchmarks/results/tpu_parity.json) — ~200x eps64.
+    The floor of 1e-14 makes the certification band cover emulated-f64
+    noise; real cost gaps on clinical data are orders of magnitude wider,
+    so this widens flags only on genuinely flat landscapes."""
+    eps = float(jnp.finfo(dtype).eps)
+    return max(eps, 1e-14)
+
+
 def _tie_flags(costs, m, scale2, any_valid):
     """bool[F]: another candidate's cost lies within the rounding band of
     the winner — the argmin is not certified stable across backends."""
-    eps = jnp.asarray(jnp.finfo(costs.dtype).eps, costs.dtype)
+    eps = jnp.asarray(_eps_eff(costs.dtype), costs.dtype)
     band = _TIE_C * eps * (jnp.sqrt(jnp.maximum(scale2 * m, 0.0)) + m)
     near = costs <= (m + band)[:, None]
     return (near.sum(axis=1) > 1) & any_valid
@@ -349,7 +363,7 @@ def search_range_batched_pruned(
     inf = jnp.asarray(jnp.inf, lb.dtype)
     lb_rest = lb.at[jnp.arange(F)[:, None], sel_idx].set(inf)
     lb_rest_min = lb_rest.min(axis=1)
-    eps = jnp.asarray(jnp.finfo(exact.dtype).eps, exact.dtype)
+    eps = jnp.asarray(_eps_eff(exact.dtype), exact.dtype)
     band = _TIE_C * eps * (jnp.sqrt(jnp.maximum(scale2 * m, 0.0)) + m)
     margin = jnp.maximum(lb_rest_min * jnp.asarray(1e-5, lb.dtype), band)
     cert = (

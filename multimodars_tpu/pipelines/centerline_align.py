@@ -522,8 +522,10 @@ def refine_alignment_hausdorff(
         # (the point sets are already host-resident) and decide there
         from ..ops.argmin_repair import certify_enabled, stats
 
+        from ..ops.rotation_search import _eps_eff
+
         m2 = float(costs_sq.min())
-        eps = float(jnp.finfo(dtype).eps)
+        eps = _eps_eff(dtype)
         scale2 = max(
             float((p_h * p_h).sum(-1).max()), float((q_h * q_h).sum(-1).max()),
             1e-30,

@@ -28,14 +28,17 @@ needs is an analytic function of the within deltas and of pre-sweep state:
 So the whole chain — deltas → finished lumen coordinates → between clouds
 → between search — composes into ONE device program whose inputs are the
 in-flight sweep handles (never pulled) plus small pre-sweep uploads, and
-whose single output concatenates the deltas and the between winners.  All
-host-side mutation (the real finish, walls, logs, epilogues) then runs from
-the pulled deltas exactly as before, so the final geometries are
-bit-identical to the two-round-trip orchestration; only the between
-*search inputs* are device-composed f64 replicas of the host expression
-tree, which can differ from the host-built clouds by sub-ulp trig/reduction
-noise — observable only on exact cost ties between grid angles (the same
-caveat the fused between program already carries).
+whose single output concatenates the deltas, the between winners, and the
+argmin/composition certification flags.  All host-side mutation (the real
+finish, walls, logs, epilogues) then runs from the pulled deltas exactly
+as before, so the final geometries match the two-round-trip orchestration
+to the last ulp of the winner angle (different XLA programs may
+fma-contract the candidate grid differently); anything beyond ulp noise is
+certified — near-tied argmins, roll-argmax ties and the axis-rotation
+skip boundary all raise flags, and flagged results are re-decided in
+exact host f64 from host-built spec clouds (ops.argmin_repair; the
+round-5 ivus_full 0.585 mm parity failure was an UNflagged composition
+divergence of exactly this kind, fixed by the widened device skip band).
 """
 
 from __future__ import annotations
@@ -60,6 +63,9 @@ from ..ops.rotation_search import (
 from .align_between import fused_between_core
 
 _EPS64 = float(np.finfo(np.float64).eps)
+# effective cross-backend f64 rounding unit: TPU emulates f64 with ~1e-14
+# relative noise (see ops.rotation_search._eps_eff)
+_EPS_EFF64 = 1e-14
 _TWO_PI = 2.0 * math.pi
 
 
@@ -107,7 +113,13 @@ def _axis_rotation_dev(p1c, p2c, rp, anomalous):
     """Device f64 replica of align_within._axis_rotation_from_coords
     (align_within.rs:256-317): rotation putting the reference point
     rightmost, with the farthest-pair axis vertical when anomalous
-    (``anomalous`` is a traced bool scalar)."""
+    (``anomalous`` is a traced bool scalar).
+
+    Returns ``(rotation, boundary_tie)``: the tie is True when the
+    rightmost-point comparison sits within the cross-backend rounding band
+    — the host replica could then take the other branch (a pi flip), so
+    the composed cloud is not certified and the between winners must be
+    re-decided from host-built clouds (ops.argmin_repair)."""
     line_angle = jnp.arctan2(p2c[1] - p1c[1], p2c[0] - p1c[0])
     desired = jnp.where(anomalous, math.pi / 2.0, 0.0)
     rotation = jnp.mod(desired - line_angle, _TWO_PI)
@@ -120,13 +132,30 @@ def _axis_rotation_dev(p1c, p2c, rp, anomalous):
         return dx * c_ - dy * s_ + p1c[0]
 
     rx = rot2_x(rp)
+    scale = jnp.maximum(
+        jnp.maximum(jnp.abs(rx), jnp.abs(p1c).max()), jnp.abs(p2c).max()
+    )
+    band = 64.0 * _EPS_EFF64 * (scale + 1.0)
     bad = jnp.asarray(False)
+    boundary = jnp.asarray(False)
     for op in (p1c, p2c):
-        skip = (jnp.abs(op[0] - rp[0]) <= _EPS64) & (
-            jnp.abs(op[1] - rp[1]) <= _EPS64
-        )
-        bad = bad | ((~skip) & (rx <= rot2_x(op)))
-    return jnp.where(bad, jnp.mod(rotation + math.pi, _TWO_PI), rotation)
+        # is-this-op-the-reference-point identity test.  The host replica
+        # uses <= eps64 on bitwise-stable numpy values; HERE the operands
+        # are jit-fused recomputations that can disagree by a few ulps
+        # between fusion choices (XLA CSE is not guaranteed), so the
+        # device skip uses the cross-backend band — the round-5 ivus_full
+        # failure was exactly this: |p2c - rp| computing 4e-16 > eps64 in
+        # one compilation, flipping skip and injecting a spurious pi flip
+        # into the composed cloud.  The (eps64, band] disagreement zone is
+        # flagged so the host re-decides from its own spec clouds.
+        dist = jnp.maximum(jnp.abs(op[0] - rp[0]), jnp.abs(op[1] - rp[1]))
+        skip = dist <= band
+        boundary = boundary | ((dist > _EPS64) & (dist <= band))
+        ox = rot2_x(op)
+        bad = bad | ((~skip) & (rx <= ox))
+        gap = jnp.abs(rx - ox)
+        boundary = boundary | ((~skip) & (gap > 0) & (gap <= band))
+    return jnp.where(bad, jnp.mod(rotation + math.pi, _TWO_PI), rotation), boundary
 
 
 def _cloud_dev(delta, lum_xy, cents, rp_xy, dyn, meta, smooth: bool):
@@ -139,7 +168,15 @@ def _cloud_dev(delta, lum_xy, cents, rp_xy, dyn, meta, smooth: bool):
     anomalous bool — as traced values, so the compiled executable depends
     only on shapes/flags and is reused across datasets.
 
-    Returns ``(cloud [F·fn, 2], post_ref_centroid_xy [2])`` in f64."""
+    Returns ``(cloud [F·fn, 2], post_ref_centroid_xy [2], comp_tie)`` in
+    f64.  ``comp_tie`` (scalar bool) certifies the composition itself: the
+    CCW start roll is an argmax over transformed y whose winner selects
+    the downsampled subset, so a top-2 gap inside the cross-backend
+    rounding band means the host replica could sample a DIFFERENT point
+    subset — a materially different cloud that no cost-band tie flag can
+    catch (root cause of the round-5 ivus_full 0.585 mm parity failure:
+    an 11-degree between flip from exactly this divergence).  The axis
+    rotation's rightmost-comparison boundary is flagged the same way."""
     F, N, fn = meta
     idxs, anomalous = dyn
     ref_idx, i1, i2 = idxs[0], idxs[1], idxs[2]
@@ -176,7 +213,7 @@ def _cloud_dev(delta, lum_xy, cents, rp_xy, dyn, meta, smooth: bool):
     p1c_reg = jnp.stack([cref[0] + tref[0], cref[1] + tref[1]])
     p1c = jnp.where(anomalous, p1c_anom, p1c_reg)
     p2c = jnp.where(anomalous, p2c_anom, rp_t)
-    additional = _axis_rotation_dev(p1c, p2c, rp_t, anomalous)
+    additional, axis_tie = _axis_rotation_dev(p1c, p2c, rp_t, anomalous)
 
     total = cum + additional
     ct = jnp.cos(total)[:, None]
@@ -196,6 +233,23 @@ def _cloud_dev(delta, lum_xy, cents, rp_xy, dyn, meta, smooth: bool):
         (N - 1) - jnp.argmax(yp[:, ::-1], axis=1),
         0,
     )
+    # roll certification: a top-2 y gap inside the rounding band means the
+    # host's argmax could pick a different start, shifting the sampled
+    # subset (gap == 0 is safe: bitwise-equal values tie-break by index
+    # identically everywhere)
+    if N >= 2:
+        from jax import lax as _lax
+
+        top2, _ = _lax.top_k(yp, 2)
+        gap = top2[:, 0] - top2[:, 1]
+        y_scale = jnp.abs(yp).max(axis=1)
+        band_y = 64.0 * _EPS_EFF64 * (y_scale + 1.0)
+        roll_tie = (
+            (additional != 0.0) & (gap > 0) & (gap <= band_y)
+        ).any()
+    else:
+        roll_tie = jnp.asarray(False)
+    comp_tie = axis_tie | roll_tie
     idx = downsample_indices(N, fn)
     gather = (jnp.asarray(idx)[None, :] + start[:, None]) % N  # [F, fn]
     xg = jnp.take_along_axis(x, gather, axis=1)
@@ -211,7 +265,7 @@ def _cloud_dev(delta, lum_xy, cents, rp_xy, dyn, meta, smooth: bool):
         yr = (yr[prev] + yr + yr[nxt]) / 3.0
 
     cloud = jnp.stack([xr, yr], axis=-1).reshape(F * len(idx), 2)
-    return cloud, post_ref
+    return cloud, post_ref, comp_tie
 
 
 @partial(
@@ -255,12 +309,14 @@ def _fused_chain_impl(
         delta_ties.append(deltas[g][half:])
     deltas = split_deltas
     clouds, refs = [], []
+    comp_tie_any = jnp.asarray(False)
     for g in range(n):
-        cloud, pref = _cloud_dev(
+        cloud, pref, ctie = _cloud_dev(
             deltas[g], lums[g], cents[g], rps[g], dyns[g], metas[g], smooth
         )
         clouds.append(cloud)
         refs.append(pref)
+        comp_tie_any = comp_tie_any | ctie
     sizes = [int(c.shape[0]) for c in clouds]
     P = max(sizes)
 
@@ -320,6 +376,10 @@ def _fused_chain_impl(
             fast=fast,
             prune=prune,
         )
+
+    # an uncertified cloud composition invalidates EVERY winner (the host
+    # then recomputes the whole between phase from its own spec clouds)
+    winner_ties = winner_ties | comp_tie_any
 
     parts = [deltas[g].astype(f64) for g in range(n)]
     parts.append(winners.astype(f64))
