@@ -336,7 +336,15 @@ def _maybe_stage_lumen_device(py_in: PyInputData) -> None:
             return
         host_xy = np.ascontiguousarray(coords[:, :, :2])
         dev = jnp.asarray(host_xy.astype(np.float32))  # async upload
-        py_in._staged = {"host_xy": host_xy, "dev": dev, "orig": frames}
+        # f64 twin for the argmin-certification repair tier: flagged pairs
+        # re-sweep in f64 on device by GATHERING from this buffer (int32
+        # indices travel instead of point stacks), keeping the repair off
+        # the tunnel's transfer path.  Uploaded async here, so the extra
+        # bytes ride the same overlapped window as the f32 stack.
+        dev64 = jnp.asarray(host_xy)
+        py_in._staged = {
+            "host_xy": host_xy, "dev": dev, "dev64": dev64, "orig": frames,
+        }
     except Exception:  # pragma: no cover - staging is a pure optimisation
         py_in._staged = None
 

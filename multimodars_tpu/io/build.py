@@ -116,9 +116,13 @@ def _prefetch_sweep(
     from cheap per-frame metadata, replicating _reorder_tensor_by_records /
     _ensure_proximal_tensor / _detect_holes_tensor decisions bit-exactly.
 
-    Returns (device_handle, key, lumen_centroids) or None when the fast
-    path doesn't apply (the centroids are the raw-order per-frame lumen
-    means, reusable by the assembly as con_centroid["Lumen"]).
+    Returns (device_handle, key, lumen_centroids, staged64) or None when
+    the fast path doesn't apply (the centroids are the raw-order per-frame
+    lumen means, reusable by the assembly as con_centroid["Lumen"]);
+    ``staged64`` carries the f64 device twin of the staged input plus the
+    ring parameters when available, so the argmin-certification repair
+    tier can re-sweep flagged pairs in f64 by shipping int32 indices only
+    (ops.argmin_repair).
     """
     import math as _math
 
@@ -208,7 +212,14 @@ def _prefetch_sweep(
         except Exception:
             pass
         if np.array_equal(staged["host_xy"], coords[:, :, :2]):
-            return handle, key, coords.mean(axis=1)
+            staged64 = None
+            if staged.get("dev64") is not None:
+                staged64 = dict(
+                    dev64=staged["dev64"], perm=perm, n_cat=int(n_points),
+                    center=(float(image_center[0]), float(image_center[1])),
+                    radius=float(radius),
+                )
+            return handle, key, coords.mean(axis=1), staged64
 
     cen = coords.mean(axis=1)  # [F, 3]
     cxy = cen[perm, :2]
@@ -240,7 +251,7 @@ def _prefetch_sweep(
         handle.copy_to_host_async()
     except Exception:
         pass
-    return handle, key, cen
+    return handle, key, cen, None
 
 
 def _prefetch_sweep_sorted(tg, prefetch):
@@ -388,6 +399,11 @@ def build_tensor_from_inputdata(
         if pf is not None:
             pending_sweep = pf[:2]
             prefetch_cen = pf[2]
+            prefetch_staged64 = pf[3]
+        else:
+            prefetch_staged64 = None
+    else:
+        prefetch_staged64 = None
 
     F = len(lum["seq"])
     ids = lum["seq"].copy()
@@ -524,6 +540,11 @@ def build_tensor_from_inputdata(
     check_tensor_integrity(tg)
     if pending_sweep is not None:
         tg._pending_sweep = pending_sweep
+        if prefetch_staged64 is not None:
+            # f64 device twin for the certification repair tier: only valid
+            # for the pre-sort full-set prefetch (the staged buffer is in
+            # raw order and the perm reproduces the aligned order)
+            tg._staged64 = prefetch_staged64
     # freshly built by the funnel: the align pipelines may consume it in
     # place (one-shot); a user-held TensorGeometry re-aligned later is
     # copied first (align_within._finish-path ownership handshake)

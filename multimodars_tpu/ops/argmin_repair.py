@@ -135,6 +135,72 @@ def split_packed(flat: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return flat[:n], flat[n:] > 0.5
 
 
+def split_chain_packed(
+    flat: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split a chain pull ``[3n]`` (angles | tie codes | final-stage
+    centers) into ``(angles [n], codes int[n], centers [n])``.  Code 0 =
+    certified, 1 = final-stage tie only, 2/3 = earlier stage tied."""
+    n = flat.shape[0] // 3
+    return (
+        flat[:n],
+        np.rint(flat[n : 2 * n]).astype(np.int64),
+        flat[2 * n :],
+    )
+
+
+def _device_f64_retier(
+    test_sets: List[np.ndarray],
+    ref_sets: List[np.ndarray],
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool,
+):
+    """Tier-2 repair: re-run the flagged searches' full ladder in f64 ON
+    DEVICE as one batched dispatch (the same sweep kernels, f64 inputs —
+    on TPU this is emulated f64, matching XLA:CPU f64 to ~1e-14).
+    Returns ``(angles [T], still_tied bool[T])`` — residual ties inside
+    the f64 band fall through to the exact host tier.  Returns None when
+    the original sweep already ran in f64 (a re-run adds nothing) or the
+    batch fails to build."""
+    from ..config import config
+
+    if np.dtype(config.compute_dtype) == np.float64:
+        return None
+    try:
+        from ..utils.device import to_device
+        from .rotation_search import multires_rotation_search_packed
+
+        T = len(test_sets)
+        S = max(max(len(t) for t in test_sets), max(len(r) for r in ref_sets))
+        # pad the batch width to a small bucket so recompiles are bounded
+        # across varying flag counts
+        T_pad = max(8, 1 << (T - 1).bit_length())
+        test = np.zeros((T_pad, S, 2))
+        ref = np.zeros((T_pad, S, 2))
+        tmask = np.zeros((T_pad, S), dtype=bool)
+        rmask = np.zeros((T_pad, S), dtype=bool)
+        for k, (t, r) in enumerate(zip(test_sets, ref_sets)):
+            test[k, : len(t)] = t
+            ref[k, : len(r)] = r
+            tmask[k, : len(t)] = True
+            rmask[k, : len(r)] = True
+        flat = np.asarray(
+            multires_rotation_search_packed(
+                to_device(test, np.float64),
+                to_device(ref, np.float64),
+                to_device(tmask),
+                to_device(rmask),
+                float(step_deg), float(range_deg), bool(bruteforce),
+            ),
+            dtype=np.float64,
+        )
+        best, tie = split_packed(flat)
+        return best[:T], tie[:T]
+    except Exception:  # pragma: no cover - backend without f64 support
+        return None
+
+
 def repair_chain_deltas(
     delta: np.ndarray,
     ties: np.ndarray,
@@ -144,11 +210,16 @@ def repair_chain_deltas(
     range_deg: float,
     bruteforce: bool,
 ) -> np.ndarray:
-    """Re-decide flagged pairs of a within-chain search exactly.
+    """Re-decide flagged pairs of a within-chain search.
 
-    ``pts``: the f64 ``[F, S, 2]`` centered sample sets the sweep used
-    (pair i = test ``pts[i+1]`` vs ref ``pts[i]``); ``mask``: [F, S] or
-    None (dense).  Returns ``delta`` with flagged entries replaced."""
+    Tiered: flagged pairs first re-sweep in f64 on device (one batched
+    dispatch — on flat clinical/fine-step landscapes a quarter of the
+    pairs can flag in f32, and a per-pair host ladder would cost ~0.3 s
+    each); pairs still tied within the f64 band then re-decide in exact
+    host f64.  ``pts``: the f64 ``[F, S, 2]`` centered sample sets the
+    sweep used (pair i = test ``pts[i+1]`` vs ref ``pts[i]``); ``mask``:
+    [F, S] or None (dense).  Returns ``delta`` with flagged entries
+    replaced."""
     flagged = np.nonzero(ties)[0]
     if len(flagged) == 0:
         return delta
@@ -156,14 +227,33 @@ def repair_chain_deltas(
     if not certify_enabled():
         return delta
     delta = np.array(delta, dtype=np.float64, copy=True)
-    for i in flagged:
+
+    def sets(i):
         t = pts[i + 1] if mask is None else pts[i + 1][mask[i + 1]]
         r = pts[i] if mask is None else pts[i][mask[i]]
-        exact = exact_ladder(
-            np.asarray(t, np.float64), np.asarray(r, np.float64),
-            step_deg, range_deg, bruteforce,
-        )
+        return np.asarray(t, np.float64), np.asarray(r, np.float64)
+
+    pair_sets = [sets(i) for i in flagged]
+    tier2 = _device_f64_retier(
+        [t for t, _ in pair_sets], [r for _, r in pair_sets],
+        step_deg, range_deg, bruteforce,
+    )
+    host_idx = range(len(flagged))
+    if tier2 is not None:
+        best64, tie64 = tier2
+        for k, i in enumerate(flagged):
+            if not tie64[k]:
+                stats["repaired"] += 1
+                if best64[k] != delta[i]:
+                    stats["changed"] += 1
+                delta[i] = best64[k]
+        host_idx = [k for k in range(len(flagged)) if tie64[k]]
+    for k in host_idx:
+        i = flagged[k]
+        t, r = pair_sets[k]
+        exact = exact_ladder(t, r, step_deg, range_deg, bruteforce)
         stats["repaired"] += 1
+        stats["host_exact"] = stats.get("host_exact", 0) + 1
         if exact != delta[i]:
             stats["changed"] += 1
             _note(
@@ -171,6 +261,94 @@ def repair_chain_deltas(
                 f"{math.degrees(exact):+.4f} deg (exact f64)"
             )
         delta[i] = exact
+    return delta
+
+
+def repair_chain_staged64(
+    delta: np.ndarray,
+    codes: np.ndarray,
+    centers: Optional[np.ndarray],
+    staged64: dict,
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool,
+    host_sets,
+) -> np.ndarray:
+    """Tier-2 chain repair from the staged f64 device twin: flagged pairs
+    re-sweep in f64 by GATHERING from the input buffer uploaded at
+    construction time — only int32 indices travel, so the repair adds one
+    round-trip and a small f64 sweep, no transfers.
+
+    ``codes`` attributes each flag to its ladder stage: code 1 (final
+    stage only — by far the common plateau case) re-runs JUST the final
+    window around the packed ``centers``, ~7x less emulated-f64 work than
+    the full ladder; code >= 2 re-runs the full ladder.  Residual f64-band
+    ties re-decide exactly on the host via ``host_sets()`` (a lazy builder
+    of the [F, S, 2] sample sets)."""
+    codes = np.asarray(codes)
+    if codes.dtype == bool:
+        codes = np.where(codes, 2, 0)
+    flagged = np.nonzero(codes > 0)[0]
+    if len(flagged) == 0:
+        return delta
+    stats["flagged"] += len(flagged)
+    if not certify_enabled():
+        return delta
+    from .rotation_search import chain_pairs_staged64
+
+    delta = np.array(delta, dtype=np.float64, copy=True)
+    final_only = (
+        [int(i) for i in flagged if codes[i] == 1]
+        if centers is not None
+        else []
+    )
+    full = [int(i) for i in flagged if centers is None or codes[i] >= 2]
+    residual = []
+    try:
+        if final_only:
+            best64, tie64 = chain_pairs_staged64(
+                staged64, final_only, step_deg, range_deg, bruteforce,
+                centers=centers[final_only], final_only=True,
+            )
+            for k, i in enumerate(final_only):
+                if tie64[k]:
+                    residual.append(i)
+                else:
+                    stats["repaired"] += 1
+                    if best64[k] != delta[i]:
+                        stats["changed"] += 1
+                    delta[i] = best64[k]
+        if full:
+            best64, tie64 = chain_pairs_staged64(
+                staged64, full, step_deg, range_deg, bruteforce
+            )
+            for k, i in enumerate(full):
+                if tie64[k]:
+                    residual.append(i)
+                else:
+                    stats["repaired"] += 1
+                    if best64[k] != delta[i]:
+                        stats["changed"] += 1
+                    delta[i] = best64[k]
+    except Exception:  # pragma: no cover - fall back to the h2d tier
+        pts = host_sets()
+        stats["flagged"] -= len(flagged)  # repair_chain_deltas re-counts
+        return repair_chain_deltas(
+            delta, codes > 0, pts, None, step_deg, range_deg, bruteforce
+        )
+    if residual:
+        pts = host_sets()
+        for i in residual:
+            exact = exact_ladder(
+                np.asarray(pts[i + 1], np.float64),
+                np.asarray(pts[i], np.float64),
+                step_deg, range_deg, bruteforce,
+            )
+            stats["repaired"] += 1
+            stats["host_exact"] = stats.get("host_exact", 0) + 1
+            if exact != delta[i]:
+                stats["changed"] += 1
+            delta[i] = exact
     return delta
 
 
@@ -194,15 +372,36 @@ def repair_between(
     if not certify_enabled():
         return rotations
     rotations = np.array(rotations, dtype=np.float64, copy=True)
+    cent = []
     for k in flagged:
         reference_xy, target_xy = clouds[k]
         pivot = reference_xy.mean(axis=0)
-        exact = exact_ladder(
-            np.asarray(target_xy - pivot, np.float64),
-            np.asarray(reference_xy - pivot, np.float64),
-            step_deg, range_deg, bruteforce,
+        cent.append(
+            (
+                np.asarray(target_xy - pivot, np.float64),
+                np.asarray(reference_xy - pivot, np.float64),
+            )
         )
+    tier2 = _device_f64_retier(
+        [t for t, _ in cent], [r for _, r in cent],
+        step_deg, range_deg, bruteforce,
+    )
+    host_idx = range(len(flagged))
+    if tier2 is not None:
+        best64, tie64 = tier2
+        for j, k in enumerate(flagged):
+            if not tie64[j]:
+                stats["repaired"] += 1
+                if best64[j] != rotations[k]:
+                    stats["changed"] += 1
+                rotations[k] = best64[j]
+        host_idx = [j for j in range(len(flagged)) if tie64[j]]
+    for j in host_idx:
+        k = flagged[j]
+        t, r = cent[j]
+        exact = exact_ladder(t, r, step_deg, range_deg, bruteforce)
         stats["repaired"] += 1
+        stats["host_exact"] = stats.get("host_exact", 0) + 1
         if exact != rotations[k]:
             stats["changed"] += 1
             _note(

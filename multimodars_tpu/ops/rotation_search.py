@@ -159,7 +159,14 @@ def candidate_angles(centers, step_deg: float, range_deg: float, limes_deg: floa
 # (an 11-degree within-chain flip on ivus_full).  Flagged searches are
 # re-decided in exact host f64 (ops.argmin_repair), making the final angle
 # backend-independent.
-_TIE_C = 64.0
+#
+# The constant is CALIBRATED, not guessed: on the OCT-280 anchor's fine
+# ladder grid the measured max |cost_f32 - cost_f64| over candidates is
+# 2.3 * eps32 * (sqrt(scale2*m) + m) (see ROUND5.md), so a flip needs two
+# candidates within 2*2.3 = 4.6 of each other in those units; 8 gives a
+# 1.7x margin over that two-sided threshold while keeping the flag rate
+# low enough that the tier-2 f64 device re-sweep stays cheap.
+_TIE_C = 8.0
 
 
 def _eps_eff(dtype):
@@ -536,14 +543,18 @@ def _multires_rotation_search_impl(
             and min(test.shape[1], ref.shape[1]) >= _PRUNE_MIN_POINTS
             and k_static >= _PRUNE_MIN_K
         ):
-            return search_range_batched_pruned(
+            best, tie = search_range_batched_pruned(
                 test, ref, test_mask, ref_mask, step_deg, range_deg,
                 centers, range_deg, dense,
             )
-        return search_range_batched(
-            test, ref, test_mask, ref_mask, step_deg, range_deg, centers,
-            range_deg, use_pallas, dense,
-        )
+        else:
+            best, tie = search_range_batched(
+                test, ref, test_mask, ref_mask, step_deg, range_deg, centers,
+                range_deg, use_pallas, dense,
+            )
+        # single-stage plan: the "final stage" IS the whole search
+        no_early = jnp.zeros((F,), dtype=bool)
+        return best, tie, no_early, tie, centers
     stages = ladder_stages(step_deg, range_deg)
     subsample = (
         fast
@@ -558,6 +569,9 @@ def _multires_rotation_search_impl(
     )
     best = centers
     tie_any = jnp.zeros((F,), dtype=bool)
+    tie_early = jnp.zeros((F,), dtype=bool)
+    tie_final = jnp.zeros((F,), dtype=bool)
+    last_centers = centers
     for idx, (stage_step, stage_range, centered) in enumerate(stages):
         stage_centers = best if centered else centers
         stride = _STAGE1_STRIDE if (subsample and idx == 0) else 1
@@ -586,9 +600,16 @@ def _multires_rotation_search_impl(
                 dense,
             )
         # a near-tie at ANY stage can move the refinement window, so the
-        # whole search is flagged (the repair reruns the full ladder)
+        # whole search is flagged; the split into early/final stages lets
+        # the repair re-run only the final window when the earlier windows
+        # are certified (ops.argmin_repair tier 2)
         tie_any = tie_any | tie
-    return best, tie_any
+        if idx == len(stages) - 1:
+            tie_final = tie
+            last_centers = stage_centers
+        else:
+            tie_early = tie_early | tie
+    return best, tie_any, tie_early, tie_final, last_centers
 
 
 def multires_rotation_search(
@@ -615,11 +636,12 @@ def multires_rotation_search(
         use_pallas = _pallas_default()
     if not bruteforce and plan_is_bruteforce(float(step_deg), float(range_deg)):
         bruteforce = True  # identical plan -> share the compiled executable
-    return _multires_rotation_search_impl(
+    best, tie, _te, _tf, _c = _multires_rotation_search_impl(
         test, ref, test_mask, ref_mask, float(step_deg), float(range_deg),
         bool(bruteforce), bool(use_pallas), fast=_fast_ladder(),
         prune=_prune_enabled(),
     )
+    return best, tie
 
 
 @partial(
@@ -639,7 +661,7 @@ def _multires_packed_impl(
         rm = jnp.ones(ref.shape[:2], dtype=bool)
     else:
         tm, rm = test_mask, ref_mask
-    best, tie = _multires_rotation_search_impl(
+    best, tie, _te, _tf, _c = _multires_rotation_search_impl(
         test, ref, tm, rm, step_deg, range_deg, bruteforce, use_pallas,
         dense=dense, fast=fast, prune=prune,
     )
@@ -675,10 +697,11 @@ def _multires_dense_impl(
 ):
     dummy_t = jnp.ones(test.shape[:2], dtype=bool)
     dummy_r = jnp.ones(ref.shape[:2], dtype=bool)
-    return _multires_rotation_search_impl(
+    best, tie, _te, _tf, _c = _multires_rotation_search_impl(
         test, ref, dummy_t, dummy_r, step_deg, range_deg, bruteforce,
         use_pallas, dense=True, fast=fast, prune=prune,
     )
+    return best, tie
 
 
 def multires_rotation_search_dense(
@@ -697,6 +720,18 @@ def multires_rotation_search_dense(
     )
 
 
+def _pack_chain(best, tie_early, tie_final, last_centers):
+    """Chain pull layout ``[3(F-1)]``: angles | tie codes | final-stage
+    centers.  Code: 0 = certified, 1 = final-stage tie only (tier-2 can
+    re-run just the final window from the packed center), 2/3 = an earlier
+    stage tied too (tier-2 re-runs the full ladder).  One pull carries the
+    answers, the certification state, and the repair inputs."""
+    code = tie_final.astype(jnp.float64) + 2.0 * tie_early.astype(jnp.float64)
+    return jnp.concatenate(
+        [best.astype(jnp.float64), code, last_centers.astype(jnp.float64)]
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("step_deg", "range_deg", "bruteforce", "use_pallas", "fast",
@@ -707,11 +742,11 @@ def _chain_rotation_search_impl(
 ):
     # consecutive-pair view formed ON DEVICE: one [F, S, 2] transfer instead
     # of two nearly-identical [F-1, S, 2] host slices
-    best, tie = _multires_rotation_search_impl(
+    best, tie, te, tf, cen = _multires_rotation_search_impl(
         pts[1:], pts[:-1], mask[1:], mask[:-1],
         step_deg, range_deg, bruteforce, use_pallas, fast=fast, prune=prune,
     )
-    return jnp.concatenate([best.astype(jnp.float64), tie.astype(jnp.float64)])
+    return _pack_chain(best, te, tf, cen)
 
 
 @partial(
@@ -723,12 +758,12 @@ def _chain_rotation_search_dense_impl(
     pts, step_deg, range_deg, bruteforce, use_pallas, fast, prune
 ):
     dummy = jnp.ones(pts.shape[:2], dtype=bool)
-    best, tie = _multires_rotation_search_impl(
+    best, tie, te, tf, cen = _multires_rotation_search_impl(
         pts[1:], pts[:-1], dummy[1:], dummy[:-1],
         step_deg, range_deg, bruteforce, use_pallas, dense=True, fast=fast,
         prune=prune,
     )
-    return jnp.concatenate([best.astype(jnp.float64), tie.astype(jnp.float64)])
+    return _pack_chain(best, te, tf, cen)
 
 
 def chain_rotation_search(
@@ -791,12 +826,134 @@ def _chain_rotation_search_staged_impl(
         pts_all = xy
     pts = pts_all - cxy[:, None, :]
     dummy = jnp.ones(pts.shape[:2], dtype=bool)
-    best, tie = _multires_rotation_search_impl(
+    best, tie, te, tf, cen = _multires_rotation_search_impl(
         pts[1:], pts[:-1], dummy[1:], dummy[:-1],
         step_deg, range_deg, bruteforce, use_pallas, dense=True, fast=fast,
         prune=prune,
     )
+    return _pack_chain(best, te, tf, cen)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "step_deg", "range_deg", "bruteforce", "n_cat", "center_x",
+        "center_y", "radius", "fast", "prune",
+    ),
+)
+def _chain_pairs_staged64_impl(
+    dev_xy64, perm, pair_pos, step_deg, range_deg, bruteforce, n_cat,
+    center_x, center_y, radius, fast, prune,
+):
+    """f64 re-sweep of SELECTED chain pairs from the staged f64 input twin
+    (argmin-certification repair tier 2): the same composition as
+    :func:`_chain_rotation_search_staged_impl` — perm gather, catheter
+    ring synthesis, lumen-centroid centering — in f64, restricted to the
+    ``pair_pos`` pairs.  Only int32 indices travel; returns the packed
+    ``[2T]`` angles+ties vector (residual f64-band ties fall through to
+    the exact host tier)."""
+    xy = jnp.take(dev_xy64, perm, axis=0)  # [F, P, 2] f64, aligned order
+    F = xy.shape[0]
+    cxy = xy.mean(axis=1)
+    if n_cat > 0:
+        ang = (TWO_PI / n_cat) * jnp.arange(n_cat, dtype=xy.dtype)
+        ring = jnp.stack(
+            [center_x + radius * jnp.cos(ang), center_y + radius * jnp.sin(ang)],
+            axis=-1,
+        )
+        pts_all = jnp.concatenate(
+            [xy, jnp.broadcast_to(ring[None], (F, n_cat, 2))], axis=1
+        )
+    else:
+        pts_all = xy
+    pts = pts_all - cxy[:, None, :]
+    test = jnp.take(pts, pair_pos + 1, axis=0)  # [T, S, 2]
+    ref = jnp.take(pts, pair_pos, axis=0)
+    dummy = jnp.ones(test.shape[:2], dtype=bool)
+    best, tie, _te, _tf, _c = _multires_rotation_search_impl(
+        test, ref, dummy, dummy, step_deg, range_deg, bruteforce, False,
+        dense=True, fast=fast, prune=prune,
+    )
     return jnp.concatenate([best.astype(jnp.float64), tie.astype(jnp.float64)])
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "final_step", "final_range", "limes_deg", "n_cat", "center_x",
+        "center_y", "radius",
+    ),
+)
+def _chain_pairs_staged64_final_impl(
+    dev_xy64, perm, pair_pos, centers, final_step, final_range, limes_deg,
+    n_cat, center_x, center_y, radius,
+):
+    """Final-ladder-stage-only variant of :func:`_chain_pairs_staged64_impl`
+    for flags attributed to the last stage (tie code 1): the earlier
+    windows are certified, so only the final (step, min(range, 10*step))
+    window around the packed centers needs f64 re-decision."""
+    xy = jnp.take(dev_xy64, perm, axis=0)
+    F = xy.shape[0]
+    cxy = xy.mean(axis=1)
+    if n_cat > 0:
+        ang = (TWO_PI / n_cat) * jnp.arange(n_cat, dtype=xy.dtype)
+        ring = jnp.stack(
+            [center_x + radius * jnp.cos(ang), center_y + radius * jnp.sin(ang)],
+            axis=-1,
+        )
+        pts_all = jnp.concatenate(
+            [xy, jnp.broadcast_to(ring[None], (F, n_cat, 2))], axis=1
+        )
+    else:
+        pts_all = xy
+    pts = pts_all - cxy[:, None, :]
+    test = jnp.take(pts, pair_pos + 1, axis=0)
+    ref = jnp.take(pts, pair_pos, axis=0)
+    dummy = jnp.ones(test.shape[:2], dtype=bool)
+    best, tie = search_range_batched(
+        test, ref, dummy, dummy, final_step, final_range,
+        centers.astype(jnp.float64), limes_deg, False, True,
+    )
+    return jnp.concatenate([best.astype(jnp.float64), tie.astype(jnp.float64)])
+
+
+def chain_pairs_staged64(
+    staged64: dict, pair_pos, step_deg, range_deg, bruteforce,
+    centers=None, final_only: bool = False,
+):
+    """Dispatch wrapper for the staged-f64 repair sweeps; ``pair_pos`` is
+    padded to a power-of-two bucket (dup slot 0) to bound recompiles."""
+    T = len(pair_pos)
+    t_pad = max(8, 1 << (T - 1).bit_length())
+    pos = np.zeros(t_pad, dtype=np.int32)
+    pos[:T] = np.asarray(pair_pos, dtype=np.int32)
+    if not bruteforce and plan_is_bruteforce(float(step_deg), float(range_deg)):
+        bruteforce = True
+    cx, cy = staged64["center"]
+    if final_only and not bruteforce:
+        fs, fr, _ = ladder_stages(float(step_deg), float(range_deg))[-1]
+        cen = np.zeros(t_pad, dtype=np.float64)
+        cen[:T] = np.asarray(centers, dtype=np.float64)
+        flat = _chain_pairs_staged64_final_impl(
+            staged64["dev64"],
+            jnp.asarray(np.asarray(staged64["perm"], dtype=np.int32)),
+            jnp.asarray(pos),
+            jnp.asarray(cen),
+            float(fs), float(fr), float(range_deg),
+            int(staged64["n_cat"]), float(cx), float(cy),
+            float(staged64["radius"]),
+        )
+    else:
+        flat = _chain_pairs_staged64_impl(
+            staged64["dev64"],
+            jnp.asarray(np.asarray(staged64["perm"], dtype=np.int32)),
+            jnp.asarray(pos),
+            float(step_deg), float(range_deg), bool(bruteforce),
+            int(staged64["n_cat"]), float(cx), float(cy),
+            float(staged64["radius"]), _fast_ladder(), _prune_enabled(),
+        )
+    flat = np.asarray(flat, dtype=np.float64)
+    return flat[:t_pad][:T], flat[t_pad:][:T] > 0.5
 
 
 def chain_rotation_search_staged(

@@ -225,7 +225,7 @@ def fused_between_core(
         return ((x - piv) * m[..., None].astype(f64)).astype(dtype)
 
     p1 = masked_mean(ref1, rmask1)
-    r1, tie1 = _multires_rotation_search_impl(
+    r1, tie1, _te1, _tf1, _c1 = _multires_rotation_search_impl(
         centered(test1, p1, tmask1),
         centered(ref1, p1, rmask1),
         tmask1,
@@ -257,7 +257,7 @@ def fused_between_core(
     test2 = jnp.stack([ref1[1] + t0_xy, rotated[1] + t0_xy])
     tmask2 = jnp.stack([rmask1[1], tmask1[1]])
     p2 = masked_mean(ref2, rmask2)
-    r2, tie2 = _multires_rotation_search_impl(
+    r2, tie2, _te2, _tf2, _c2 = _multires_rotation_search_impl(
         centered(test2, p2, tmask2),
         centered(ref2, p2, rmask2),
         tmask2,

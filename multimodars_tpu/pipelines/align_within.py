@@ -361,32 +361,53 @@ def _take_pending_sweep(
 def _repair_pending_delta(
     tg: TensorGeometry,
     delta: np.ndarray,
-    ties: np.ndarray,
+    codes: np.ndarray,
+    centers,
     step_deg: float,
     range_deg: float,
     bruteforce: bool,
     sample_size: int,
 ) -> np.ndarray:
-    """Exact f64 re-decision of certification-flagged chain pairs on the
-    prefetched-sweep path: the host sample sets are rebuilt from the tensor
-    spine (bit-identical to what the device sweep evaluated — the prefetch
-    paths are certified against _pack_centered_sets_tensor)."""
-    if not ties.any():
+    """Tiered re-decision of certification-flagged chain pairs on the
+    prefetched-sweep path (ops.argmin_repair): staged-f64 device re-sweep
+    where the input twin is resident, exact host f64 for the residue; the
+    host sample sets are rebuilt from the tensor spine (bit-identical to
+    what the device sweep evaluated — the prefetch paths are certified
+    against _pack_centered_sets_tensor).  ``codes``/``centers`` come from
+    the packed chain pull (split_chain_packed)."""
+    codes = np.asarray(codes)
+    if codes.dtype == bool:
+        codes = np.where(codes, 2, 0)
+    if not (codes > 0).any():
         return delta
-    from ..ops.argmin_repair import repair_chain_deltas
+    from ..ops.argmin_repair import (
+        repair_chain_deltas,
+        repair_chain_staged64,
+    )
 
-    n_lumen = tg.coords["Lumen"].shape[1]
-    ssc = None
-    if "Catheter" in tg.coords and tg.present["Catheter"][0]:
-        ssc = int(
-            math.ceil(tg.coords["Catheter"].shape[1] * sample_size / n_lumen)
+    def host_sets():
+        n_lumen = tg.coords["Lumen"].shape[1]
+        ssc = None
+        if "Catheter" in tg.coords and tg.present["Catheter"][0]:
+            ssc = int(
+                math.ceil(
+                    tg.coords["Catheter"].shape[1] * sample_size / n_lumen
+                )
+            )
+        return _pack_centered_sets_tensor(tg, sample_size, ssc)
+
+    staged64 = getattr(tg, "_staged64", None)
+    if staged64 is not None:
+        return repair_chain_staged64(
+            delta, codes, centers, staged64, float(step_deg),
+            float(range_deg), bool(bruteforce), host_sets,
         )
     try:
-        pts = _pack_centered_sets_tensor(tg, sample_size, ssc)
+        pts = host_sets()
     except _TensorFallback:  # pragma: no cover - prefetch guarantees dense
         return delta
     return repair_chain_deltas(
-        delta, ties, pts, None, float(step_deg), float(range_deg),
+        delta, codes > 0, pts, None, float(step_deg), float(range_deg),
         bool(bruteforce),
     )
 
@@ -609,11 +630,11 @@ def relative_rotations(
         ),
         dtype=np.float64,
     )
-    from ..ops.argmin_repair import repair_chain_deltas, split_packed
+    from ..ops.argmin_repair import repair_chain_deltas, split_chain_packed
 
-    delta, ties = split_packed(flat)
+    delta, codes, _centers = split_chain_packed(flat)
     return repair_chain_deltas(
-        delta, ties, pts, mask, float(step_deg), float(range_deg),
+        delta, codes > 0, pts, mask, float(step_deg), float(range_deg),
         bool(bruteforce),
     )
 
@@ -1081,12 +1102,12 @@ def align_frames_in_geometries(
                 flat = pend_off[id(pending)]
             else:
                 flat = np.asarray(pending, dtype=np.float64)
-            from ..ops.argmin_repair import split_packed
+            from ..ops.argmin_repair import split_chain_packed
 
-            delta, p_ties = split_packed(flat)
+            delta, p_codes, p_centers = split_chain_packed(flat)
             delta = _repair_pending_delta(
-                tg, delta, p_ties, step_deg, range_deg, bruteforce,
-                sample_size,
+                tg, delta, p_codes, p_centers, step_deg, range_deg,
+                bruteforce, sample_size,
             )
             if deferred:
                 t, logs, anom = _finish_alignment_tensor_coords(
@@ -1205,11 +1226,12 @@ def align_frames_in_geometry(
         pre = _classify_pre(tg)
         with span("align_within.sweep_block"):
             flat = np.asarray(pending, dtype=np.float64)
-        from ..ops.argmin_repair import split_packed
+        from ..ops.argmin_repair import split_chain_packed
 
-        delta, ties = split_packed(flat)
+        delta, codes, centers = split_chain_packed(flat)
         delta = _repair_pending_delta(
-            tg, delta, ties, step_deg, range_deg, bruteforce, sample_size
+            tg, delta, codes, centers, step_deg, range_deg, bruteforce,
+            sample_size,
         )
         return _finish_alignment_tensor(
             tg, delta, smooth=smooth, verbose=verbose, pre=pre
@@ -1233,11 +1255,11 @@ def align_frames_in_geometry(
             pass
         with span("align_within.sweep_block"):
             flat = np.asarray(r, dtype=np.float64)
-        from ..ops.argmin_repair import repair_chain_deltas, split_packed
+        from ..ops.argmin_repair import repair_chain_deltas, split_chain_packed
 
-        delta, ties = split_packed(flat)
+        delta, codes, _centers = split_chain_packed(flat)
         delta = repair_chain_deltas(
-            delta, ties, pts, mask, float(step_deg), float(range_deg),
+            delta, codes > 0, pts, mask, float(step_deg), float(range_deg),
             bool(bruteforce),
         )
     else:

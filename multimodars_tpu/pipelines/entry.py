@@ -268,10 +268,11 @@ def _finish_chain(
     finishes (identical to the deferred path) + the between winners.
 
     Pull layout (fused_chain._fused_chain_impl):
-    ``[deltas… | winners | delta_ties… | winner_ties]``.  Flagged within
-    deltas are re-decided exactly here BEFORE the finish; when any within
-    delta changes, the device-composed between winners are invalid and the
-    caller must recompute the between stages host-exactly (returned flag).
+    ``[deltas… | winners | delta_codes… | delta_centers… | winner_ties]``.
+    Flagged within deltas are re-decided here BEFORE the finish (tiered —
+    ops.argmin_repair); when any within delta changes, the device-composed
+    between winners are invalid and the caller must recompute the between
+    stages host-exactly (returned flag).
     """
     from .align_within import (
         DeferredAligned,
@@ -280,22 +281,25 @@ def _finish_chain(
     )
 
     S = sum(sizes)
-    W = (flat.shape[0] - 2 * S) // 2
+    W = (flat.shape[0] - 3 * S) // 2
     deltas_flat = flat[:S]
     winners = flat[S : S + W]
-    dties_flat = flat[S + W : 2 * S + W] > 0.5
-    wties = flat[2 * S + W :] > 0.5
+    codes_flat = np.rint(flat[S + W : 2 * S + W]).astype(np.int64)
+    centers_flat = flat[2 * S + W : 3 * S + W]
+    wties = flat[3 * S + W :] > 0.5
 
     ds = []
     off = 0
     within_changed = False
     for (tg, _pending, pre), s in zip(taken, sizes):
         delta = deltas_flat[off : off + s]
-        ties = dties_flat[off : off + s]
+        codes = codes_flat[off : off + s]
+        centers = centers_flat[off : off + s]
         off += s
-        if ties.any():
+        if (codes > 0).any():
             repaired = _repair_pending_delta(
-                tg, delta, ties, step_deg, range_deg, bruteforce, sample_size
+                tg, delta, codes, centers, step_deg, range_deg, bruteforce,
+                sample_size,
             )
             if not np.array_equal(repaired, delta):
                 within_changed = True

@@ -300,13 +300,16 @@ def _fused_chain_impl(
     dtype = jnp.dtype(dtype_name)
     f64 = jnp.float64
     n = len(metas)
-    # pending handles are packed [2(F-1)]: angles then tie flags
-    delta_ties = []
+    # pending handles are packed [3(F-1)]: angles | tie codes | final
+    # stage centers (ops.rotation_search._pack_chain)
+    delta_codes = []
+    delta_centers = []
     split_deltas = []
     for g in range(n):
-        half = deltas[g].shape[0] // 2
-        split_deltas.append(deltas[g][:half])
-        delta_ties.append(deltas[g][half:])
+        third = deltas[g].shape[0] // 3
+        split_deltas.append(deltas[g][:third])
+        delta_codes.append(deltas[g][third : 2 * third])
+        delta_centers.append(deltas[g][2 * third :])
     deltas = split_deltas
     clouds, refs = [], []
     comp_tie_any = jnp.asarray(False)
@@ -364,7 +367,7 @@ def _fused_chain_impl(
             tests_c.append(pad((tc - pivot[None, :])).astype(dtype))
             rmask[k, : sizes[ia]] = True
             tmask[k, : sizes[ib]] = True
-        winners, winner_ties = _multires_rotation_search_impl(
+        winners, winner_ties, _wte, _wtf, _wc = _multires_rotation_search_impl(
             jnp.stack(tests_c),
             jnp.stack(refs_c),
             jnp.asarray(tmask),
@@ -383,7 +386,8 @@ def _fused_chain_impl(
 
     parts = [deltas[g].astype(f64) for g in range(n)]
     parts.append(winners.astype(f64))
-    parts.extend(delta_ties[g].astype(f64) for g in range(n))
+    parts.extend(delta_codes[g].astype(f64) for g in range(n))
+    parts.extend(delta_centers[g].astype(f64) for g in range(n))
     parts.append(winner_ties.astype(f64))
     return jnp.concatenate(parts)
 

@@ -81,6 +81,7 @@ class TestTieFlags:
         assert not bool(np.asarray(tie).any())
 
     def test_chain_packed_layout(self):
+        from multimodars_tpu.ops.argmin_repair import split_chain_packed
         from multimodars_tpu.ops.rotation_search import chain_rotation_search
 
         ref = _sym_circle()
@@ -90,8 +91,11 @@ class TestTieFlags:
                 jnp.asarray(pts, jnp.float64), None, 0.5, 10.0, False
             )
         )
-        assert flat.shape == (4,)  # 2 pairs: [delta0, delta1, tie0, tie1]
-        assert (flat[2:] > 0.5).all()  # both half-period pairs tied
+        # 2 pairs x [angle | tie code | final-stage center]
+        assert flat.shape == (6,)
+        delta, codes, centers = split_chain_packed(flat)
+        assert delta.shape == codes.shape == centers.shape == (2,)
+        assert (codes > 0).all()  # both half-period pairs tied
 
 
 class TestExactRepair:
