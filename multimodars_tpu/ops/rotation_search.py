@@ -74,9 +74,9 @@ def _angle_chunk_default() -> int:
     import os
 
     try:
-        return max(int(os.environ.get("MMTPU_SWEEP_ANGLE_CHUNK", "1")), 1)
+        return max(int(os.environ.get("MMTPU_SWEEP_ANGLE_CHUNK", "2")), 1)
     except ValueError:  # pragma: no cover
-        return 1
+        return 2
 
 
 def rotation_cost_table(test, ref, test_mask, ref_mask, angles, angles_valid,
