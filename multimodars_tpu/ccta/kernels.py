@@ -814,9 +814,14 @@ def _min_sqdist_device_start(a: np.ndarray, b: np.ndarray):
         )
 
     # one device-side concat across chunks, then ONE pull for both output
-    # streams: the argmin row rides along bitcast to the float dtype
-    # (exact — a bitcast preserves every bit; indices fit int32), so the
-    # tunnel pays a single round-trip instead of two serialized ones
+    # streams: the argmin row rides along VALUE-cast to the float dtype
+    # (exact for indices < 2^24 in f32 / 2^53 in f64 — m_pad is far below
+    # both), so the tunnel pays a single round-trip instead of two
+    # serialized ones.  NOT a bitcast: int bit patterns below ~2^24 decode
+    # as f32 DENORMALS, and the TPU output path flushes denormals to zero
+    # — every argmin came back 0 (caught round 5 by the native-A/B
+    # identity assertions, benchmarks/benchmark_native_ab.py; CPU runs
+    # don't flush, so the CPU suite couldn't see it)
     if len(handles) > 1:
         ms_cat = jnp.concatenate([h[3][0] for h in handles], axis=1)
         g_cat = jnp.concatenate([h[3][1] for h in handles])
@@ -824,13 +829,11 @@ def _min_sqdist_device_start(a: np.ndarray, b: np.ndarray):
         ms_cat, g_cat = handles[0][3]
     itemsize = jnp.dtype(ms_cat.dtype).itemsize
     if itemsize >= 4:
-        idt = jnp.int32 if itemsize == 4 else jnp.int64
         packed = jnp.concatenate(
-            [ms_cat, lax.bitcast_convert_type(g_cat.astype(idt), ms_cat.dtype)[None, :]],
-            axis=0,
+            [ms_cat, g_cat.astype(ms_cat.dtype)[None, :]], axis=0
         )
         pulls = (packed,)
-    else:  # sub-4-byte compute dtype cannot carry indices: two pulls
+    else:  # sub-4-byte compute dtype cannot carry exact indices: two pulls
         pulls = (ms_cat, g_cat)
     for p in pulls:
         p.copy_to_host_async()  # stream back as compute finishes
@@ -845,7 +848,7 @@ def _min_sqdist_device_finish(state):
     if itemsize >= 4:
         flat = np.asarray(pulls[0])
         ms_all = flat[:2]
-        g_all = flat[2].view(np.int32 if itemsize == 4 else np.int64)
+        g_all = flat[2].astype(np.int64)  # value-cast decode (exact)
     else:
         ms_all = np.asarray(pulls[0])
         g_all = np.asarray(pulls[1])
