@@ -264,6 +264,37 @@ def repair_chain_deltas(
     return delta
 
 
+def repair_pairs(
+    test_sets: List[np.ndarray],
+    ref_sets: List[np.ndarray],
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool,
+) -> np.ndarray:
+    """Fully re-decide a batch of flagged (test, ref) searches: tier-2 f64
+    device re-sweep in ONE dispatch, exact host f64 for the residual
+    f64-band ties.  The batch may span several geometries — the
+    orchestrators merge their flagged pairs so a multi-geometry pipeline
+    pays one repair round-trip, not one per geometry."""
+    out = np.zeros(len(test_sets), dtype=np.float64)
+    tier2 = _device_f64_retier(
+        test_sets, ref_sets, step_deg, range_deg, bruteforce
+    )
+    host_idx = range(len(test_sets))
+    if tier2 is not None:
+        best64, tie64 = tier2
+        out[:] = best64
+        host_idx = [k for k in range(len(test_sets)) if tie64[k]]
+    for k in host_idx:
+        out[k] = exact_ladder(
+            test_sets[k], ref_sets[k], step_deg, range_deg, bruteforce
+        )
+        stats["host_exact"] = stats.get("host_exact", 0) + 1
+    stats["flagged"] += len(test_sets)
+    stats["repaired"] += len(test_sets)
+    return out
+
+
 def repair_chain_staged64(
     delta: np.ndarray,
     codes: np.ndarray,

@@ -358,6 +358,21 @@ def _take_pending_sweep(
     return handle
 
 
+def _host_chain_sets(tg: TensorGeometry, sample_size: int):
+    """The [F, S, 2] centered sample sets the chain sweep evaluated, or
+    None when the spine can't rebuild them (repair callers fall back)."""
+    n_lumen = tg.coords["Lumen"].shape[1]
+    ssc = None
+    if "Catheter" in tg.coords and tg.present["Catheter"][0]:
+        ssc = int(
+            math.ceil(tg.coords["Catheter"].shape[1] * sample_size / n_lumen)
+        )
+    try:
+        return _pack_centered_sets_tensor(tg, sample_size, ssc)
+    except _TensorFallback:  # pragma: no cover
+        return None
+
+
 def _repair_pending_delta(
     tg: TensorGeometry,
     delta: np.ndarray,

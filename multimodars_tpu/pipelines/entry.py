@@ -291,17 +291,68 @@ def _finish_chain(
     ds = []
     off = 0
     within_changed = False
-    for (tg, _pending, pre), s in zip(taken, sizes):
-        delta = deltas_flat[off : off + s]
+    # a repair that lands on the SAME grid index merely refines the angle
+    # value from the f32 grid to the f64 grid (~2e-7 rad, ~1e-6 mm on the
+    # clouds) — that does NOT invalidate the device-composed between
+    # winners.  Only an index-level change (>= a grid step) does; the
+    # finest plan step over 4 is a safe discriminator (value drift is
+    # ~1000x smaller than any step).
+    from ..ops.rotation_search import ladder_stages, plan_is_bruteforce
+
+    fine_step = (
+        float(step_deg)
+        if (bruteforce or plan_is_bruteforce(float(step_deg), float(range_deg)))
+        else ladder_stages(float(step_deg), float(range_deg))[-1][0]
+    )
+    index_tol = np.radians(fine_step) / 4.0
+
+    # pass 1: split per geometry; geometries WITHOUT the staged f64 twin
+    # merge their flagged pairs into ONE cross-geometry repair batch (one
+    # tier-2 dispatch + pull instead of one per geometry)
+    from ..ops.argmin_repair import certify_enabled, repair_pairs
+
+    per_geom = []
+    batch_sets = []
+    batch_slots = []  # (geom_idx, pair_idx)
+    for gi, ((tg, _pending, pre), s) in enumerate(zip(taken, sizes)):
+        delta = np.array(deltas_flat[off : off + s], dtype=np.float64)
         codes = codes_flat[off : off + s]
         centers = centers_flat[off : off + s]
         off += s
-        if (codes > 0).any():
+        per_geom.append([tg, pre, delta, codes, centers])
+        if not (codes > 0).any() or not certify_enabled():
+            continue
+        if getattr(tg, "_staged64", None) is not None:
+            continue  # index-gather tier handles it per geometry (cheap)
+        from .align_within import _host_chain_sets
+
+        pts = _host_chain_sets(tg, sample_size)
+        if pts is None:
+            continue
+        for i in np.nonzero(codes > 0)[0]:
+            batch_sets.append(
+                (np.asarray(pts[i + 1], np.float64), np.asarray(pts[i], np.float64))
+            )
+            batch_slots.append((gi, int(i)))
+    if batch_sets:
+        repaired = repair_pairs(
+            [t for t, _ in batch_sets], [r for _, r in batch_sets],
+            float(step_deg), float(range_deg), bool(bruteforce),
+        )
+        for (gi, i), val in zip(batch_slots, repaired):
+            if abs(val - per_geom[gi][2][i]) > index_tol:
+                within_changed = True
+            per_geom[gi][2][i] = val
+            per_geom[gi][3] = np.array(per_geom[gi][3], copy=True)
+            per_geom[gi][3][i] = 0  # handled
+
+    for tg, pre, delta, codes, centers in per_geom:
+        if (np.asarray(codes) > 0).any():
             repaired = _repair_pending_delta(
                 tg, delta, codes, centers, step_deg, range_deg, bruteforce,
                 sample_size,
             )
-            if not np.array_equal(repaired, delta):
+            if np.abs(repaired - delta).max() > index_tol:
                 within_changed = True
             delta = repaired
         t, logs, anom = _finish_alignment_tensor_coords(tg, delta, smooth, pre=pre)
