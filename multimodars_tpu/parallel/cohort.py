@@ -24,7 +24,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import config
 from ..models.geometry import PyGeometry
 from ..utils.device import to_device
-from ..ops.rotation_search import multires_rotation_search
+from ..ops.rotation_search import (
+    multires_rotation_search_packed,
+)
 
 
 def cohort_mesh(devices: Optional[Sequence] = None, axis: str = "pairs") -> Mesh:
@@ -146,7 +148,7 @@ def cohort_relative_rotations(
     for start in range(0, F, wave):
         end = min(start + wave, F)
         handles.append(
-            multires_rotation_search(
+            multires_rotation_search_packed(
                 _slab(test, start, end, dtype),
                 _slab(ref, start, end, dtype),
                 _slab(test_mask, start, end),
@@ -154,8 +156,14 @@ def cohort_relative_rotations(
                 float(step_deg), float(range_deg), bool(bruteforce),
             )
         )
-    best = np.concatenate([np.asarray(b) for b, _ in handles])
-    ties = np.concatenate([np.asarray(t) for _, t in handles])
+    for h in handles:
+        try:
+            h.copy_to_host_async()
+        except Exception:
+            pass
+    flats = [np.asarray(h, dtype=np.float64) for h in handles]
+    best = np.concatenate([f[: len(f) // 2] for f in flats])
+    ties = np.concatenate([f[len(f) // 2 :] > 0.5 for f in flats])
     if ties.any():
         # exact f64 re-decision of certification-flagged pairs (rare): the
         # host sample sets are the repair inputs (ops.argmin_repair)
