@@ -270,13 +270,58 @@ def repair_pairs(
     step_deg: float,
     range_deg: float,
     bruteforce: bool,
+    codes=None,
+    centers=None,
 ) -> np.ndarray:
     """Fully re-decide a batch of flagged (test, ref) searches: tier-2 f64
     device re-sweep in ONE dispatch, exact host f64 for the residual
     f64-band ties.  The batch may span several geometries — the
     orchestrators merge their flagged pairs so a multi-geometry pipeline
-    pays one repair round-trip, not one per geometry."""
+    pays one repair round-trip, not one per geometry.
+
+    With ``codes``/``centers`` (stage attribution from the packed chain
+    pull), code-1 pairs re-run ONLY the final ladder window around their
+    centers — ~7x less emulated-f64 work than the full ladder."""
     out = np.zeros(len(test_sets), dtype=np.float64)
+    if codes is not None and centers is not None:
+        from .rotation_search import ladder_stages, plan_is_bruteforce
+
+        brute_eff = bruteforce or plan_is_bruteforce(
+            float(step_deg), float(range_deg)
+        )
+        final_idx = [] if brute_eff else [
+            k for k in range(len(test_sets)) if codes[k] == 1
+        ]
+        full_idx = [k for k in range(len(test_sets)) if k not in final_idx]
+        if final_idx:
+            fs, fr, _ = ladder_stages(float(step_deg), float(range_deg))[-1]
+            tier2 = _device_f64_final_stage(
+                [test_sets[k] for k in final_idx],
+                [ref_sets[k] for k in final_idx],
+                np.asarray([centers[k] for k in final_idx], np.float64),
+                fs, fr, float(range_deg),
+            )
+            if tier2 is None:
+                full_idx = list(range(len(test_sets)))
+            else:
+                best64, tie64 = tier2
+                for j, k in enumerate(final_idx):
+                    out[k] = best64[j]
+                    if tie64[j]:
+                        full_idx.append(k)
+        if full_idx:
+            out2 = repair_pairs(
+                [test_sets[k] for k in full_idx],
+                [ref_sets[k] for k in full_idx],
+                step_deg, range_deg, bruteforce,
+            )
+            for j, k in enumerate(full_idx):
+                out[k] = out2[j]
+            stats["flagged"] -= len(full_idx)  # recursion re-counts
+            stats["repaired"] -= len(full_idx)
+        stats["flagged"] += len(test_sets)
+        stats["repaired"] += len(test_sets)
+        return out
     tier2 = _device_f64_retier(
         test_sets, ref_sets, step_deg, range_deg, bruteforce
     )
@@ -293,6 +338,48 @@ def repair_pairs(
     stats["flagged"] += len(test_sets)
     stats["repaired"] += len(test_sets)
     return out
+
+
+def _device_f64_final_stage(
+    test_sets, ref_sets, centers, final_step, final_range, limes_deg
+):
+    """Tier-2 final-window re-decision for a padded+masked pair batch."""
+    from ..config import config
+
+    if np.dtype(config.compute_dtype) == np.float64:
+        return None
+    try:
+        from ..utils.device import to_device
+        from .rotation_search import _final_stage_packed_impl
+
+        T = len(test_sets)
+        T_pad = max(8, 1 << (T - 1).bit_length())
+        S = max(max(len(t) for t in test_sets), max(len(r) for r in ref_sets))
+        test = np.zeros((T_pad, S, 2))
+        ref = np.zeros((T_pad, S, 2))
+        tmask = np.zeros((T_pad, S), dtype=bool)
+        rmask = np.zeros((T_pad, S), dtype=bool)
+        cen = np.zeros(T_pad, dtype=np.float64)
+        cen[:T] = centers
+        for k, (t, r) in enumerate(zip(test_sets, ref_sets)):
+            test[k, : len(t)] = t
+            ref[k, : len(r)] = r
+            tmask[k, : len(t)] = True
+            rmask[k, : len(r)] = True
+        import jax.numpy as jnp
+
+        flat = np.asarray(
+            _final_stage_packed_impl(
+                to_device(test, np.float64), to_device(ref, np.float64),
+                to_device(tmask), to_device(rmask),
+                to_device(cen, np.float64),
+                float(final_step), float(final_range), float(limes_deg),
+            ),
+            dtype=np.float64,
+        )
+        return flat[:T_pad][:T], flat[T_pad:][:T] > 0.5
+    except Exception:  # pragma: no cover
+        return None
 
 
 def repair_chain_staged64(

@@ -689,6 +689,41 @@ def multires_rotation_search_packed(
 
 @partial(
     jax.jit,
+    static_argnames=("step_deg", "range_deg", "bruteforce", "use_pallas",
+                     "fast", "prune"),
+)
+def _multires_packed3_impl(
+    test, ref, test_mask, ref_mask, step_deg, range_deg, bruteforce,
+    use_pallas, fast, prune,
+):
+    best, _tie, te, tf, cen = _multires_rotation_search_impl(
+        test, ref, test_mask, ref_mask, step_deg, range_deg, bruteforce,
+        use_pallas, fast=fast, prune=prune,
+    )
+    return _pack_chain(best, te, tf, cen)
+
+
+def multires_rotation_search_packed3(
+    test, ref, test_mask, ref_mask, step_deg, range_deg, bruteforce=False,
+    use_pallas=None,
+):
+    """:func:`multires_rotation_search` packed as one ``[3F]`` f64 array —
+    ``[angles | tie codes | final-stage centers]`` (the chain layout) — so
+    batch consumers (parallel.cohort) get stage-attributed repairs from a
+    single pull."""
+    if use_pallas is None:
+        use_pallas = _pallas_default()
+    if not bruteforce and plan_is_bruteforce(float(step_deg), float(range_deg)):
+        bruteforce = True
+    return _multires_packed3_impl(
+        test, ref, test_mask, ref_mask, float(step_deg), float(range_deg),
+        bool(bruteforce), bool(use_pallas), fast=_fast_ladder(),
+        prune=_prune_enabled(),
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=("step_deg", "range_deg", "bruteforce", "use_pallas", "fast",
                      "prune"),
 )
@@ -913,6 +948,22 @@ def _chain_pairs_staged64_final_impl(
     best, tie = search_range_batched(
         test, ref, dummy, dummy, final_step, final_range,
         centers.astype(jnp.float64), limes_deg, False, True,
+    )
+    return jnp.concatenate([best.astype(jnp.float64), tie.astype(jnp.float64)])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("final_step", "final_range", "limes_deg"),
+)
+def _final_stage_packed_impl(
+    test, ref, tmask, rmask, centers, final_step, final_range, limes_deg
+):
+    """f64 re-decision of ONLY the final ladder window around ``centers``
+    for a padded+masked pair batch (argmin-repair tier 2, code-1 flags)."""
+    best, tie = search_range_batched(
+        test, ref, tmask, rmask, final_step, final_range, centers,
+        limes_deg, False, False,
     )
     return jnp.concatenate([best.astype(jnp.float64), tie.astype(jnp.float64)])
 

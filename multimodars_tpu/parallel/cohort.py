@@ -25,7 +25,7 @@ from ..config import config
 from ..models.geometry import PyGeometry
 from ..utils.device import to_device
 from ..ops.rotation_search import (
-    multires_rotation_search_packed,
+    multires_rotation_search_packed3,
 )
 
 
@@ -148,7 +148,7 @@ def cohort_relative_rotations(
     for start in range(0, F, wave):
         end = min(start + wave, F)
         handles.append(
-            multires_rotation_search_packed(
+            multires_rotation_search_packed3(
                 _slab(test, start, end, dtype),
                 _slab(ref, start, end, dtype),
                 _slab(test_mask, start, end),
@@ -162,28 +162,31 @@ def cohort_relative_rotations(
         except Exception:
             pass
     flats = [np.asarray(h, dtype=np.float64) for h in handles]
-    best = np.concatenate([f[: len(f) // 2] for f in flats])
-    ties = np.concatenate([f[len(f) // 2 :] > 0.5 for f in flats])
-    if ties.any():
-        # exact f64 re-decision of certification-flagged pairs (rare): the
-        # host sample sets are the repair inputs (ops.argmin_repair)
-        from ..ops.argmin_repair import exact_ladder, certify_enabled, stats
+    best = np.concatenate([f[: len(f) // 3] for f in flats])
+    codes = np.concatenate(
+        [np.rint(f[len(f) // 3 : 2 * (len(f) // 3)]).astype(np.int64) for f in flats]
+    )
+    centers = np.concatenate([f[2 * (len(f) // 3) :] for f in flats])
+    if (codes > 0).any():
+        # tiered re-decision of certification-flagged pairs in ONE batch
+        # (stage-attributed f64 device re-sweep + exact host residue —
+        # ops.argmin_repair)
+        from ..ops.argmin_repair import certify_enabled, repair_pairs, stats
 
-        flagged = np.nonzero(ties)[0]
-        stats["flagged"] += len(flagged)
+        flagged = np.nonzero(codes > 0)[0]
         if certify_enabled():
             best = np.array(best, dtype=np.float64, copy=True)
             t_h = np.asarray(test, dtype=np.float64)
             r_h = np.asarray(ref, dtype=np.float64)
             tm_h = np.asarray(test_mask)
             rm_h = np.asarray(ref_mask)
-            for j in flagged:
-                exact = exact_ladder(
-                    t_h[j][tm_h[j]], r_h[j][rm_h[j]],
-                    float(step_deg), float(range_deg), bool(bruteforce),
-                )
-                stats["repaired"] += 1
-                if exact != best[j]:
-                    stats["changed"] += 1
-                best[j] = exact
+            best[flagged] = repair_pairs(
+                [t_h[j][tm_h[j]] for j in flagged],
+                [r_h[j][rm_h[j]] for j in flagged],
+                float(step_deg), float(range_deg), bool(bruteforce),
+                codes=[codes[j] for j in flagged],
+                centers=[centers[j] for j in flagged],
+            )
+        else:
+            stats["flagged"] += len(flagged)
     return best
