@@ -228,3 +228,59 @@ class TestPipelineBackendIndependence:
             and round(abs(r) / 2.5) % 2 == 1
             for r in rots32
         )
+
+
+class TestStagedF64Tier:
+    """The staged-f64 device repair tier (production path on the TPU
+    backend, where inputs stage at construction) — driven directly here
+    with a hand-built staged dict on the CPU backend."""
+
+    def test_staged_full_ladder_matches_exact(self):
+        from multimodars_tpu.ops.argmin_repair import (
+            exact_ladder,
+            repair_chain_staged64,
+        )
+
+        ref = _sym_circle()
+        frames = np.stack([ref, _rot(ref, 2.5), _rot(ref, 5.0)])
+        staged64 = dict(
+            dev64=jnp.asarray(frames, jnp.float64),
+            perm=np.arange(3), n_cat=0, center=(0.0, 0.0), radius=0.5,
+        )
+        delta = np.array([0.9, -0.9])
+        codes = np.array([2, 2])  # early-stage flags -> full ladder tier
+        out = repair_chain_staged64(
+            delta, codes, None, staged64, 0.5, 10.0, False,
+            lambda: frames - frames.mean(axis=1, keepdims=True),
+        )
+        # the staged tier's composition centers by per-frame means; the
+        # sets are the same up to f64 mean ulps, so the winner matches the
+        # exact ladder on host-centered sets (residual ties go to host
+        # anyway, making the outcome deterministic)
+        c = frames - frames.mean(axis=1, keepdims=True)
+        for i in range(2):
+            want = exact_ladder(c[i + 1], c[i], 0.5, 10.0, False)
+            assert abs(out[i] - want) < 1e-9
+
+    def test_staged_final_only_mode(self):
+        from multimodars_tpu.ops.argmin_repair import repair_chain_staged64
+
+        rng = np.random.default_rng(8)
+        th = np.linspace(0, 2 * math.pi, 64, endpoint=False)
+        r = 2.0 + 0.4 * np.abs(rng.standard_normal(64))
+        base = np.stack([r * np.cos(th), r * np.sin(th)], -1)
+        frames = np.stack([base, _rot(base, math.degrees(0.05))])
+        staged64 = dict(
+            dev64=jnp.asarray(frames, jnp.float64),
+            perm=np.arange(2), n_cat=0, center=(0.0, 0.0), radius=0.5,
+        )
+        # code 1 with the (certified) coarser-stage center: only the final
+        # +/-0.1 deg window around it re-runs; the winner recovers the true
+        # 0.05 rad optimum to within one fine step
+        delta = np.array([0.9])
+        out = repair_chain_staged64(
+            delta, np.array([1]), np.array([0.05]), staged64,
+            0.01, 6.0, False,
+            lambda: frames - frames.mean(axis=1, keepdims=True),
+        )
+        assert abs(out[0] - 0.05) < math.radians(0.011)
