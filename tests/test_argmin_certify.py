@@ -276,11 +276,12 @@ class TestStagedF64Tier:
         )
         # code 1 with the (certified) coarser-stage center: only the final
         # +/-0.1 deg window around it re-runs; the winner recovers the true
-        # 0.05 rad optimum to within one fine step
+        # -0.05 rad optimum (delta rotates TEST onto REF, undoing the
+        # applied +0.05) to within one fine step
         delta = np.array([0.9])
         out = repair_chain_staged64(
-            delta, np.array([1]), np.array([0.05]), staged64,
+            delta, np.array([1]), np.array([-0.05]), staged64,
             0.01, 6.0, False,
             lambda: frames - frames.mean(axis=1, keepdims=True),
         )
-        assert abs(out[0] - 0.05) < math.radians(0.011)
+        assert abs(out[0] + 0.05) < math.radians(0.011)
