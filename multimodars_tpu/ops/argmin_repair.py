@@ -87,7 +87,12 @@ def exact_search_range(
     center: float,
     limes_deg: float,
 ) -> float:
-    """One exact search stage: first-wins argmin over the grid."""
+    """One exact search stage: first-wins argmin over the grid.
+
+    Deliberately a scalar per-angle loop: an angle-chunked [G, N, M]
+    vectorization measured 6x SLOWER on this host (three ~100 MB
+    temporaries fault fresh pages per chunk, while the per-angle [N, M]
+    temporaries stay page-warm)."""
     if step_deg <= 0.0:
         return center
     angles, valid = _grid(center, step_deg, range_deg, limes_deg)
