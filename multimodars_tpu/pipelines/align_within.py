@@ -421,10 +421,23 @@ def _repair_pending_delta(
         pts = host_sets()
     except _TensorFallback:  # pragma: no cover - prefetch guarantees dense
         return delta
-    return repair_chain_deltas(
-        delta, codes > 0, pts, None, float(step_deg), float(range_deg),
-        bool(bruteforce),
+    # h2d tier with stage attribution: code-1 pairs re-run only the final
+    # window (repair_pairs), the rest the full ladder
+    from ..ops.argmin_repair import certify_enabled, repair_pairs, stats
+
+    flagged = np.nonzero(codes > 0)[0]
+    if not certify_enabled():
+        stats["flagged"] += len(flagged)
+        return delta
+    delta = np.array(delta, dtype=np.float64, copy=True)
+    delta[flagged] = repair_pairs(
+        [np.asarray(pts[i + 1], np.float64) for i in flagged],
+        [np.asarray(pts[i], np.float64) for i in flagged],
+        float(step_deg), float(range_deg), bool(bruteforce),
+        codes=[int(codes[i]) for i in flagged],
+        centers=None if centers is None else [float(centers[i]) for i in flagged],
     )
+    return delta
 
 
 def _classify_pre(tg: TensorGeometry):
