@@ -304,6 +304,18 @@ def _prefetch_sweep_sorted(tg, prefetch):
         handle.copy_to_host_async()
     except Exception:
         pass
+    # stage the composed f64 sample sets for the certification repair tier
+    # (async — rides the tunnel while the sweep computes); the repair then
+    # gathers flagged PAIRS from this buffer by int32 index instead of
+    # re-uploading f64 point stacks.  Only worthwhile off the cpu backend
+    # (the cpu tests' repairs are host-exact anyway).
+    from ..config import cpu_pinned, default_backend
+
+    if not cpu_pinned() and default_backend() != "cpu":
+        try:
+            tg._staged64_sets = to_device(pts, np.float64)
+        except Exception:  # pragma: no cover
+            pass
     key = (
         float(prefetch["step_deg"]),
         float(prefetch["range_deg"]),

@@ -387,6 +387,87 @@ def _device_f64_final_stage(
         return None
 
 
+def repair_chain_sets64(
+    delta: np.ndarray,
+    codes: np.ndarray,
+    centers: Optional[np.ndarray],
+    sets64,
+    step_deg: float,
+    range_deg: float,
+    bruteforce: bool,
+    host_sets,
+) -> np.ndarray:
+    """Tier-2 chain repair gathering from staged, already-composed f64
+    sample sets (the sorted-prefetch path's staging — see
+    io.build._prefetch_sweep_sorted); same tiering/attribution semantics
+    as :func:`repair_chain_staged64`."""
+    codes = np.asarray(codes)
+    if codes.dtype == bool:
+        codes = np.where(codes, 2, 0)
+    flagged = np.nonzero(codes > 0)[0]
+    if len(flagged) == 0:
+        return delta
+    stats["flagged"] += len(flagged)
+    if not certify_enabled():
+        return delta
+    from .rotation_search import chain_pairs_sets64
+
+    delta = np.array(delta, dtype=np.float64, copy=True)
+    final_only = (
+        [int(i) for i in flagged if codes[i] == 1]
+        if centers is not None
+        else []
+    )
+    full = [int(i) for i in flagged if centers is None or codes[i] >= 2]
+    residual = []
+    try:
+        if final_only:
+            best64, tie64 = chain_pairs_sets64(
+                sets64, final_only, step_deg, range_deg, bruteforce,
+                centers=centers[final_only], final_only=True,
+            )
+            for k, i in enumerate(final_only):
+                if tie64[k]:
+                    residual.append(i)
+                else:
+                    stats["repaired"] += 1
+                    if best64[k] != delta[i]:
+                        stats["changed"] += 1
+                    delta[i] = best64[k]
+        if full:
+            best64, tie64 = chain_pairs_sets64(
+                sets64, full, step_deg, range_deg, bruteforce
+            )
+            for k, i in enumerate(full):
+                if tie64[k]:
+                    residual.append(i)
+                else:
+                    stats["repaired"] += 1
+                    if best64[k] != delta[i]:
+                        stats["changed"] += 1
+                    delta[i] = best64[k]
+    except Exception:  # pragma: no cover - fall back to the h2d tier
+        pts = host_sets()
+        stats["flagged"] -= len(flagged)
+        return repair_chain_deltas(
+            delta, codes > 0, pts, None, step_deg, range_deg, bruteforce
+        )
+    if residual:
+        pts = host_sets()
+        for i in residual:
+            exact = exact_ladder(
+                np.asarray(pts[i + 1], np.float64),
+                np.asarray(pts[i], np.float64),
+                step_deg, range_deg, bruteforce,
+            )
+            stats["repaired"] += 1
+            stats["host_exact"] = stats.get("host_exact", 0) + 1
+            if exact != delta[i]:
+                stats["changed"] += 1
+            delta[i] = exact
+    return delta
+
+
 def repair_chain_staged64(
     delta: np.ndarray,
     codes: np.ndarray,

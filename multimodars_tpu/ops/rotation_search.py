@@ -968,6 +968,73 @@ def _final_stage_packed_impl(
     return jnp.concatenate([best.astype(jnp.float64), tie.astype(jnp.float64)])
 
 
+@partial(
+    jax.jit,
+    static_argnames=("step_deg", "range_deg", "bruteforce", "fast", "prune"),
+)
+def _chain_pairs_sets64_impl(
+    sets64, pair_pos, step_deg, range_deg, bruteforce, fast, prune
+):
+    """f64 re-sweep of SELECTED chain pairs from a staged, ALREADY-COMPOSED
+    [F, S, 2] f64 sample-set buffer (the sorted-prefetch path's twin of
+    :func:`_chain_pairs_staged64_impl`) — only int32 indices travel."""
+    test = jnp.take(sets64, pair_pos + 1, axis=0)
+    ref = jnp.take(sets64, pair_pos, axis=0)
+    dummy = jnp.ones(test.shape[:2], dtype=bool)
+    best, tie, _te, _tf, _c = _multires_rotation_search_impl(
+        test, ref, dummy, dummy, step_deg, range_deg, bruteforce, False,
+        dense=True, fast=fast, prune=prune,
+    )
+    return jnp.concatenate([best.astype(jnp.float64), tie.astype(jnp.float64)])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("final_step", "final_range", "limes_deg"),
+)
+def _chain_pairs_sets64_final_impl(
+    sets64, pair_pos, centers, final_step, final_range, limes_deg
+):
+    """Final-window-only twin of :func:`_chain_pairs_sets64_impl`."""
+    test = jnp.take(sets64, pair_pos + 1, axis=0)
+    ref = jnp.take(sets64, pair_pos, axis=0)
+    dummy = jnp.ones(test.shape[:2], dtype=bool)
+    best, tie = search_range_batched(
+        test, ref, dummy, dummy, final_step, final_range,
+        centers.astype(jnp.float64), limes_deg, False, True,
+    )
+    return jnp.concatenate([best.astype(jnp.float64), tie.astype(jnp.float64)])
+
+
+def chain_pairs_sets64(
+    sets64, pair_pos, step_deg, range_deg, bruteforce,
+    centers=None, final_only: bool = False,
+):
+    """Dispatch wrapper over the staged-sets repair sweeps (padding like
+    :func:`chain_pairs_staged64`)."""
+    T = len(pair_pos)
+    t_pad = max(8, 1 << (T - 1).bit_length())
+    pos = np.zeros(t_pad, dtype=np.int32)
+    pos[:T] = np.asarray(pair_pos, dtype=np.int32)
+    if not bruteforce and plan_is_bruteforce(float(step_deg), float(range_deg)):
+        bruteforce = True
+    if final_only and not bruteforce:
+        fs, fr, _ = ladder_stages(float(step_deg), float(range_deg))[-1]
+        cen = np.zeros(t_pad, dtype=np.float64)
+        cen[:T] = np.asarray(centers, dtype=np.float64)
+        flat = _chain_pairs_sets64_final_impl(
+            sets64, jnp.asarray(pos), jnp.asarray(cen),
+            float(fs), float(fr), float(range_deg),
+        )
+    else:
+        flat = _chain_pairs_sets64_impl(
+            sets64, jnp.asarray(pos), float(step_deg), float(range_deg),
+            bool(bruteforce), _fast_ladder(), _prune_enabled(),
+        )
+    flat = np.asarray(flat, dtype=np.float64)
+    return flat[:t_pad][:T], flat[t_pad:][:T] > 0.5
+
+
 def chain_pairs_staged64(
     staged64: dict, pair_pos, step_deg, range_deg, bruteforce,
     centers=None, final_only: bool = False,

@@ -417,6 +417,14 @@ def _repair_pending_delta(
             delta, codes, centers, staged64, float(step_deg),
             float(range_deg), bool(bruteforce), host_sets,
         )
+    sets64 = getattr(tg, "_staged64_sets", None)
+    if sets64 is not None:
+        from ..ops.argmin_repair import repair_chain_sets64
+
+        return repair_chain_sets64(
+            delta, codes, centers, sets64, float(step_deg),
+            float(range_deg), bool(bruteforce), host_sets,
+        )
     try:
         pts = host_sets()
     except _TensorFallback:  # pragma: no cover - prefetch guarantees dense

@@ -322,7 +322,10 @@ def _finish_chain(
         per_geom.append([tg, pre, delta, codes, centers])
         if not (codes > 0).any() or not certify_enabled():
             continue
-        if getattr(tg, "_staged64", None) is not None:
+        if (
+            getattr(tg, "_staged64", None) is not None
+            or getattr(tg, "_staged64_sets", None) is not None
+        ):
             continue  # index-gather tier handles it per geometry (cheap)
         from .align_within import _host_chain_sets
 
